@@ -1,0 +1,66 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via the ``noop`` sink (JVM-side, no
+driver collect) so the measured time is the distributed plan, not
+row-shipping to Python.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "rollup_hours_utc",
+    "rollup_weeks_los_angeles",
+    "topk_users_other",
+    "dense_hour_axis_fill",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from white_elephant_spark.plans.registry import all_queries
+    from white_elephant_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs]
+    # JVM/codegen warmup on the smallest table, untimed.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,312 @@
+"""Core relational + time-series queries (SURVEY.md §2.3-§2.6).
+
+These exercise the engine's scan/filter/join/aggregate/window/time
+surface on the driver corpus: the capabilities behind the reference's
+serving-layer SQL (server/app/usage_data.rb:525-645) and dashboard
+shaping (graph.js.coffee:176-272), generalized to standard analytics
+shapes. Joins are the capability the reference lacked natively (its
+"joins" were reducer-side merges, SURVEY §2.3) — here Catalyst picks
+broadcast strategies for the small dims automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from white_elephant_spark.functions import timeunits as tu
+from white_elephant_spark.functions.compat import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from white_elephant_spark.plans.registry import register
+from white_elephant_spark.sources.catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation over a fact table (A3/A4): the reference's roll-up shape
+# SELECT dims, SUM(measures) FROM Usage WHERE ... GROUP BY dims
+# (server/app/usage_data.rb:525-595), here as TPC-H Q1 pricing summary.
+# --------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity')} AS sum_qty,
+       {sql_dsum('l_extendedprice')} AS sum_base_price,
+       {sql_dsum('CAST(l_extendedprice AS DECIMAL(27,4)) * CAST(1 - l_discount AS DECIMAL(27,4))')} AS sum_disc_price,
+       {sql_davg('l_quantity')} AS avg_qty,
+       {sql_davg('l_discount')} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "filter", "scan"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → groupBy → multi-aggregate with derived measures
+    (reference A3/A4 shape, ComputeUsagePerHour.java:393-446)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-way joins (J8 "latent join" capability: README.md:96-98 promises
+# conf⋈logs analytics that the reference never implemented).
+# --------------------------------------------------------------------------
+@register(
+    "q3_shipping_priority",
+    oracle="""
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4)) * CAST(1 - l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+""",
+    tags=("join", "agg"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + aggregate; customer side is broadcast by AQE."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4)) * CAST(1 - l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    tags=("join", "agg", "broadcast"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema 6-way join; region/nation/supplier broadcast."""
+    t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]).filter(F.col("r_name") == "ASIA"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# DISTINCT dimension queries (A9: usage_data.rb:479-523) and MIN/MAX
+# range clamping (A10: usage_data.rb:279-289).
+# --------------------------------------------------------------------------
+@register(
+    "distinct_event_types",
+    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    tags=("distinct",),
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — dropdown-population query: sorted distinct dimension."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+@register(
+    "events_time_range",
+    oracle="SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts, CAST(COUNT(*) AS BIGINT) AS n FROM events",
+    tags=("agg",),
+)
+def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — range clamp: MIN/MAX time over the fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-bucketed rollups across all five units/zones (A4 + W1-W5).
+# --------------------------------------------------------------------------
+def _rollup(unit: str, zone: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.groupBy(
+                tu.bucket(F.col("ts"), unit, zone).alias("bucket"),
+                F.col("event_type"),
+            )
+            .agg(
+                dsum("value").alias("total_value"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+        )
+
+    fn.__doc__ = f"A4 rollup at {unit} grain in zone {zone} (W-series bucketing)."
+    return fn
+
+
+def _rollup_oracle(unit: str, zone: str) -> str:
+    b = tu.bucket_sql("ts", unit, zone)
+    return f"""
+SELECT {b} AS bucket, event_type,
+       {sql_dsum('value')} AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+"""
+
+
+for _unit, _zone in [
+    ("HOURS", "UTC"),
+    ("DAYS", "America/Los_Angeles"),
+    ("WEEKS", "America/Los_Angeles"),
+    ("MONTHS", "UTC"),
+    ("QUARTERS", "Asia/Kolkata"),
+]:
+    register(
+        f"rollup_{_unit.lower()}_{_zone.split('/')[-1].lower()}",
+        oracle=_rollup_oracle(_unit, _zone),
+        tags=("agg", "timeunit"),
+        doc=f"Time rollup {_unit} @ {_zone}",
+    )(_rollup(_unit, _zone))
+
+
+# --------------------------------------------------------------------------
+# Top-K + "other" shaping (A11/A12: graph.js.coffee:176-237,
+# server/app.rb:94-102) — the dashboard's 10-users-plus-other series.
+# --------------------------------------------------------------------------
+@register(
+    "topk_users_other",
+    oracle="""
+WITH totals AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(27,4))) AS total
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT user_id, total,
+         ROW_NUMBER() OVER (ORDER BY total DESC, user_id ASC) AS rk
+  FROM totals
+)
+SELECT CASE WHEN rk <= 10 THEN CAST(user_id AS VARCHAR) ELSE 'other' END AS series,
+       CAST(SUM(total) AS DOUBLE) AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ranked
+GROUP BY 1
+""",
+    tags=("window", "agg", "topk"),
+)
+def topk_users_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — rank users by total, keep top 10, fold the rest into an
+    'other' series (maxUsersToGraph=10, controllers/index.js.coffee:33).
+    Decimal totals make the ranking deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(F.sum(dec("value")).alias("total"))
+    w = Window.orderBy(F.col("total").desc(), F.col("user_id").asc())
+    ranked = totals.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.withColumn(
+            "series",
+            F.when(F.col("rk") <= 10, F.col("user_id").cast("string")).otherwise(F.lit("other")),
+        )
+        .groupBy("series")
+        .agg(
+            F.sum("total").cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Dense time axis + gap fill (W6/W7: usage_data.rb:291-440,82-86).
+# --------------------------------------------------------------------------
+@register(
+    "dense_hour_axis_fill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+), axis AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
+), facts AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         SUM(CAST(value AS DECIMAL(27,4))) AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT axis.bucket AS bucket,
+       CAST(COALESCE(facts.total, 0) AS DOUBLE) AS total_value
+FROM axis LEFT JOIN facts ON axis.bucket = facts.bucket
+""",
+    tags=("timeunit", "densify", "join"),
+)
+def dense_hour_axis_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 dense axis: every hour between min and max event time gets a
+    row; hours with no 'purchase' events are zero-filled (W7).
+    ``sequence``+``explode`` stays fully distributed — no driver loop."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    axis = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))).alias("bucket")
+    )
+    facts = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket"))
+        .agg(F.sum(dec("value")).alias("total"))
+    )
+    return axis.join(facts, "bucket", "left").select(
+        F.col("bucket"),
+        F.coalesce(F.col("total"), F.lit(0)).cast("double").alias("total_value"),
+    )

@@ -1,0 +1,77 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hand-sizes its physical execution (reducers = input
+GB/12, 100 MB max splits, LZO shuffle compression — see
+hadoop/config/jobs/base.properties:10-43 and
+parsing/ParseJobsFromLogs.java:152-153 in the reference). On Spark all
+of that collapses into AQE + file-source split tuning, configured once
+here.
+
+Scale posture (100 TB / 1000 executors): everything below is
+cluster-size-relative, nothing assumes local mode. ``local[*]`` is
+only the default master for tests; a real deployment passes its own
+master/config through ``extra_conf`` or spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session time zone is pinned to UTC: the reference stores epoch-ms
+# UTC and re-buckets per-query with explicit zone arguments
+# (server/src/java/com/linkedin/whiteelephant/TimeZoneConversion.java:23-83).
+# Query-time zones are *parameters*, never session state.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    # AQE replaces the reference's manual reducer sizing.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the (rare) pandas-UDF paths: dedup shingling, ANN,
+    # multimodal decode.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Small-file combining — replaces the reference's
+    # CombinedTextInputFormat (mapreduce/lib/input/CombinedTextInputFormat.java:32-64):
+    # Spark packs many small files into one task up to maxPartitionBytes.
+    "spark.sql.files.maxPartitionBytes": "134217728",  # 128 MiB
+    "spark.sql.files.openCostInBytes": "4194304",
+    # The corpus stores some timestamps as parquet TIMESTAMP(NANOS),
+    # which Spark has no native type for; read them as epoch-nanos
+    # longs and let the catalog convert (sources/catalog.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Stable parquet committer behavior for overwrite-style refresh.
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "white-elephant-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to ``SPARK_GRAFT_CPUS`` (or 32) for
+    local runs; on a real cluster leave it unset and let AQE coalesce
+    from a high initial value.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,79 @@
+"""Table catalog over the parquet test corpus.
+
+Spark-first replacement for the reference's file-listing/scan layer
+(S1-S5 in SURVEY.md §2.1): ``spark.read.parquet`` already provides
+small-file combining, hidden-file filtering (``_*``/``.*``), partition
+pruning, predicate pushdown and column pruning, so the catalog is just
+path resolution + a cache of DataFrames.
+
+At 100 TB these tables would be directory-partitioned (e.g.
+``cluster/year/day`` like the reference layout
+hadoop/src/java/com/linkedin/whiteelephant/util/JobStatsProcessing.java:62-67);
+``load_table`` works unchanged on a partitioned root because Catalyst
+resolves partition columns from the directory structure.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS). Spark reads them as
+# epoch-nanos longs (spark.sql.legacy.parquet.nanosAsLong, session.py);
+# we truncate to microseconds exactly like DuckDB's parquet reader does,
+# so engine and oracle see identical instants.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Session confs the engine's semantics depend on, applied even
+    when the caller built its own SparkSession (e.g. the verify
+    driver): nanos-parquet readability and UTC wall-clock math. Both
+    are runtime-settable SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table. Accepts a ``<name>.parquet`` file or a
+    partitioned directory of the same name."""
+    ensure_engine_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        path = os.path.join(sf_dir, name)
+    df = spark.read.parquet(path)
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")).cast("timestamp_ntz")
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view for ``spark.sql`` use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(prefix + t)
