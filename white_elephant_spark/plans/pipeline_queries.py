@@ -1,5 +1,333 @@
-"""White-Elephant pipeline-semantics queries (parsing, entity merge,
-excess labeling, hour-explode proration). Populated operator by
-operator; see white_elephant_spark/operators/."""
+"""White-Elephant pipeline-semantics queries for the driver gate.
+
+Strategy: the driver corpus has no raw Hadoop job-history logs, so
+these queries *synthesize* deterministic log lines / attempt records
+from the ``orders`` and ``events`` tables inside the query, run the
+real engine operators on them, and pair each with a DuckDB oracle that
+derives the expected output **directly from the base tables** — the
+oracle never runs the parser/merger, so a parser bug can't cancel out.
+
+Covered operators: P1/P2/P5 (parse_jobs_roundtrip), J2
+(reconstruct_jobs_merge), J4/J5 (excess_attempt_labeling), P8+A1-A3
+(usage_cube_hourly), A4+W1 metric catalog (usage_metric_rollup).
+
+Numeric convention: measures are exact integers (ms / counts) so the
+distributed Spark sums and single-threaded DuckDB sums are
+bit-identical; the double proration factor is applied per-bucket with
+the identical operation order in both engines, then floored to a long.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from white_elephant_spark.functions import timeunits as tu
+from white_elephant_spark.operators import parse, reconstruct, usage
+from white_elephant_spark.plans.metrics import METRICS, metric_predicate, metric_predicate_sql
+from white_elephant_spark.plans.registry import register
+from white_elephant_spark.sources.catalog import load_table
+
+# --------------------------------------------------------------------------
+# events → synthetic attempt records (shared by Spark and oracle SQL)
+# --------------------------------------------------------------------------
+
+
+def _attempts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    start = F.unix_millis(F.col("ts").cast("timestamp"))
+    return ev.select(
+        F.concat(F.lit("job_"), (e / 40).cast("long").cast("string")).alias("jobId"),
+        F.concat(F.lit("task_"), (e / 4).cast("long").cast("string")).alias("taskId"),
+        F.concat(F.lit("attempt_"), e.cast("string")).alias("taskAttemptId"),
+        F.concat(F.lit("u"), (F.col("user_id") % 17).cast("string")).alias("user"),
+        F.when(e % 5 < 3, "alpha").otherwise("beta").alias("cluster"),
+        F.when(e % 2 == 0, "MAP").otherwise("REDUCE").alias("type"),
+        F.when(e % 3 == 0, "SUCCESS").when(e % 3 == 1, "FAILED").otherwise("KILLED").alias("taskStatus"),
+        start.alias("startTime"),
+        (start + 60000 + (e % 7200) * 1000).alias("finishTime"),
+        F.map_from_arrays(
+            F.array(F.lit("CPU_MILLISECONDS"), F.lit("SPILLED_RECORDS"), F.lit("REDUCE_SHUFFLE_BYTES")),
+            F.array(1 + (e % 3600000), e % 5000, (e * 131) % 1000000),
+        ).alias("counters"),
+    )
+
+
+# DuckDB twin of _attempts_from_events (floor division: event_id >= 0).
+_ATT_CTE = """
+att AS (
+  SELECT
+    'job_'  || CAST(event_id // 40 AS VARCHAR) AS jobId,
+    'task_' || CAST(event_id // 4 AS VARCHAR)  AS taskId,
+    'attempt_' || CAST(event_id AS VARCHAR)    AS taskAttemptId,
+    'u' || CAST(user_id % 17 AS VARCHAR)       AS user,
+    CASE WHEN event_id % 5 < 3 THEN 'alpha' ELSE 'beta' END AS cluster,
+    CASE WHEN event_id % 2 = 0 THEN 'MAP' ELSE 'REDUCE' END AS type,
+    CASE event_id % 3 WHEN 0 THEN 'SUCCESS' WHEN 1 THEN 'FAILED' ELSE 'KILLED' END AS taskStatus,
+    epoch_ms(ts) AS startTime,
+    epoch_ms(ts) + 60000 + (event_id % 7200) * 1000 AS finishTime,
+    1 + (event_id % 3600000) AS cpuMs,
+    event_id % 5000 AS spilled,
+    (event_id * 131) % 1000000 AS shuffleBytes
+  FROM events
+)
+"""
+
+# J5 labeling as window SQL (independent re-derivation, not the engine's).
+_LABELED_CTE = f"""
+{_ATT_CTE},
+lab AS (
+  SELECT *,
+    CASE WHEN taskStatus = 'SUCCESS' THEN FALSE
+         WHEN MAX(CASE WHEN taskStatus = 'SUCCESS' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY jobId, taskId) = 1 THEN TRUE
+         ELSE ROW_NUMBER() OVER (PARTITION BY jobId, taskId
+                                 ORDER BY startTime, taskAttemptId) <> 1
+    END AS excess
+  FROM att
+)
+"""
+
+# A1 hour-explode + proration as generate_series SQL.
+_CUBE_CTE = f"""
+{_LABELED_CTE},
+hrs AS (
+  SELECT lab.*,
+         unnest(generate_series(startTime // 3600000, (finishTime - 1) // 3600000)) AS hour_idx
+  FROM lab WHERE finishTime > startTime
+),
+meas AS (
+  SELECT "user", make_timestamp(hour_idx * 3600000000) AS time, cluster, excess, type,
+         taskStatus AS status,
+         CASE WHEN (hour_idx + 1) * 3600000 >= startTime AND startTime >= hour_idx * 3600000
+              THEN 1 ELSE 0 END AS started,
+         CASE WHEN (hour_idx + 1) * 3600000 >= finishTime AND finishTime >= hour_idx * 3600000
+              THEN 1 ELSE 0 END AS finished,
+         least((hour_idx + 1) * 3600000, finishTime) - greatest(hour_idx * 3600000, startTime) AS overlapMs,
+         CAST(floor(((least((hour_idx + 1) * 3600000, finishTime) - greatest(hour_idx * 3600000, startTime))
+               / (finishTime - startTime)) * cpuMs) AS BIGINT) AS cpuMsProrated,
+         CAST(floor(((least((hour_idx + 1) * 3600000, finishTime) - greatest(hour_idx * 3600000, startTime))
+               / (finishTime - startTime)) * spilled) AS BIGINT) AS spilledProrated,
+         shuffleBytes
+  FROM hrs
+),
+cube_t AS (
+  SELECT "user", time, cluster, excess, type, status,
+         CAST(SUM(started) AS BIGINT) AS started,
+         CAST(SUM(finished) AS BIGINT) AS finished,
+         CAST(SUM(overlapMs) AS BIGINT) AS elapsedMs,
+         CAST(SUM(cpuMsProrated) AS BIGINT) AS cpuMsProrated,
+         CAST(SUM(spilledProrated) AS BIGINT) AS spilledRecords,
+         CAST(SUM(shuffleBytes) AS BIGINT) AS reduceShuffleBytes
+  FROM meas GROUP BY 1, 2, 3, 4, 5, 6
+)
+"""
+
+
+def _cube_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """attempts → J5 labeling → A1 explode → A3 exact-integer cube."""
+    att = reconstruct.label_excess(_attempts_from_events(spark, sf_dir))
+    rows = usage.explode_attempt_hours(usage.filter_usable_attempts(att))
+    return rows.groupBy(*usage.KEY_COLS).agg(
+        F.sum("started").cast("long").alias("started"),
+        F.sum("finished").cast("long").alias("finished"),
+        F.sum("elapsedMs").alias("elapsedMs"),
+        F.sum("cpuMsProrated").alias("cpuMsProrated"),
+        F.sum("spilledRecords").alias("spilledRecords"),
+        F.sum("reduceShuffleBytes").alias("reduceShuffleBytes"),
+    )
+
+
+@register(
+    "excess_attempt_labeling",
+    oracle=f"""
+WITH {_LABELED_CTE.lstrip()}
+SELECT taskId, taskAttemptId, taskStatus, excess FROM lab
+""",
+    tags=("window", "pipeline"),
+)
+def excess_attempt_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — per-task excess labeling (ParseJobsFromLogs.java:709-748)
+    over synthetic attempts; oracle re-derives with window SQL."""
+    att = _attempts_from_events(spark, sf_dir)
+    return reconstruct.label_excess(att).select("taskId", "taskAttemptId", "taskStatus", "excess")
+
+
+@register(
+    "usage_cube_hourly",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip()}
+SELECT * FROM cube_t
+""",
+    tags=("pipeline", "agg", "explode"),
+)
+def usage_cube_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+J5+A1-A3 — the reference's core batch product: the hourly
+    usage cube (ComputeUsagePerHour.java:97-205), exact-integer
+    measures."""
+    return _cube_df(spark, sf_dir)
+
+
+@register(
+    "usage_metric_rollup",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip()}
+SELECT "user" AS userName,
+       {tu.bucket_sql('time', 'DAYS', 'America/Los_Angeles')} AS bucket,
+       CAST(SUM(elapsedMs) AS BIGINT) AS value_ms
+FROM cube_t
+WHERE cluster = 'alpha' AND {metric_predicate_sql(METRICS['minutesExcessMap'])}
+GROUP BY 1, 2
+""",
+    tags=("pipeline", "timeunit", "metric-catalog"),
+)
+def usage_metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the serving layer's query_by_time
+    (usage_data.rb:525-645) for metric ``minutesExcessMap`` at DAYS
+    grain in America/Los_Angeles, against the hourly cube."""
+    cube = _cube_df(spark, sf_dir)
+    return (
+        cube.filter(F.col("cluster") == "alpha")
+        .filter(metric_predicate(METRICS["minutesExcessMap"]))
+        .groupBy(
+            F.col("user").alias("userName"),
+            tu.bucket(F.col("time"), "DAYS", "America/Los_Angeles").alias("bucket"),
+        )
+        .agg(F.sum("elapsedMs").alias("value_ms"))
+    )
+
+
+# --------------------------------------------------------------------------
+# orders → synthetic job-history log lines (parser round-trip)
+# --------------------------------------------------------------------------
+
+
+def _job_line(e: dict[str, Column]) -> Column:
+    """Render one Job history line; JOBNAME carries an escaped quote
+    to exercise the \\" stripping (LineParsing.java:56)."""
+    return F.concat(
+        F.lit('Job JOBID="'), e["jobId"],
+        F.lit('" JOBNAME="ord\\"er" USER="'), e["user"],
+        F.lit('" JOB_QUEUE="default" JOB_STATUS="'), e["rawStatus"],
+        F.lit('" SUBMIT_TIME="'), e["submitTime"].cast("string"),
+        F.lit('" FINISH_TIME="'), e["finishTime"].cast("string"),
+        F.lit('" TOTAL_MAPS="'), e["totalMaps"].cast("string"),
+        F.lit('" FAILED_MAPS="0" .'),
+    )
+
+
+def _order_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    submit = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    return o.select(
+        F.concat(F.lit("job_"), F.col("o_orderkey").cast("string"), F.lit("_1")).alias("jobId"),
+        F.concat(F.lit("u"), (F.col("o_custkey") % 13).cast("string")).alias("user"),
+        F.when(F.col("o_orderstatus") == "F", "SUCCESS")
+        .when(F.col("o_orderstatus") == "O", "FAILURE")
+        .otherwise("RUNNING")
+        .alias("rawStatus"),
+        submit.alias("submitTime"),
+        (submit + (F.col("o_orderkey") % 100000) * 1000).alias("finishTime"),
+        (F.col("o_orderkey") % 50).cast("int").alias("totalMaps"),
+    )
+
+
+_ORDER_FIELDS_SQL = """
+of AS (
+  SELECT 'job_' || CAST(o_orderkey AS VARCHAR) || '_1' AS jobId,
+         'u' || CAST(o_custkey % 13 AS VARCHAR) AS user,
+         CASE WHEN o_orderstatus = 'F' THEN 'SUCCESS'
+              WHEN o_orderstatus = 'O' THEN 'FAILED' END AS jobStatus,
+         epoch_ms(o_orderdate) AS submitTime,
+         epoch_ms(o_orderdate) + (o_orderkey % 100000) * 1000 AS finishTime,
+         CAST(o_orderkey % 50 AS INTEGER) AS totalMaps
+  FROM orders
+)
+"""
+
+
+@register(
+    "parse_jobs_roundtrip",
+    oracle=f"""
+WITH {_ORDER_FIELDS_SQL.lstrip()}
+SELECT jobId, user, 'order' AS jobName, 'default' AS jobQueue, jobStatus,
+       submitTime, finishTime, totalMaps, CAST(0 AS INTEGER) AS failedMaps
+FROM of
+""",
+    tags=("parse", "pipeline"),
+)
+def parse_jobs_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P5 — render job-history lines from ``orders``, push them
+    through the real regex parser, interleaved with noise lines the
+    classifier must drop (ParseJobsFromLogs.java:205-262). The oracle
+    computes expected fields straight from ``orders`` — the parser
+    must invert the renderer exactly."""
+    fields = _order_fields(spark, sf_dir)
+    lines = fields.select(_job_line({c: F.col(c) for c in fields.columns}).alias("line"))
+    noise = fields.select(F.lit('Meta VERSION="1" .').alias("line"))
+    truncated = fields.select(F.lit('MapAttempt TASK_TYPE="CLEANUP" START_TIME="1" .').alias("line"))
+    parsed = parse.parse_job_lines(lines.unionAll(noise).unionAll(truncated))
+    return parsed.select(
+        "jobId", "user", "jobName", "jobQueue", "jobStatus",
+        "submitTime", "finishTime", "totalMaps", "failedMaps",
+    )
+
+
+@register(
+    "reconstruct_jobs_merge",
+    oracle=f"""
+WITH {_ORDER_FIELDS_SQL.lstrip()}
+SELECT jobId, user, jobStatus, submitTime, finishTime, totalMaps,
+       CASE WHEN CAST(substr(jobId, 5, length(jobId) - 6) AS BIGINT) % 2 = 1
+            THEN submitTime + 5000 END AS launchTime
+FROM of
+""",
+    tags=("merge", "pipeline"),
+)
+def reconstruct_jobs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — last-non-null fragment merge with the terminal-status rule
+    (ParseJobsFromLogs.java:380-456): JOB_STATUS on the submit
+    fragment (no FINISH_TIME) must lose to the status on the finish
+    fragment; launchTime arrives on a third fragment for odd keys
+    only."""
+    o = load_table(spark, sf_dir, "orders")
+    submit = F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+    key = F.col("o_orderkey")
+    jid = F.concat(F.lit("job_"), key.cast("string"), F.lit("_1"))
+    fin = (submit + (key % 100000) * 1000).cast("string")
+    raw = (
+        F.when(F.col("o_orderstatus") == "F", "SUCCESS")
+        .when(F.col("o_orderstatus") == "O", "FAILURE")
+        .otherwise("RUNNING")
+    )
+    # fragment 1: submit-time line with a misleading early JOB_STATUS
+    f1 = o.select(
+        F.concat(
+            F.lit('Job JOBID="'), jid, F.lit('" USER="u'), (F.col("o_custkey") % 13).cast("string"),
+            F.lit('" SUBMIT_TIME="'), submit.cast("string"), F.lit('" JOB_STATUS="FAILURE" .'),
+        ).alias("line"),
+        F.lit(1).alias("seq"),
+    )
+    # fragment 2: terminal line carrying FINISH_TIME + real status
+    f2 = o.select(
+        F.concat(
+            F.lit('Job JOBID="'), jid, F.lit('" JOB_STATUS="'), raw,
+            F.lit('" FINISH_TIME="'), fin, F.lit('" TOTAL_MAPS="'), (key % 50).cast("string"),
+            F.lit('" .'),
+        ).alias("line"),
+        F.lit(2).alias("seq"),
+    )
+    # fragment 3 (odd keys): LAUNCH_TIME arrives separately
+    f3 = o.filter(key % 2 == 1).select(
+        F.concat(
+            F.lit('Job JOBID="'), jid, F.lit('" LAUNCH_TIME="'), (submit + 5000).cast("string"),
+            F.lit('" .'),
+        ).alias("line"),
+        F.lit(3).alias("seq"),
+    )
+    parsed = parse.parse_job_lines(f1.unionAll(f2).unionAll(f3))
+    merged = reconstruct.merge_job_fragments(parsed, "seq")
+    return merged.select(
+        "jobId", "user", "jobStatus", "submitTime", "finishTime", "totalMaps", "launchTime"
+    )

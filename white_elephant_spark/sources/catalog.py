@@ -51,6 +51,9 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     are runtime-settable SQL confs."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Param maps keep the last duplicate key, like the reference's
+    # put-in-loop extraction (LineParsing.java:88-92).
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,8 +66,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            # Integer `div`, never `/`: epoch-nanos (~1.7e18) overflow
+            # a double's 53-bit mantissa, so float division would be
+            # off by hundreds of ns around ms boundaries.
             df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / 1000).cast("long")).cast("timestamp_ntz")
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
     return df
 
