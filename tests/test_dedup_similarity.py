@@ -1,0 +1,116 @@
+"""Behavioral tests for dedup/similarity/text/multimodal operators on
+constructed corpora (golden semantics, not just oracle parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from white_elephant_spark.functions import text as tx
+from white_elephant_spark.operators import dedup, multimodal, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different content about spark distributed query engines and shuffles"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1, 4: 1}  # doc 2 collapsed into 1
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert found[(1, 2)] == 1.0
+    assert (1, 3) in found and 0.5 <= found[(1, 3)] < 1.0
+    assert not any(4 in p for p in found)
+
+
+def test_minhash_lsh_candidates(docs):
+    sigs = dedup.minhash_signatures(docs, k=12, n=3)
+    pairs = {(r.id_a, r.id_b): r.est_sim for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical docs always collide
+    for (a, b), s in pairs.items():
+        assert 0 <= s <= 1
+
+
+def test_simhash_identity_and_locality(docs):
+    fp = {r.id: r.simhash for r in dedup.simhash32(docs).collect()}
+    assert fp[1] == fp[2]  # identical text → identical fingerprint
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(fp[1], fp[3]) < ham(fp[1], fp[4])  # near dup closer than unrelated
+
+
+def test_cosine_topk_exact(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [r.nbr_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3]
+    assert out[0].cos_sim == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, rel=1e-6)
+
+
+def test_lsh_topk_recalls_bucketmates(spark):
+    # identical vectors always share a bucket → LSH returns them first
+    vecs = [(i, [float(i % 7 + 1), float((i * 3) % 5), 1.0]) for i in range(30)]
+    vecs.append((100, vecs[0][1]))  # exact copy of vec 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.lsh_cosine_topk(df, df.filter(F.col("vec_id") == 100), dim=3, k=1)
+    top = out.collect()[0]
+    assert top.nbr_id == 0 and top.cos_sim == pytest.approx(1.0)
+
+
+def test_neardup_pairs_blocked(spark):
+    vecs = [
+        (1, [1.0, 2.0, 3.0], 0),
+        (2, [2.0, 4.0, 6.0], 0),   # same direction, same label → hit
+        (3, [1.0, 2.0, 3.0], 1),   # same direction, other label → blocked out
+        (4, [3.0, -1.0, 0.5], 0),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>, label int")
+    pairs = similarity.neardup_pairs(df, threshold=0.999).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([("the cat sat on the mat",)], "text string")
+    row = df.select(
+        tx.token_count(F.col("text")).alias("n"),
+        tx.distinct_ratio(F.col("text")).alias("dr"),
+        tx.stopword_ratio(F.col("text")).alias("sr"),
+        tx.mean_word_len(F.col("text")).alias("ml"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert row.n == 6
+    assert row.dr == pytest.approx(5 / 6)
+    assert row.sr == pytest.approx(2 / 6)  # 'the' twice
+    assert row.ml == pytest.approx(17 / 6)
+    # fingerprint is order-insensitive
+    df2 = spark.createDataFrame([("mat the on sat cat the",)], "text string")
+    fp2 = df2.select(tx.fingerprint(F.col("text"))).collect()[0][0]
+    assert row.fp == fp2
+
+
+def test_multimodal_stub_plumbing(spark):
+    docs = spark.createDataFrame([(7, "hello world")], "doc_id long, text string")
+    out = multimodal.extract_features(multimodal.documents_as_binary(docs)).collect()[0]
+    assert out.byte_len == 11
+    assert out.fake_width == 1 + 11 % 64
+    import hashlib
+
+    assert out.digest == hashlib.md5(b"hello world").hexdigest()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"x", codec="jpeg")

@@ -1,0 +1,148 @@
+"""Text-analysis column builders for training-data pipelines.
+
+These are the operations a 100 TB document-prep pipeline runs per
+document: tokenization, quality scoring, language-ID heuristics,
+fingerprinting. All pure Catalyst expressions (JVM-side, codegen'd) —
+no Python in the hot path. Each builder has a DuckDB-SQL twin
+(``sql_*``) with bit-identical semantics for the oracle gate.
+
+Cross-engine determinism rules: ratios are single divisions of
+identical integers; weighted scores apply literals in a fixed
+operation order; hashes are md5 hex (identical in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Simple language marker sets for the n-gram/stopword language-ID
+# heuristic. Deterministic tie-break: first language in LANGS order.
+LANGS = ("en", "es", "fr", "de", "zh")
+MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "la", "et"),
+    "de": ("der", "die", "und"),
+    "zh": ("的", "了", "是"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space corpus convention)."""
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def sql_token_count(expr: str) -> str:
+    return f"CAST(len(string_split({expr}, ' ')) AS BIGINT)"
+
+
+def distinct_ratio(text: Column) -> Column:
+    """Lexical diversity: distinct tokens / tokens (one division)."""
+    t = tokens(text)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def sql_distinct_ratio(expr: str) -> str:
+    return (
+        f"len(list_distinct(string_split({expr}, ' '))) / len(string_split({expr}, ' '))"
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.size(F.filter(t, lambda w: F.array_contains(sw, w))) / F.size(t)
+
+
+def sql_stopword_ratio(expr: str) -> str:
+    swlist = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        f"len(list_filter(string_split({expr}, ' '), w -> w IN ({swlist})))"
+        f" / len(string_split({expr}, ' '))"
+    )
+
+
+def mean_word_len(text: Column) -> Column:
+    """(total chars − separators) / tokens — one division."""
+    t = tokens(text)
+    return (F.length(text) - (F.size(t) - F.lit(1))) / F.size(t)
+
+
+def sql_mean_word_len(expr: str) -> str:
+    n = f"len(string_split({expr}, ' '))"
+    return f"(length({expr}) - ({n} - 1)) / {n}"
+
+
+def quality_score(text: Column) -> Column:
+    """Weighted quality heuristic (fixed literal-order arithmetic):
+    0.5·distinct_ratio + 0.3·min(stopword_ratio·5, 1) +
+    0.2·min(mean_word_len/8, 1)."""
+    return (
+        F.lit(0.5) * distinct_ratio(text)
+        + F.lit(0.3) * F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+        + F.lit(0.2) * F.least(mean_word_len(text) / F.lit(8.0), F.lit(1.0))
+    )
+
+
+def sql_quality_score(expr: str) -> str:
+    return (
+        f"0.5 * ({sql_distinct_ratio(expr)})"
+        f" + 0.3 * least(({sql_stopword_ratio(expr)}) * 5.0, 1.0)"
+        f" + 0.2 * least(({sql_mean_word_len(expr)}) / 8.0, 1.0)"
+    )
+
+
+def lang_scores(text: Column) -> Column:
+    """Marker-hit count per language, as an array aligned to LANGS."""
+    t = tokens(text)
+    cols = []
+    for lang in LANGS:
+        markers = F.array(*[F.lit(w) for w in MARKERS[lang]])
+        # single-arg lambda builder: a two-arg lambda would be treated
+        # as Spark's (element, index) form
+        pred = (lambda m: lambda w: F.array_contains(m, w))(markers)
+        cols.append(F.size(F.filter(t, pred)))
+    return F.array(*cols)
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over lang_scores with first-in-LANGS tie-break."""
+    scores = lang_scores(text)
+    # array_position of the max score = first index achieving the max
+    best = F.array_max(scores)
+    idx = F.array_position(scores, best)  # 1-based, first occurrence
+    langs = F.array(*[F.lit(lang) for lang in LANGS])
+    return F.element_at(langs, idx.cast("int"))
+
+
+def sql_predict_lang(expr: str) -> str:
+    toks = f"string_split({expr}, ' ')"
+    score_exprs = []
+    for lang in LANGS:
+        mk = ", ".join(f"'{w}'" for w in MARKERS[lang])
+        score_exprs.append(f"len(list_filter({toks}, w -> w IN ({mk})))")
+    arr = "[" + ", ".join(score_exprs) + "]"
+    return (
+        f"(['" + "', '".join(LANGS) + "'])"
+        f"[CAST(list_position({arr}, list_max({arr})) AS INTEGER)]"
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token set —
+    order-insensitive content identity (the bag-of-words analogue of
+    a rolling-hash fingerprint; robust to token reordering)."""
+    t = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.encode(F.concat_ws(" ", t), "UTF-8"))
+
+
+def sql_fingerprint(expr: str) -> str:
+    return (
+        f"md5(array_to_string(list_sort(list_distinct(string_split({expr}, ' '))), ' '))"
+    )

@@ -1,0 +1,248 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each designed for the 100 TB regime:
+
+- **exact**: hash-groupBy on content digest. One shuffle on a 32-byte
+  key, combiner-friendly, no skew beyond true duplicate mass.
+- **n-gram Jaccard**: shingle sets + blocked self-join. The pairwise
+  compare only happens inside candidate blocks, never all-pairs.
+- **MinHash + LSH**: k-permutation signatures → banded bucket join.
+  Candidate generation is |bands|·|docs| rows shuffled by (band,
+  hash) — linear, with per-bucket skew bounded by banding width.
+- **SimHash**: per-token hashed bit votes → integer fingerprint;
+  near-dup = small Hamming distance on a 32-bit int (cheap radix
+  blocking at scale).
+
+Everything is md5-based (deterministic, available in both Spark and
+DuckDB) so each operator has an exact SQL oracle. All expressions are
+JVM-side Catalyst; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from white_elephant_spark.functions.text import tokens
+
+HEX = "0123456789abcdef"
+
+
+# ------------------------------------------------------------------ exact
+
+
+def content_digest(text: Column) -> Column:
+    return F.md5(F.encode(text, "UTF-8"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group.
+    groupBy on the digest (not the text) keeps shuffle rows narrow."""
+    return (
+        df.select(F.col(id_col), content_digest(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ----------------------------------------------------------- shingling
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles."""
+    w = tokens(text)
+    if n == 1:
+        return F.array_distinct(w)
+    idx = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def sql_word_ngrams(expr: str, n: int = 3) -> str:
+    w = f"string_split({expr}, ' ')"
+    if n == 1:
+        return f"list_distinct({w})"
+    parts = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({w}) - {n - 1}), i -> {parts}))"
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    block: Column | None = None,
+) -> DataFrame:
+    """Jaccard-similar pairs over word n-gram sets, restricted to a
+    blocking key (default: first token) so the self-join is band-local
+    rather than all-pairs. Output: (id_a, id_b, jaccard) with
+    id_a < id_b.
+
+    At scale: the block key is the knob — swap in an LSH band from
+    :func:`minhash_signatures` for guaranteed recall at a target
+    similarity."""
+    blk = block if block is not None else F.element_at(tokens(F.col(text_col)), 1)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        blk.alias("blk"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter / union
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------- MinHash/LSH
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 12, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per document: permutation i is
+    the lexicographic min of md5(i:shingle) hex digests — a uniform
+    hash family available identically in every engine."""
+    # Explode shingles once, hash each k ways, take per-position mins
+    # in one map-side-combinable aggregation. (The tempting
+    # array-expression form — k × array_min(transform(grams, md5)) —
+    # recomputes the shingling k times per row: Catalyst does not CSE
+    # across array elements, and it benchmarked 30× slower.)
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    )
+    hashed = grams.select(
+        "id",
+        *[
+            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("g")), "UTF-8")).alias(f"h{i}")
+            for i in range(k)
+        ],
+    )
+    agg = hashed.groupBy("id").agg(*[F.min(f"h{i}").alias(f"h{i}") for i in range(k)])
+    return agg.select("id", F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+
+
+def sql_minhash_signatures(expr: str, id_expr: str, k: int = 12, n: int = 3) -> str:
+    grams = sql_word_ngrams(expr, n)
+    sigs = ", ".join(
+        f"list_min(list_transform({grams}, s -> md5('{i}:' || s)))" for i in range(k)
+    )
+    return f"SELECT {id_expr} AS id, [{sigs}] AS sig FROM documents"
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows: int = 3, k: int = 12
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature; any shared
+    (band, hash) bucket yields a candidate pair. Returns distinct
+    (id_a, id_b, est_sim) where est_sim is the fraction of matching
+    signature components."""
+    assert bands * rows == k
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws("|", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)])
+            )
+            for b in range(bands)
+        ]
+    )
+    exploded = sigs.select(
+        "id", "sig", F.posexplode(band_hashes).alias("band", "bh")
+    )
+    # Materialize before the self-join: otherwise both join sides
+    # recompute the full shingle→md5→min pipeline (the expensive
+    # part). At warehouse scale this is a signatures *table*; here the
+    # block cache plays that role.
+    exploded = exploded.persist()
+    a, b = exploded.alias("a"), exploded.alias("b")
+    eq = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.element_at(F.col("a.sig"), i) == F.element_at(F.col("b.sig"), i),
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (eq / F.lit(float(k))).alias("est_sim"),
+        )
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash fingerprint: each distinct token votes ±1 on 32
+    bit positions taken from the nibbles of md5(token); the sign of
+    each bit's tally forms the fingerprint. Near-duplicates have small
+    Hamming distance.
+
+    Distributed shape: explode (token × bit) → two-level aggregate.
+    Integer tallies make the result engine-exact."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
+    ).withColumn("h", F.md5(F.encode(F.col("w"), "UTF-8")))
+    # 32 vote columns per (id, token) — wide-not-tall keeps the row
+    # count at |tokens| (not 32×|tokens|) and needs a single shuffle.
+    votes = toks.select(
+        "id",
+        *[
+            (
+                F.shiftright(
+                    F.instr(F.lit(HEX), F.substring(F.col("h"), bit // 4 + 1, 1)) - 1,
+                    bit % 4,
+                )
+                % 2
+                * 2
+                - 1
+            ).alias(f"v{bit}")
+            for bit in range(32)
+        ],
+    )
+    tally = votes.groupBy("id").agg(*[F.sum(f"v{bit}").alias(f"t{bit}") for bit in range(32)])
+    fp = sum(
+        [F.when(F.col(f"t{bit}") > 0, F.lit(1 << bit)).otherwise(0) for bit in range(32)],
+        start=F.lit(0),
+    )
+    return tally.select("id", fp.cast("long").alias("simhash"))
+
+
+def sql_simhash32(expr: str, id_expr: str) -> str:
+    return f"""
+SELECT id, CAST(SUM(CASE WHEN t > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM (
+  SELECT id, bit, SUM(((strpos('{HEX}', substr(h, CAST(bit // 4 AS INTEGER) + 1, 1)) - 1 >> CAST(bit % 4 AS INTEGER)) % 2) * 2 - 1) AS t
+  FROM (
+    SELECT {id_expr} AS id, md5(w) AS h, bit
+    FROM (SELECT {id_expr}, unnest(list_distinct(string_split({expr}, ' '))) AS w FROM documents),
+         (SELECT unnest(generate_series(0, 31)) AS bit)
+  )
+  GROUP BY id, bit
+)
+GROUP BY id
+"""

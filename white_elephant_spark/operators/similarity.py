@@ -1,0 +1,192 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, mirroring what a 100 TB vector corpus needs:
+
+- **brute-force cosine top-k** — the exactness baseline. Query set is
+  broadcast; the corpus side streams, so the cost is one scan ×
+  |queries| dot products, no shuffle until the per-query top-k
+  aggregation.
+- **LSH (random-hyperplane) bucketing** — the scale path: sign-bit
+  sketches from deterministic md5-derived hyperplanes put similar
+  vectors in the same bucket; search only touches matching buckets.
+
+Numeric convention: dot products and norms are accumulated in
+DECIMAL(38,12) from double-widened float elements, so distributed and
+single-threaded evaluation agree bit-for-bit (the oracle contract;
+see functions/compat.py). The widen-to-double is exact (float ⊂
+double); one final double division chain produces the cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+ 
+
+def _dsum_products(a: Column, b: Column) -> Column:
+    """Elementwise-product sum as a strict left fold, in double.
+
+    Array folds are *sequential in element order* in both Spark
+    (``aggregate``) and DuckDB (``list_reduce`` -- verified to be a
+    strict left fold, not pairwise/SIMD), so unlike a row-order
+    ``SUM(double)`` this is bit-reproducible across engines and
+    cluster layouts without decimal-arithmetic overhead."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dsum_products(a, b) / (
+        F.sqrt(_dsum_products(a, a)) * F.sqrt(_dsum_products(b, b))
+    )
+
+
+def sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip({a}, {b}),"
+        f" p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"{sql_dot(a, b)} / (sqrt({sql_dot(a, a)}) * sqrt({sql_dot(b, b)}))"
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self).
+    ``queries`` is expected to be small → broadcast; ranking ties
+    break on corpus id for determinism."""
+    # Norms are computed once per row, not once per pair — at
+    # |Q|×|corpus| pair counts that's the dominant saving.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nvec"),
+        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                _dsum_products(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ------------------------------------------------- LSH hyperplane buckets
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 —
+    reproducible everywhere without RNG state."""
+    import hashlib
+
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"{plane}:{i}".encode()).hexdigest()
+        vals.append((int(h[:8], 16) / 0x7FFFFFFF) - 1.0)
+    return vals
+
+
+def hyperplane_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-bit sketch: bit p = (vec · hyperplane_p) >= 0."""
+    acc = F.lit(0).cast("int")
+    for p in range(planes):
+        hp = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        dot = _dsum_products(vec, hp)
+        acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return acc
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane
+    buckets. Recall loses what banding loses; planes is the knob.
+    Same output shape as :func:`cosine_topk`."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nvec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select("query_id", "nbr_id", cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.999,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a blocking key
+    (default: the label column; at scale: a hyperplane bucket)."""
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("norm"),
+    ]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    base = vectors.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                _dsum_products(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.norm") * F.col("b.norm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -54,6 +54,11 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     # Param maps keep the last duplicate key, like the reference's
     # put-in-loop extraction (LineParsing.java:88-92).
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    # Performance-only (results unaffected): let AQE right-size
+    # shuffle partitions when the caller's session never configured
+    # them (a bare driver session defaults to 200).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
