@@ -331,3 +331,151 @@ def reconstruct_jobs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "jobId", "user", "jobStatus", "submitTime", "finishTime", "totalMaps", "launchTime"
     )
+
+
+# --------------------------------------------------------------------------
+# Serving layer: dense-axis timeseries + CSV table (§3.2-3.3)
+# --------------------------------------------------------------------------
+
+_SEL_USERS = [f"u{i}" for i in range(5)]
+_AGG_USERS = [f"u{i}" for i in range(5, 17)]
+_WIDE_START = 1577836800000  # 2020-01-01 UTC — clamped to cube range
+_WIDE_END = 1893456000000  # 2030-01-01 UTC
+_LA = "America/Los_Angeles"
+
+
+def _axis_sql_weeks(zone: str) -> str:
+    """DuckDB twin of serving.dense_axis for WEEKS (clamped)."""
+    loc = lambda ms: (  # noqa: E731
+        f"CAST(((make_timestamp({ms} * 1000)) AT TIME ZONE 'UTC') AT TIME ZONE '{zone}' AS DATE)"
+    )
+    back = f"((CAST(d AS TIMESTAMP)) AT TIME ZONE '{zone}') AT TIME ZONE 'UTC'"
+    return f"""
+mm AS (
+  SELECT epoch_ms(MIN(time)) AS min_ms, epoch_ms(MAX(time)) AS max_ms
+  FROM cube_t WHERE cluster = 'alpha'
+),
+bounds AS (
+  SELECT greatest({_WIDE_START}, min_ms) AS s, least({_WIDE_END}, max_ms) AS e FROM mm
+),
+sundays AS (
+  SELECT CAST({loc('s')} - to_days(CAST(dayofweek({loc('s')}) AS INTEGER)) AS DATE) AS sd,
+         CAST({loc('e')} - to_days(CAST(dayofweek({loc('e')}) AS INTEGER)) AS DATE) AS ed
+  FROM bounds
+),
+axis AS (
+  SELECT {back} AS bucket
+  FROM (SELECT unnest(generate_series(sd + 7, ed - 7, INTERVAL 7 DAY)) AS d FROM sundays)
+)
+"""
+
+
+@register(
+    "usage_timeseries_weekly",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip().rstrip().rstrip(',')},
+{_axis_sql_weeks(_LA).strip().lstrip()},
+series AS (
+  SELECT "user" AS userName, {tu.bucket_sql('time', 'WEEKS', _LA)} AS bucket,
+         CAST(SUM(elapsedMs) AS BIGINT) AS value
+  FROM cube_t WHERE cluster = 'alpha' GROUP BY 1, 2
+),
+sel AS (
+  SELECT * FROM series WHERE userName IN ({', '.join(repr(u) for u in _SEL_USERS)})
+  UNION ALL
+  SELECT '__other__' AS userName, bucket, CAST(SUM(value) AS BIGINT) AS value
+  FROM series WHERE userName IN ({', '.join(repr(u) for u in _AGG_USERS)})
+  GROUP BY bucket
+),
+au AS (
+  SELECT axis.bucket, u.userName
+  FROM axis, (SELECT unnest([{', '.join(repr(u) for u in _SEL_USERS + ['__other__'])}]) AS userName) u
+)
+SELECT au.userName, au.bucket, CAST(COALESCE(sel.value, 0) AS BIGINT) AS value
+FROM au LEFT JOIN sel ON au.bucket = sel.bucket AND au.userName = sel.userName
+""",
+    tags=("serving", "densify", "timeunit"),
+)
+def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 end-to-end: weekly minutesTotal series for 5 users plus
+    the aggregated '__other__' series, dense WEEKS axis in LA time
+    with the reference's shrink-a-week edge rule, zero-filled."""
+    from white_elephant_spark.plans import serving
+
+    cube = _cube_df(spark, sf_dir).filter(F.col("cluster") == "alpha")
+    series = (
+        cube.groupBy(
+            F.col("user").alias("userName"),
+            tu.bucket(F.col("time"), "WEEKS", _LA).alias("bucket"),
+        )
+        .agg(F.sum("elapsedMs").alias("value"))
+    )
+    axis = serving.dense_axis(
+        spark, "WEEKS", _LA, _WIDE_START, _WIDE_END, clamp=serving.clamp_range(cube)
+    )
+    out = serving.timeseries(series, axis, _SEL_USERS, _AGG_USERS)
+    return out.select("userName", "bucket", F.col("value").cast("long").alias("value"))
+
+
+_CSV_USERS = [f"u{i}" for i in range(4)]
+
+
+def _axis_sql_days(zone: str) -> str:
+    loc = lambda ms: (  # noqa: E731
+        f"CAST(((make_timestamp({ms} * 1000)) AT TIME ZONE 'UTC') AT TIME ZONE '{zone}' AS DATE)"
+    )
+    back = f"((CAST(d AS TIMESTAMP)) AT TIME ZONE '{zone}') AT TIME ZONE 'UTC'"
+    return f"""
+mm AS (
+  SELECT epoch_ms(MIN(time)) AS min_ms, epoch_ms(MAX(time)) AS max_ms
+  FROM cube_t WHERE cluster = 'beta'
+),
+bounds AS (
+  SELECT greatest({_WIDE_START}, min_ms) AS s, least({_WIDE_END}, max_ms) AS e FROM mm
+),
+axis AS (
+  SELECT {back} AS bucket
+  FROM (SELECT unnest(generate_series({loc('s')} + 1, {loc('e')} - 1, INTERVAL 1 DAY)) AS d
+        FROM bounds)
+)
+"""
+
+
+@register(
+    "usage_csv_table_days",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip().rstrip().rstrip(',')},
+{_axis_sql_days(_LA).strip().lstrip()},
+series AS (
+  SELECT "user" AS userName, {tu.bucket_sql('time', 'DAYS', _LA)} AS bucket,
+         SUM(elapsedMs) / 60000.0 AS value
+  FROM cube_t WHERE cluster = 'beta' GROUP BY 1, 2
+)
+SELECT strftime(((CAST(axis.bucket AS TIMESTAMP)) AT TIME ZONE 'UTC') AT TIME ZONE '{_LA}', '%Y-%m-%d') AS time,
+       {', '.join(
+           f"COALESCE(any_value(CASE WHEN userName = '{u}' THEN value END), 0.0) / 60.0 AS {u}"
+           for u in _CSV_USERS
+       )}
+FROM axis LEFT JOIN series
+  ON axis.bucket = series.bucket AND series.userName IN ({', '.join(repr(u) for u in _CSV_USERS)})
+GROUP BY axis.bucket
+""",
+    tags=("serving", "csv"),
+)
+def usage_csv_table_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 — /api/table CSV shape: daily LA buckets as local
+    %Y-%m-%d, one column per user, minutes→hours (÷60)."""
+    from white_elephant_spark.plans import serving
+
+    cube = _cube_df(spark, sf_dir).filter(F.col("cluster") == "beta")
+    series = (
+        cube.groupBy(
+            F.col("user").alias("userName"),
+            tu.bucket(F.col("time"), "DAYS", _LA).alias("bucket"),
+        )
+        .agg((F.sum("elapsedMs") / 60000.0).alias("value"))
+    )
+    axis = serving.dense_axis(
+        spark, "DAYS", _LA, _WIDE_START, _WIDE_END, clamp=serving.clamp_range(cube)
+    )
+    return serving.csv_table(series, axis, _CSV_USERS, _LA, to_hours=True)
