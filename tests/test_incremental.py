@@ -1,0 +1,96 @@
+"""I1-I5 incremental refresh semantics on hand-built attempts."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from white_elephant_spark.sources import incremental as inc
+
+HOUR = 3_600_000
+DAY = 24 * HOUR
+# day 0 = 1970-01-01
+D = lambda n: date.fromordinal(719163 + n)  # noqa: E731
+
+
+def _attempts(spark, rows):
+    """rows: (id, startMs, finishMs); fixed dims, CPU counter = duration."""
+    return spark.createDataFrame(
+        [
+            (
+                "j1",
+                "t1",
+                aid,
+                "u0",
+                "c1",
+                "MAP",
+                "SUCCESS",
+                False,
+                s,
+                f,
+                {"CPU_MILLISECONDS": f - s, "SPILLED_RECORDS": 0, "REDUCE_SHUFFLE_BYTES": 7},
+            )
+            for aid, s, f in rows
+        ],
+        "jobId string, taskId string, taskAttemptId string, user string, cluster string,"
+        " type string, taskStatus string, excess boolean, startTime long, finishTime long,"
+        " counters map<string,long>",
+    )
+
+
+def test_plan_days_skips_existing_and_forces_tail():
+    existing = {D(0), D(1), D(2), D(5)}
+    got = inc.plan_days(D(0), D(6), existing, num_days_forced=2)
+    # 3,4,6 missing; 5,6 forced
+    assert got == [D(3), D(4), D(5), D(6)]
+
+
+def test_refresh_two_generations_equals_full(spark, tmp_path):
+    path = str(tmp_path / "cube")
+    # gen1: attempts on days 0-1; one spans midnight of day 1→2 boundary? no: keep ≤ day1
+    gen1 = _attempts(
+        spark,
+        [("a1", 1 * HOUR, 3 * HOUR), ("a2", DAY + HOUR, DAY + 2 * HOUR)],
+    )
+    built = inc.refresh(gen1, path, num_days_forced=1)
+    assert built == [D(0), D(1)]
+    assert inc.existing_days(path) == {D(0), D(1)}
+
+    # gen2 adds a late attempt starting on day 1 and spanning into day 2
+    late = [("a3", DAY + 23 * HOUR + 1800_000, 2 * DAY + 1800_000)]
+    full = _attempts(
+        spark,
+        [("a1", 1 * HOUR, 3 * HOUR), ("a2", DAY + HOUR, DAY + 2 * HOUR)] + late,
+    )
+    built2 = inc.refresh(full, path, num_days_forced=2)
+    # day 0 skipped (exists, outside forced window); days 1-2 rebuilt
+    assert built2 == [D(1), D(2)]
+
+    got = inc.read_cube(spark, path)
+    want = inc.build_day_cube(full, [D(0), D(1), D(2)])
+    merged = (
+        got.groupBy("time").agg(F.sum("elapsedMs").alias("ms")).orderBy("time").collect()
+    )
+    want_rows = (
+        want.groupBy("time").agg(F.sum("elapsedMs").alias("ms")).orderBy("time").collect()
+    )
+    assert merged == want_rows
+    # total elapsed = sum of attempt durations
+    assert sum(r["ms"] for r in merged) == 2 * HOUR + HOUR + HOUR
+
+
+def test_refresh_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "cube")
+    att = _attempts(spark, [("a1", HOUR, 2 * HOUR)])
+    inc.refresh(att, path)
+    first = sorted(map(tuple, inc.read_cube(spark, path).collect()))
+    inc.refresh(att, path)  # same input again: forced rebuild, same bytes
+    second = sorted(map(tuple, inc.read_cube(spark, path).collect()))
+    assert first == second
+
+
+def test_build_day_cube_requires_days(spark):
+    with pytest.raises(ValueError):
+        inc.build_day_cube(_attempts(spark, []), [])

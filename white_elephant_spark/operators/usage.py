@@ -136,6 +136,20 @@ def aggregate_usage(per_hour_rows: DataFrame) -> DataFrame:
     )
 
 
+def aggregate_usage_exact(per_hour_rows: DataFrame) -> DataFrame:
+    """A3 on the exact-integer measure twins (ms instead of minutes):
+    bit-identical sums regardless of partitioning / combine order, so
+    a distributed run and a single-threaded oracle always agree."""
+    return per_hour_rows.groupBy(*KEY_COLS).agg(
+        F.sum("started").cast("long").alias("started"),
+        F.sum("finished").cast("long").alias("finished"),
+        F.sum("elapsedMs").alias("elapsedMs"),
+        F.sum("cpuMsProrated").alias("cpuMsProrated"),
+        F.sum("spilledRecords").alias("spilledRecords"),
+        F.sum("reduceShuffleBytes").alias("reduceShuffleBytes"),
+    )
+
+
 def build_usage_per_hour(attempts: DataFrame) -> DataFrame:
     """A1+A2+A3 — attempts → hourly usage cube."""
     return aggregate_usage(explode_attempt_hours(filter_usable_attempts(attempts)))

@@ -19,6 +19,8 @@ the identical operation order in both engines, then floored to a long.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -129,14 +131,7 @@ def _cube_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """attempts → J5 labeling → A1 explode → A3 exact-integer cube."""
     att = reconstruct.label_excess(_attempts_from_events(spark, sf_dir))
     rows = usage.explode_attempt_hours(usage.filter_usable_attempts(att))
-    return rows.groupBy(*usage.KEY_COLS).agg(
-        F.sum("started").cast("long").alias("started"),
-        F.sum("finished").cast("long").alias("finished"),
-        F.sum("elapsedMs").alias("elapsedMs"),
-        F.sum("cpuMsProrated").alias("cpuMsProrated"),
-        F.sum("spilledRecords").alias("spilledRecords"),
-        F.sum("reduceShuffleBytes").alias("reduceShuffleBytes"),
-    )
+    return usage.aggregate_usage_exact(rows)
 
 
 @register(
@@ -479,3 +474,50 @@ def usage_csv_table_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "DAYS", _LA, _WIDE_START, _WIDE_END, clamp=serving.clamp_range(cube)
     )
     return serving.csv_table(series, axis, _CSV_USERS, _LA, to_hours=True)
+
+
+# --------------------------------------------------------------------------
+# Incremental refresh (I1-I5): two-generation rebuild == full recompute
+# --------------------------------------------------------------------------
+
+_SCRATCH_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+@register(
+    "incremental_cube_refresh",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip()}
+SELECT * FROM cube_t
+""",
+    tags=("incremental", "pipeline", "sink"),
+)
+def incremental_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1-I5 — the reference's incremental contract: generation 1
+    processes only attempts that finished by ``maxDay - 2``; a second
+    refresh sees the full input, skips already-built days, and
+    force-rebuilds the trailing 3-day window
+    (JobStatsProcessing.java:51-91, num.days.forced). The materialized
+    cube must hash-match a from-scratch recompute (the oracle), which
+    holds because every late attempt (≤2 h long) only touches buckets
+    inside the forced window."""
+    import shutil
+
+    from white_elephant_spark.sources import incremental as inc
+
+    path = os.path.join(_SCRATCH_ROOT, "incremental_cube")
+    shutil.rmtree(path, ignore_errors=True)
+
+    att = reconstruct.label_excess(_attempts_from_events(spark, sf_dir))
+    _, hi = inc.input_day_range(att)
+    # 00:00 GMT of maxDay-2 (719162 = ordinal of 1970-01-01 minus 1)
+    cutoff_ms = (hi.toordinal() - 719163 - 2) * inc.DAY_MS
+    # Split on *startTime*: every generation-2 attempt starts inside
+    # the forced window, so all its hour buckets land in rebuilt days.
+    gen1 = att.filter(F.col("startTime") < F.lit(cutoff_ms))
+    inc.refresh(gen1, path, num_days_forced=1)
+    inc.refresh(att, path, num_days_forced=3)
+    return inc.read_cube(spark, path).select(
+        "user", "time", "cluster", "excess", "type", "status",
+        "started", "finished", "elapsedMs", "cpuMsProrated",
+        "spilledRecords", "reduceShuffleBytes",
+    )

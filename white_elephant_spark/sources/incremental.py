@@ -1,0 +1,152 @@
+"""Incremental, idempotent cube refresh (I1-I5 + S7 in SURVEY.md §2.7).
+
+The reference's incremental machinery, re-expressed Spark-first:
+
+- **I1/I2 skip-if-output-exists**: the batch driver enumerates
+  (cluster, year, day) work units and skips days whose output dir
+  already exists, except the last ``num.days.forced`` days which are
+  always reprocessed to pick up late/partial data
+  (util/JobStatsProcessing.java:51-91;
+  analysis/ComputeUsagePerHour.java:137-157;
+  hadoop/config/jobs/base.properties:16-21).
+  Here: :func:`plan_days` diffs the input's day range against the
+  existing ``day=`` partition directories, unioning in the forced
+  window.
+
+- **S7 staged atomic output** (mapreduce/lib/job/StagedOutputJob.java
+  :170-214) and **I5 per-file atomicity**
+  (server/app/usage_file_load_task.rb:150-163): Spark's dynamic
+  partition overwrite replaces exactly the partitions present in the
+  new write, each committed atomically by the file committer — the
+  partition is the unit of consistency, like the reference's staged
+  day directory.
+
+- **I3 changed-file reload** (server/app/usage_loader.rb:83-163) maps
+  to the forced-window rebuild: a day partition is always recomputed
+  *from scratch* out of all current input for that day, never
+  appended to, so reprocessing is idempotent.
+
+Scale: the refresh cost is O(days changed), not O(history). The input
+scan is pruned by a pushed-down ``finishTime`` range predicate before
+the hour explode, and the write touches only the planned day
+partitions. At 100 TB / 1000 executors a daily refresh reads one
+forced-window's worth of raw data and rewrites ~``num_days_forced``
+partitions per cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from white_elephant_spark.operators import usage
+
+DAY_MS = 86_400_000
+
+
+def existing_days(path: str) -> set[date]:
+    """I1 — the high-water-mark state: which ``day=`` partitions exist
+    under ``path`` (any cluster). Directory listing, like the
+    reference's ``FileSystem.exists`` probe
+    (JobStatsProcessing.java:71-79)."""
+    out: set[date] = set()
+    if not os.path.isdir(path):
+        return out
+    for cluster_dir in os.listdir(path):
+        sub = os.path.join(path, cluster_dir)
+        if not (cluster_dir.startswith("cluster=") and os.path.isdir(sub)):
+            continue
+        for day_dir in os.listdir(sub):
+            if day_dir.startswith("day="):
+                out.add(date.fromisoformat(day_dir[len("day=") :]))
+    return out
+
+
+def input_day_range(attempts: DataFrame) -> tuple[date, date]:
+    """Min/max calendar day (GMT) any attempt's buckets can touch."""
+    row = attempts.agg(
+        F.min(F.to_date(F.timestamp_millis(F.col("startTime")))).alias("lo"),
+        F.max(F.to_date(F.timestamp_millis(F.col("finishTime")))).alias("hi"),
+    ).first()
+    return row["lo"], row["hi"]
+
+
+def plan_days(
+    lo: date, hi: date, existing: set[date], num_days_forced: int = 5
+) -> list[date]:
+    """I1 work-unit selection: every day in [lo, hi] without existing
+    output, plus the last ``num_days_forced`` days of the range
+    unconditionally (base.properties:16-21 ``num.days.forced``)."""
+    all_days = [lo + timedelta(days=i) for i in range((hi - lo).days + 1)]
+    forced_floor = hi - timedelta(days=num_days_forced - 1)
+    return [d for d in all_days if d not in existing or d >= forced_floor]
+
+
+def build_day_cube(attempts: DataFrame, days: list[date]) -> DataFrame:
+    """Exact-integer hourly cube restricted to bucket days ∈ ``days``.
+
+    The coarse ``finishTime``/``startTime`` range predicate is applied
+    *before* the explode so it can push down to the scan (an attempt
+    only contributes to a day its [start, finish) span overlaps); the
+    precise per-bucket day filter runs after.
+    """
+    if not days:
+        raise ValueError("no days to build")
+    lo, hi = min(days), max(days)
+    lo_ms = (lo - date(1970, 1, 1)).days * DAY_MS  # 00:00 GMT of first day
+    hi_ms = ((hi - date(1970, 1, 1)).days + 1) * DAY_MS  # end of last day
+    att = attempts.filter(
+        (F.col("finishTime") > F.lit(lo_ms)) & (F.col("startTime") < F.lit(hi_ms))
+    )
+    rows = usage.explode_attempt_hours(usage.filter_usable_attempts(att))
+    rows = rows.filter(
+        F.to_date("time").isin([d.isoformat() for d in days])
+    )
+    return usage.aggregate_usage_exact(rows)
+
+
+def write_day_partitions(cube: DataFrame, path: str) -> None:
+    """S7/I5 — dynamic partition overwrite by (cluster, day): only the
+    partitions present in ``cube`` are replaced; everything else is
+    untouched. Layout mirrors the reference's
+    ``<root>/<cluster>/<yyyy>/<MMdd>`` day directories
+    (JobStatsProcessing.java:62-67)."""
+    spark = cube.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            cube.withColumn("day", F.to_date("time"))
+            .write.mode("overwrite")
+            .partitionBy("cluster", "day")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def refresh(
+    attempts: DataFrame, path: str, num_days_forced: int = 5
+) -> list[date]:
+    """I1-I5 end to end: plan the day set from the input range and the
+    existing partitions, rebuild exactly those day partitions from all
+    current input, overwrite them atomically. Returns the days built.
+    Re-running with unchanged input is a no-op beyond the forced
+    window and idempotent inside it."""
+    lo, hi = input_day_range(attempts)
+    if lo is None:
+        return []
+    days = plan_days(lo, hi, existing_days(path), num_days_forced)
+    if days:
+        write_day_partitions(build_day_cube(attempts, days), path)
+    return days
+
+
+def read_cube(spark: SparkSession, path: str) -> DataFrame:
+    """Read the materialized cube back; partition columns are
+    reattached by partition discovery, ``day`` is dropped (derivable
+    from ``time``)."""
+    return spark.read.parquet(path).drop("day")
