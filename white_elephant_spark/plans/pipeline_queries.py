@@ -521,3 +521,42 @@ def incremental_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "started", "finished", "elapsedMs", "cpuMsProrated",
         "spilledRecords", "reduceShuffleBytes",
     )
+
+
+@register(
+    "streaming_cube_refresh",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip()}
+SELECT * FROM cube_t
+""",
+    tags=("streaming", "incremental", "sink"),
+)
+def streaming_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I3/I4/I6 — the reference's polling loader as Structured
+    Streaming: labeled attempts land as parquet files in two
+    generations; two ``availableNow`` refresh cycles ingest only the
+    file diff (checkpoint = LoadedFiles table), carry aggregation
+    state across runs, and upsert day partitions. The materialized
+    cube must hash-match a from-scratch batch recompute."""
+    import shutil
+
+    from white_elephant_spark.streaming import cube_stream as cs
+
+    root = os.path.join(_SCRATCH_ROOT, "streaming_cube")
+    shutil.rmtree(root, ignore_errors=True)
+    inp, out, ckpt = (os.path.join(root, d) for d in ("in", "cube", "ckpt"))
+
+    att = reconstruct.label_excess(_attempts_from_events(spark, sf_dir))
+    gen2_pred = F.crc32(F.col("taskAttemptId")) % 3 == 0
+    att.filter(~gen2_pred).write.mode("append").parquet(inp)
+    cs.run_refresh(spark, inp, out, ckpt)
+    att.filter(gen2_pred).write.mode("append").parquet(inp)
+    cs.run_refresh(spark, inp, out, ckpt)
+
+    from white_elephant_spark.sources import incremental as inc
+
+    return inc.read_cube(spark, out).select(
+        "user", "time", "cluster", "excess", "type", "status",
+        "started", "finished", "elapsedMs", "cpuMsProrated",
+        "spilledRecords", "reduceShuffleBytes",
+    )
