@@ -365,9 +365,7 @@ axis AS (
 """
 
 
-@register(
-    "usage_timeseries_weekly",
-    oracle=f"""
+_WEEKLY_ORACLE = f"""
 WITH {_CUBE_CTE.lstrip().rstrip().rstrip(',')},
 {_axis_sql_weeks(_LA).strip().lstrip()},
 series AS (
@@ -388,7 +386,12 @@ au AS (
 )
 SELECT au.userName, au.bucket, CAST(COALESCE(sel.value, 0) AS BIGINT) AS value
 FROM au LEFT JOIN sel ON au.bucket = sel.bucket AND au.userName = sel.userName
-""",
+"""
+
+
+@register(
+    "usage_timeseries_weekly",
+    oracle=_WEEKLY_ORACLE,
     tags=("serving", "densify", "timeunit"),
 )
 def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,4 +562,104 @@ def streaming_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user", "time", "cluster", "excess", "type", "status",
         "started", "finished", "elapsedMs", "cpuMsProrated",
         "spilledRecords", "reduceShuffleBytes",
+    )
+
+
+# --------------------------------------------------------------------------
+# Conf XML: whole-file scan (S2) → property-map parse (P6) → jobs⋈confs (J8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "conf_parse_join",
+    oracle="""
+SELECT 'job_' || CAST(o_orderkey AS VARCHAR) || '_1' AS jobId,
+       'u' || CAST(o_custkey % 13 AS VARCHAR) AS user,
+       CASE WHEN o_orderkey % 97 = 0
+            THEN 'q<&>' || CAST(o_custkey % 5 AS VARCHAR) END AS queue,
+       CASE WHEN o_orderkey % 97 = 0
+            THEN 'u' || CAST(o_custkey % 13 AS VARCHAR) END AS confUser,
+       CASE WHEN o_orderkey % 97 = 0 THEN '' END AS broken
+FROM orders
+""",
+    tags=("source", "parse", "join"),
+)
+def conf_parse_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P6+J8 — conf XMLs written as real files (one per job, with
+    XML entities and a value-less property), read back whole-file via
+    ``binaryFile``, regex-parsed into map<string,string>, then
+    broadcast-joined to the jobs table on jobId. The oracle derives
+    every field straight from ``orders`` — the XML round trip must be
+    lossless, entity decoding included."""
+    import shutil
+
+    from white_elephant_spark.operators import confs as C
+
+    root = os.path.join(_SCRATCH_ROOT, "confs")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+
+    o = load_table(spark, sf_dir, "orders")
+    sel = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 13).cast("long").alias("u"),
+            (F.col("o_custkey") % 5).cast("long").alias("q"),
+        )
+        .collect()
+    )
+    for r in sel:
+        with open(os.path.join(root, f"job_{r['k']}_1_conf.xml"), "w") as fh:
+            fh.write(
+                '<?xml version="1.0"?>\n<configuration>\n'
+                f"<property>\n  <name>mapreduce.job.user.name</name>\n"
+                f"  <value>u{r['u']}</value>\n</property>\n"
+                f"<property><name>mapreduce.job.queuename</name>"
+                f"<value>q&lt;&amp;&gt;{r['q']}</value></property>\n"
+                "<property><name>broken</name></property>\n"
+                "</configuration>\n"
+            )
+
+    conf_df = C.read_conf_files(spark, os.path.join(root, "*.xml"))
+    jobs = _order_fields(spark, sf_dir).select("jobId", "user")
+    joined = C.join_jobs_confs(jobs, conf_df.select("jobId", "configuration"))
+    return joined.select(
+        "jobId",
+        "user",
+        F.element_at("configuration", "mapreduce.job.queuename").alias("queue"),
+        F.element_at("configuration", "mapreduce.job.user.name").alias("confUser"),
+        F.element_at("configuration", "broken").alias("broken"),
+    )
+
+
+@register(
+    "usage_json_api",
+    oracle=f"""
+SELECT userName,
+       list(bucket ORDER BY bucket) AS times,
+       list(value ORDER BY bucket) AS data,
+       CAST(SUM(value) AS BIGINT) AS total
+FROM ({_WEEKLY_ORACLE.strip()})
+GROUP BY userName
+""",
+    tags=("serving", "sink", "json"),
+)
+def usage_json_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 — the ``/api/usage`` response shape (server/app.rb:44-107):
+    one row per selected user (plus the aggregated-others series),
+    carrying the shared dense ``times`` axis and the axis-aligned
+    ``data`` array; ``total`` is the A13 per-user grand total. A thin
+    API layer would emit these rows as JSON verbatim."""
+    dense = usage_timeseries_weekly(spark, sf_dir)
+    s = F.array_sort(F.collect_list(F.struct("bucket", "value")))
+    return (
+        dense.groupBy("userName")
+        .agg(s.alias("s"), F.sum("value").cast("long").alias("total"))
+        .select(
+            "userName",
+            F.transform("s", lambda x: x["bucket"]).alias("times"),
+            F.transform("s", lambda x: x["value"]).alias("data"),
+            "total",
+        )
     )
