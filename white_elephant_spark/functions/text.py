@@ -42,6 +42,23 @@ def sql_token_count(expr: str) -> str:
     return f"CAST(len(string_split({expr}, ' ')) AS BIGINT)"
 
 
+#: BPE-ish pre-tokenizer classes: letter runs, digit runs, single
+#: punctuation marks (the shape GPT-style BPE splits on, sans merges).
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under a BPE-ish regex pre-tokenization — a cheap,
+    JVM-side proxy for LLM token budgeting at corpus scale."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), F.lit(0))).cast("long")
+
+
+def sql_bpe_token_count(expr: str) -> str:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    )
+
+
 def distinct_ratio(text: Column) -> Column:
     """Lexical diversity: distinct tokens / tokens (one division)."""
     t = tokens(text)

@@ -121,6 +121,19 @@ def hyperplane_bucket(vec: Column, dim: int, planes: int = 8) -> Column:
     return acc
 
 
+def sql_hyperplane_bucket(expr: str, dim: int, planes: int = 6) -> str:
+    """DuckDB twin of :func:`hyperplane_bucket`: same md5-derived
+    hyperplane constants inlined as double literals (repr round-trips
+    exactly), same strict-fold dot product, same sign-bit packing."""
+    terms = []
+    for p in range(planes):
+        lit = "[" + ", ".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+        terms.append(
+            f"CASE WHEN {sql_dot(expr, lit)} >= 0 THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

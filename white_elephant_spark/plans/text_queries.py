@@ -136,6 +136,31 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_stats",
+    oracle=f"""
+SELECT doc_id,
+       {tx.sql_token_count('text')} AS ws_tokens,
+       {tx.sql_bpe_token_count('text')} AS bpe_tokens,
+       CAST(strlen(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+    tags=("text",),
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace split and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / punctuation marks) —
+    the per-document cost accounting a training-data pipeline needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(t).alias("ws_tokens"),
+        tx.bpe_token_count(t).alias("bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    )
+
+
+@register(
     "lang_id",
     oracle=f"""
 SELECT doc_id, lang AS labeled_lang, {tx.sql_predict_lang('text')} AS predicted_lang
@@ -192,6 +217,41 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.cosine_topk(emb, queries, k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec,
+         {similarity.sql_hyperplane_bucket('embedding', 64, 6)} AS bucket
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+c AS (
+  SELECT vec_id AS nbr_id, embedding AS nvec,
+         {similarity.sql_hyperplane_bucket('embedding', 64, 6)} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT query_id, nbr_id, {similarity.sql_cosine('qvec', 'nvec')} AS cos_sim
+  FROM q JOIN c USING (bucket) WHERE nbr_id <> query_id
+)
+SELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+    tags=("similarity", "topk", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: 6-bit hyperplane LSH buckets (64 buckets),
+    cosine ranked only within a query's bucket — the candidate set
+    shrinks ~64× vs brute force; recall is what banding keeps. At
+    100 TB the bucket column becomes the shuffle/partition key, so
+    each executor scores one bucket's worth of candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_cosine_topk(emb, queries, dim=64, k=10, planes=6)
 
 
 @register(
