@@ -310,3 +310,153 @@ def dense_hour_axis_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket"),
         F.coalesce(F.col("total"), F.lit(0)).cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Join-shape breadth: semi, anti, join+topk, conditional aggregation.
+# The reference's only join-like ops were reducer merges (J1-J6) and a
+# query-time user-set semi-join (J7, server/app/cube.rb:98-109); these
+# are the same shapes on the relational corpus, left to Catalyst's
+# broadcast/sort-merge strategy choice.
+# --------------------------------------------------------------------------
+@register(
+    "orders_with_returns_semi",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    tags=("join", "semi", "agg"),
+)
+def orders_with_returns_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi-join shape (TPC-H Q4 adapted): orders in a half-year
+    window having at least one returned lineitem, counted by
+    priority. left_semi keeps the probe side unduplicated — no
+    distinct needed after the join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        window.join(returned, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "customers_without_orders_anti",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+""",
+    tags=("join", "anti", "agg"),
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers with no finished (status F) order, by
+    segment. The build side reduces to the distinct custkeys of
+    finished orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "q10_returned_revenue_topk",
+    oracle=f"""
+SELECT c_custkey, c_name, n_name, revenue
+FROM (
+  SELECT c.c_custkey, c.c_name, n.n_name,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,4))
+                  * CAST(1 - l.l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+         ROW_NUMBER() OVER (
+           ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(27,4))
+                        * CAST(1 - l.l_discount AS DECIMAL(27,4))) DESC,
+                    c.c_custkey ASC) AS rk
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_custkey, c.c_name, n.n_name
+)
+WHERE rk <= 20
+""",
+    tags=("join", "topk", "window"),
+)
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 top-K shape over a 4-way join (TPC-H Q10 adapted): top-20
+    customers by returned-item revenue. The nation dim broadcasts;
+    the decimal sum makes the double rank key bit-stable, so the
+    window tiebreak is deterministic across engines."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    per_cust = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        per_cust.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+@register(
+    "priority_conditional_agg",
+    oracle="""
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_linestatus
+""",
+    tags=("join", "agg", "conditional"),
+)
+def priority_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (TPC-H Q12 adapted): per line status,
+    how many 1995-shipped lineitems belong to high- vs low-priority
+    orders. One pass, two CASE sums — no self-join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
