@@ -27,11 +27,17 @@ HEADLINE = [
     "topk_users_other",
     "dense_hour_axis_fill",
     "usage_cube_hourly",
+    "usage_timeseries_weekly",
+    "q10_returned_revenue_topk",
+    "orders_with_returns_semi",
+    "priority_conditional_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality",
+    "token_stats",
 ]
 
 

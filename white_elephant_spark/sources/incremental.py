@@ -118,8 +118,12 @@ def write_day_partitions(cube: DataFrame, path: str) -> None:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
+        # Repartition on the partition keys first: one task owns each
+        # (cluster, day), producing one well-sized file per partition
+        # dir rather than shuffle_partitions × days small files.
         (
             cube.withColumn("day", F.to_date("time"))
+            .repartition("cluster", "day")
             .write.mode("overwrite")
             .partitionBy("cluster", "day")
             .parquet(path)

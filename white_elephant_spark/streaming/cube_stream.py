@@ -102,7 +102,14 @@ def upsert_batch(batch: DataFrame, path: str) -> None:
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        out.write.mode("overwrite").partitionBy("cluster", "day").parquet(path)
+        # One task owns each (cluster, day) → one file per partition
+        # dir instead of shuffle_partitions × days tiny files.
+        (
+            out.repartition("cluster", "day")
+            .write.mode("overwrite")
+            .partitionBy("cluster", "day")
+            .parquet(path)
+        )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
