@@ -193,6 +193,46 @@ def usage_metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_MEASURE = {
+    "elapsedMinutes": "elapsedMs",
+    "cpuMinutes": "cpuMsProrated",
+    "started": "started",
+    "finished": "finished",
+    "reduceShuffleBytes": "reduceShuffleBytes",
+}
+
+
+@register(
+    "usage_metric_catalog",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip()}
+SELECT {', '.join(
+    f"CAST(SUM(CASE WHEN {metric_predicate_sql(m)} THEN {_EXACT_MEASURE[m.measure]} ELSE 0 END) AS BIGINT) AS {m.name}"
+    for m in METRICS.values()
+)}
+FROM cube_t WHERE cluster = 'alpha'
+""",
+    tags=("metrics", "agg", "pipeline"),
+)
+def usage_metric_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — all 17 UI metric types
+    (usage_query.js.coffee:25-41 → where_for_type/data_key_for_type,
+    usage_data.rb:144-266) evaluated in ONE scan of the cube as
+    conditional sums: the reference issues one SQL query per metric;
+    a columnar engine answers the whole catalog in a single pass."""
+    cube = _cube_df(spark, sf_dir).filter(F.col("cluster") == "alpha")
+    return cube.agg(
+        *[
+            F.sum(
+                F.when(metric_predicate(m), F.col(_EXACT_MEASURE[m.measure])).otherwise(0)
+            )
+            .cast("long")
+            .alias(m.name)
+            for m in METRICS.values()
+        ]
+    )
+
+
 # --------------------------------------------------------------------------
 # orders → synthetic job-history log lines (parser round-trip)
 # --------------------------------------------------------------------------
