@@ -368,6 +368,134 @@ def reconstruct_jobs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_job_sessions",
+    oracle="""
+SELECT 'job_' || CAST(event_id // 40 AS VARCHAR) AS jobId,
+       MIN(epoch_ms(ts)) AS firstStart,
+       MAX(epoch_ms(ts) + 60000 + (event_id % 7200) * 1000) AS lastFinish,
+       CAST(COUNT(*) AS BIGINT) AS nAttempts,
+       FALSE AS final
+FROM events GROUP BY 1
+""",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_job_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.7 I6):
+    ``applyInPandasWithState`` job sessionization over a one-batch
+    ``availableNow`` stream — per-job state (firstStart, lastFinish,
+    nAttempts) must equal the batch groupBy the oracle computes.
+    (The event-time-timeout closure path is exercised in
+    tests/test_stateful_streaming.py, where batch boundaries are
+    controlled.)"""
+    import shutil
+
+    from white_elephant_spark.streaming import stateful
+
+    root = os.path.join(_SCRATCH_ROOT, "job_sessions")
+    shutil.rmtree(root, ignore_errors=True)
+    inp, out, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    s = F.unix_millis(F.col("ts").cast("timestamp"))
+    att = ev.select(
+        F.concat(F.lit("job_"), (e / 40).cast("long").cast("string")).alias("jobId"),
+        s.alias("startTime"),
+        (s + 60000 + (e % 7200) * 1000).alias("finishTime"),
+    )
+    # one file → one micro-batch → no timeout firings: deterministic
+    att.coalesce(1).write.parquet(inp)
+
+    stream = spark.readStream.schema("jobId string, startTime long, finishTime long").parquet(inp)
+    q = (
+        stateful.sessionize_jobs(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The drain runs one extra empty batch whose watermark fires
+    # timeouts; which jobs close depends on Spark's watermark-compare
+    # edge, so the oracle pins only the running (final=False) rows —
+    # the closure path is asserted in tests/test_stateful_streaming.py.
+    return spark.read.parquet(out).filter(~F.col("final"))
+
+
+@register(
+    "attempt_fragments_merge",
+    oracle="""
+SELECT 'job_' || CAST(event_id // 40 AS VARCHAR) AS jobId,
+       'task_' || CAST(event_id // 4 AS VARCHAR) AS taskId,
+       'attempt_' || CAST(event_id AS VARCHAR) AS taskAttemptId,
+       CASE WHEN event_id % 2 = 0 THEN 'MAP' ELSE 'REDUCE' END AS type,
+       CASE event_id % 3 WHEN 0 THEN 'SUCCESS' WHEN 1 THEN 'FAILED' ELSE 'KILLED' END AS taskStatus,
+       epoch_ms(ts) AS startTime,
+       CASE WHEN event_id % 3 = 0
+            THEN epoch_ms(ts) + 61000 + (event_id % 7200) * 1000
+            ELSE epoch_ms(ts) + 60000 + (event_id % 7200) * 1000 END AS finishTime,
+       epoch_ms(ts) + 10 AS shuffleFinished,
+       CASE WHEN event_id % 3 = 0 THEN epoch_ms(ts) + 20 END AS sortFinished,
+       CASE WHEN event_id % 3 = 0 THEN 5000 + event_id % 7
+            ELSE 1 + event_id % 1000 END AS cpu
+FROM events
+""",
+    tags=("merge", "pipeline"),
+)
+def attempt_fragments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 merge quirks (ParseJobsFromLogs.java:575-619): duplicate
+    attempt fragments merge with **max** of every time field but the
+    **last** counters map. Three fragments per attempt — a start line,
+    a finish line whose duplicate startTime is 500 ms earlier (max
+    must win), and for every 3rd attempt a late duplicate with a
+    bigger finishTime and a replacement counters map."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    s = F.unix_millis(F.col("ts").cast("timestamp"))
+    fin = s + 60000 + (e % 7200) * 1000
+    ids = [
+        F.concat(F.lit("job_"), (e / 40).cast("long").cast("string")).alias("jobId"),
+        F.concat(F.lit("task_"), (e / 4).cast("long").cast("string")).alias("taskId"),
+        F.concat(F.lit("attempt_"), e.cast("string")).alias("taskAttemptId"),
+    ]
+    nul = lambda t="long": F.lit(None).cast(t)  # noqa: E731
+    f1 = ev.select(
+        *ids,
+        F.when(e % 2 == 0, "MAP").otherwise("REDUCE").alias("type"),
+        nul("string").alias("taskStatus"),
+        s.alias("startTime"), nul().alias("finishTime"),
+        nul().alias("shuffleFinished"), nul().alias("sortFinished"),
+        nul("map<string,long>").alias("counters"),
+        F.lit(1).alias("seq"),
+    )
+    f2 = ev.select(
+        *ids,
+        nul("string").alias("type"),
+        F.when(e % 3 == 0, "SUCCESS").when(e % 3 == 1, "FAILED").otherwise("KILLED").alias("taskStatus"),
+        (s - 500).alias("startTime"), fin.alias("finishTime"),
+        (s + 10).alias("shuffleFinished"), nul().alias("sortFinished"),
+        F.create_map(F.lit("CPU_MILLISECONDS"), 1 + e % 1000).alias("counters"),
+        F.lit(2).alias("seq"),
+    )
+    f3 = ev.filter(e % 3 == 0).select(
+        *ids,
+        nul("string").alias("type"),
+        nul("string").alias("taskStatus"),
+        (s - 1000).alias("startTime"), (fin + 1000).alias("finishTime"),
+        nul().alias("shuffleFinished"), (s + 20).alias("sortFinished"),
+        F.create_map(F.lit("CPU_MILLISECONDS"), 5000 + e % 7).alias("counters"),
+        F.lit(3).alias("seq"),
+    )
+    merged = reconstruct.merge_attempt_fragments(f1.unionAll(f2).unionAll(f3))
+    return merged.select(
+        "jobId", "taskId", "taskAttemptId", "type", "taskStatus",
+        "startTime", "finishTime", "shuffleFinished", "sortFinished",
+        F.element_at("counters", "CPU_MILLISECONDS").alias("cpu"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Serving layer: dense-axis timeseries + CSV table (§3.2-3.3)
 # --------------------------------------------------------------------------
