@@ -114,3 +114,33 @@ def test_multimodal_stub_plumbing(spark):
     assert out.digest == hashlib.md5(b"hello world").hexdigest()
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"x", codec="jpeg")
+
+
+def test_resize_stub_truncates_and_pads(spark):
+    from white_elephant_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefghij"), (2, b"xy")], "doc_id long, payload binary"
+    )
+    out = {r["doc_id"]: r for r in mm.resize_images(df, width=2, height=3).collect()}
+    assert bytes(out[1]["payload"]) == b"abcdef"          # truncated to 6
+    assert bytes(out[2]["payload"]) == b"xy" + b"\0" * 4  # padded to 6
+    assert out[1]["width"] == 2 and out[1]["height"] == 3
+
+
+def test_sample_frames_counts(spark):
+    from white_elephant_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"a" * 600), (2, b"b" * 10), (3, b"c" * 10000)],
+        "doc_id long, payload binary",
+    )
+    rows = mm.sample_frames(df, every_n_bytes=256, max_frames=8).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r)
+    assert len(per[1]) == 2          # 600 // 256 = 2 frames
+    assert len(per[2]) == 1          # short payload → 1 partial frame
+    assert len(per[3]) == 8          # capped at max_frames
+    assert bytes(per[2][0]["frame"]) == b"b" * 10
+    assert all(len(bytes(r["frame"])) == 256 for r in per[3])

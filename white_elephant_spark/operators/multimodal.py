@@ -79,3 +79,81 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: truncates/pads the
+    payload to width*height bytes. A real deployment decodes, resizes
+    (PIL/torchvision), re-encodes — same signature, same schema."""
+    want = width * height
+    return payload[:want].ljust(want, b"\0")
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch resize over a binary column. The output keeps the binary
+    payload (the transformed artifact) plus its typed metadata, so
+    downstream stages can chain without re-decoding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "payload": [resize_stub(b, width, height) for b in pdf[payload_col]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling for video-shaped payloads: one output row per
+    sampled frame (a 1→N mapInPandas explode — the UDTF shape). The
+    stub slices fixed-stride byte windows; a real deployment seeks
+    keyframes with ffmpeg at the same batch boundary."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(payload[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(run, FRAME_SCHEMA)

@@ -307,3 +307,26 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stub's deterministic outputs in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.documents_as_binary(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS frame_idx,
+       substring(text, CAST(i * 256 + 1 AS INTEGER), 256) AS frame_str
+FROM documents,
+     unnest(generate_series(0, least(7, greatest(0, strlen(text) // 256 - 1)))) AS t(i)
+""",
+    tags=("multimodal", "pandas-udf", "explode"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped binary payloads: a 1→N
+    mapInPandas explode, one row per sampled fixed-stride frame
+    (ffmpeg keyframe-seek in a real deployment). The corpus is ASCII,
+    so byte frames decode to the oracle's substring frames exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.documents_as_binary(docs))
+    return frames.select(
+        "doc_id", "frame_idx", F.decode(F.col("frame"), "UTF-8").alias("frame_str")
+    )
