@@ -733,6 +733,49 @@ def streaming_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "distinct_cube_users",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip()}
+SELECT DISTINCT "user" AS userName FROM cube_t WHERE cluster = 'alpha' ORDER BY userName
+""",
+    tags=("distinct", "serving"),
+)
+def distinct_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — the ``/api/users?cluster=`` dropdown query
+    (server/app/usage_data.rb:479-523): sorted distinct users of one
+    cluster, straight off the cube."""
+    cube = _cube_df(spark, sf_dir)
+    return (
+        cube.filter(F.col("cluster") == "alpha")
+        .select(F.col("user").alias("userName"))
+        .distinct()
+        .orderBy("userName")
+    )
+
+
+@register(
+    "usage_rollup_grouping_sets",
+    oracle=f"""
+WITH {_CUBE_CTE.lstrip()}
+SELECT cluster, type, CAST(SUM(elapsedMs) AS BIGINT) AS total_ms,
+       CAST(COUNT(DISTINCT "user") AS BIGINT) AS n_users
+FROM cube_t GROUP BY ROLLUP (cluster, type)
+""",
+    tags=("agg", "rollup", "distinct"),
+)
+def usage_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup + COUNT(DISTINCT) — capabilities the
+    reference's fixed-grouping cube lacked entirely (SURVEY §2.4
+    notes) but a Spark re-expression gets natively: per (cluster,
+    type), per cluster, and grand-total rows in one pass."""
+    cube = _cube_df(spark, sf_dir)
+    return cube.rollup("cluster", "type").agg(
+        F.sum("elapsedMs").alias("total_ms"),
+        F.countDistinct("user").alias("n_users"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Conf XML: whole-file scan (S2) → property-map parse (P6) → jobs⋈confs (J8)
 # --------------------------------------------------------------------------
