@@ -94,3 +94,31 @@ def test_refresh_is_idempotent(spark, tmp_path):
 def test_build_day_cube_requires_days(spark):
     with pytest.raises(ValueError):
         inc.build_day_cube(_attempts(spark, []), [])
+
+
+def test_file_manifest_diff(tmp_path):
+    import os
+    import time
+
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"1")
+    (d / "b.parquet").write_bytes(b"2")
+    (d / "_hidden.parquet").write_bytes(b"x")  # S5: skipped
+    (d / "notes.txt").write_bytes(b"x")  # wrong suffix: skipped
+
+    mpath = str(tmp_path / "manifest.json")
+    new, changed, removed = inc.file_changes(str(d), inc.load_manifest(mpath))
+    assert {os.path.basename(p) for p in new} == {"a.parquet", "b.parquet"}
+    assert changed == set() and removed == set()
+
+    inc.save_manifest(mpath, inc.current_manifest(str(d)))
+    # touch a's mtime, delete b, add c
+    t = time.time() + 10
+    os.utime(d / "a.parquet", (t, t))
+    (d / "b.parquet").unlink()
+    (d / "c.parquet").write_bytes(b"3")
+    new, changed, removed = inc.file_changes(str(d), inc.load_manifest(mpath))
+    assert {os.path.basename(p) for p in new} == {"c.parquet"}
+    assert {os.path.basename(p) for p in changed} == {"a.parquet"}
+    assert {os.path.basename(p) for p in removed} == {"b.parquet"}

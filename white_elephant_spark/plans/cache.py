@@ -1,0 +1,68 @@
+"""Query-result cache (§3.2 step 3; SURVEY §4 "query-result caching").
+
+The reference memoizes serving-layer query results in an unbounded
+Guava cache keyed by the YAML-serialized (method, params)
+(server/app/cache_builder.rb:15-49; usage_data.rb:29,442-454), with
+two deliberate design points preserved here:
+
+1. **The user list is NOT part of the cache key** — the cached cube
+   groups by *all* users; user filtering happens after the cache hit
+   (usage_data.rb:62-68), so one cached roll-up serves any user
+   selection.
+2. **Invalidation on data load** (usage_loader.rb:195-196): the
+   loader bumps a generation counter; stale entries are dropped
+   lazily.
+
+Spark realization: the cached value is a **persisted DataFrame** (the
+grouped cube for one (cluster, unit, zone, metric) shape), so a hit
+costs one in-memory scan and the follow-up user filter/shaping stays
+distributed. Entries are LRU-bounded (the reference's unbounded cache
+is a leak at scale) and unpersisted on eviction/invalidation.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class QueryCache:
+    def __init__(self, max_entries: int = 64):
+        self.max_entries = max_entries
+        self._entries: OrderedDict[tuple, tuple[int, DataFrame]] = OrderedDict()
+        self._generation = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_build(self, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+        """Return the persisted DataFrame for ``key``, building (and
+        persisting) it on miss. ``key`` must exclude per-request
+        selections that are applied post-cache (the user list)."""
+        hit = self._entries.get(key)
+        if hit is not None and hit[0] == self._generation:
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return hit[1]
+        if hit is not None:  # stale generation
+            hit[1].unpersist()
+            del self._entries[key]
+        self.misses += 1
+        df = build().persist()
+        self._entries[key] = (self._generation, df)
+        while len(self._entries) > self.max_entries:
+            _, (_, old) = self._entries.popitem(last=False)
+            old.unpersist()
+        return df
+
+    def invalidate(self) -> None:
+        """I4 — called after a data load: all cached results are
+        stale (usage_loader.rb:195-196). Lazy: entries unpersist on
+        next touch or via clear()."""
+        self._generation += 1
+
+    def clear(self) -> None:
+        for _, df in self._entries.values():
+            df.unpersist()
+        self._entries.clear()

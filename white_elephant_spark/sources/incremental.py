@@ -149,6 +149,50 @@ def refresh(
     return days
 
 
+def load_manifest(manifest_path: str) -> dict[str, float]:
+    """I3 — the ``LoadedFiles`` table (server/app/usage_database.rb
+    :92-118): fileName → mtime of everything already ingested."""
+    import json
+
+    if not os.path.exists(manifest_path):
+        return {}
+    with open(manifest_path) as fh:
+        return json.load(fh)
+
+
+def save_manifest(manifest_path: str, manifest: dict[str, float]) -> None:
+    import json
+
+    tmp = manifest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, manifest_path)  # atomic, like the staged rename (S7)
+
+
+def file_changes(
+    input_dir: str, manifest: dict[str, float], suffix: str = ".parquet"
+) -> tuple[set[str], set[str], set[str]]:
+    """I3 diff (server/app/usage_loader.rb:83-163): (new, changed,
+    removed) data files vs the manifest. Hidden files (``_*``/``.*``)
+    are skipped like the reference's S5 filter."""
+    current = current_manifest(input_dir, suffix)
+    new = {p for p in current if p not in manifest}
+    changed = {p for p in current if p in manifest and current[p] != manifest[p]}
+    removed = {p for p in manifest if p not in current}
+    return new, changed, removed
+
+
+def current_manifest(input_dir: str, suffix: str = ".parquet") -> dict[str, float]:
+    out: dict[str, float] = {}
+    for root, _dirs, files in os.walk(input_dir):
+        for name in files:
+            if name.startswith(("_", ".")) or not name.endswith(suffix):
+                continue
+            p = os.path.join(root, name)
+            out[p] = os.path.getmtime(p)
+    return out
+
+
 def read_cube(spark: SparkSession, path: str) -> DataFrame:
     """Read the materialized cube back; partition columns are
     reattached by partition discovery, ``day`` is dropped (derivable
