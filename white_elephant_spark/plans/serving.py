@@ -29,6 +29,16 @@ from pyspark.sql import functions as F
 HOUR_MS = 3_600_000
 
 
+def _safe_seq(lo: Column, hi: Column, step: Column | None = None) -> Column:
+    """``sequence(lo, hi)`` that yields NULL (→ no rows after
+    ``explode``) when the range is empty — the reference's
+    ``(start..end)`` Ruby ranges are empty, never an error, when
+    start > end (usage_data.rb:326-433); Spark's ``sequence`` throws
+    on inverted bounds with a positive step."""
+    seq = F.sequence(lo, hi, step) if step is not None else F.sequence(lo, hi)
+    return F.when(lo <= hi, seq)
+
+
 def _local_day(ms: Column, zone: str) -> Column:
     """Local calendar date of a UTC epoch-ms instant."""
     return F.to_date(F.from_utc_timestamp(F.timestamp_millis(ms), zone))
@@ -62,7 +72,7 @@ def dense_axis(
 
     if unit == "HOURS":
         # raw request bounds, hour-floored, inclusive (usage_data.rb:313-324)
-        idx = F.sequence(
+        idx = _safe_seq(
             F.floor(F.lit(start_ms) / HOUR_MS), F.floor(F.lit(end_ms) / HOUR_MS)
         )
         return base.select(F.explode(idx).alias("h")).select(
@@ -72,15 +82,15 @@ def dense_axis(
     sd, ed = _local_day(s, zone), _local_day(e, zone)
     if unit == "DAYS":
         # interior days only: start.next_day .. end.prev_day (:326-347)
-        days = F.sequence(F.date_add(sd, 1), F.date_sub(ed, 1), F.expr("interval 1 day"))
+        days = _safe_seq(F.date_add(sd, 1), F.date_sub(ed, 1), F.expr("interval 1 day"))
     elif unit == "WEEKS":
         # Sunday of each bound, then shrink one week per side (:349-374)
         sd = F.date_sub(sd, F.dayofweek(sd) - F.lit(1))
         ed = F.date_sub(ed, F.dayofweek(ed) - F.lit(1))
-        days = F.sequence(F.date_add(sd, 7), F.date_sub(ed, 7), F.expr("interval 7 days"))
+        days = _safe_seq(F.date_add(sd, 7), F.date_sub(ed, 7), F.expr("interval 7 days"))
     elif unit == "MONTHS":
         # interior months (:376-399)
-        days = F.sequence(
+        days = _safe_seq(
             F.add_months(F.trunc(sd, "month"), 1),
             F.add_months(F.trunc(ed, "month"), -1),
             F.expr("interval 1 month"),
@@ -88,7 +98,7 @@ def dense_axis(
     elif unit == "QUARTERS":
         # quarter starts; end shrunk one quarter, start NOT advanced
         # (:401-433 — the reference's asymmetric edge rule)
-        days = F.sequence(
+        days = _safe_seq(
             F.trunc(sd, "quarter"),
             F.add_months(F.trunc(ed, "quarter"), -3),
             F.expr("interval 3 months"),
