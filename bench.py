@@ -31,6 +31,8 @@ HEADLINE = [
     "q10_returned_revenue_topk",
     "orders_with_returns_semi",
     "priority_conditional_agg",
+    "bucketed_colocated_join",
+    "skew_salted_event_rollup",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1,0 +1,89 @@
+"""Scale-path physical properties: bucketed joins plan without a
+shuffle; salted rollups are exact and don't leak the salt column."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from white_elephant_spark.operators.skew import salted_rollup
+from white_elephant_spark.sources.bucketing import bucketed_pair
+
+
+def _formatted_plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+@pytest.fixture()
+def bucketed(spark, tmp_path):
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("grp")
+    )
+    right = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("k2"), F.lit(1.5).alias("v")
+    )
+    return bucketed_pair(
+        spark, left, right, "k", "k2", num_buckets=4,
+        tag="test", base_dir=str(tmp_path),
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed):
+    l, r = bucketed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(r, l["k"] == r["k2"])
+        plan = _formatted_plan(joined)
+        # the join reads co-located buckets: no Exchange anywhere
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        agg = joined.groupBy("grp").agg(F.sum("v").alias("s"))
+        rows = {r2["grp"]: r2["s"] for r2 in agg.collect()}
+        assert rows[0] == pytest.approx(5 * 200 * 1.5)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_tables_report_bucket_spec(spark, bucketed):
+    desc = spark.sql("DESCRIBE EXTENDED we_bkt_test_l").collect()
+    kv = {r["col_name"]: r["data_type"] for r in desc}
+    assert kv.get("Num Buckets") == "4"
+    assert "k" in kv.get("Bucket Columns", "")
+
+
+def test_salted_rollup_matches_plain_groupby(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).cast("string").alias("key"),
+        (F.col("id") * 0.25).alias("value"),
+        F.col("id").alias("cnt_src"),
+    )
+    salted = salted_rollup(
+        df, ["key"], dsum_cols=["value"], isum_cols=["cnt_src"], n_salt=16
+    )
+    assert set(salted.columns) == {"key", "sum_value", "cnt_src", "n"}
+    plain = df.groupBy("key").agg(
+        F.sum("value").alias("sum_value"),
+        F.sum("cnt_src").alias("cnt_src"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    got = {r["key"]: (r["sum_value"], r["cnt_src"], r["n"]) for r in salted.collect()}
+    want = {r["key"]: (r["sum_value"], r["cnt_src"], r["n"]) for r in plain.collect()}
+    for k in want:
+        assert got[k][0] == pytest.approx(want[k][0])
+        assert got[k][1:] == want[k][1:]
+
+
+def test_salted_rollup_spreads_hot_key(spark):
+    # one key owns 99% of rows; the partial phase must see >1 shard
+    df = spark.range(0, 5_000).select(
+        F.when(F.col("id") < 4_950, "hot").otherwise("cold").alias("key"),
+        F.lit(1.0).alias("value"),
+    )
+    from white_elephant_spark.operators.skew import _SALT, with_salt
+
+    shards = (
+        with_salt(df, 16).filter(F.col("key") == "hot").select(_SALT).distinct().count()
+    )
+    assert shards > 8

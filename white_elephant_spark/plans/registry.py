@@ -52,6 +52,7 @@ def all_queries() -> dict[str, QueryDef]:
     from white_elephant_spark.plans import (  # noqa: F401
         core_queries,
         pipeline_queries,
+        scale_queries,
         text_queries,
     )
 
