@@ -460,3 +460,88 @@ def priority_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Set operation: multi-cluster union + re-aggregate (SURVEY §2.6 — the
+# reference models multi-cluster as a dimension, never a UNION; Spark's
+# union makes the per-cluster-dataset layout equally workable).
+# --------------------------------------------------------------------------
+@register(
+    "union_clusters_rollup",
+    oracle=f"""
+SELECT cluster, event_type,
+       {sql_dsum('value')} AS sum_value,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT 'east' AS cluster, event_type, value FROM events WHERE user_id % 2 = 0
+  UNION ALL
+  SELECT 'west' AS cluster, event_type, value FROM events WHERE user_id % 2 = 1
+) u
+GROUP BY cluster, event_type
+""",
+    tags=("union", "agg", "setop"),
+)
+def union_clusters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two per-cluster event sets unioned (unionByName) then rolled
+    up per (cluster, event_type) — the shape a per-cluster-dataset
+    deployment of the reference would use instead of its cluster
+    dimension (ComputeUsagePerHour.java:117-119 layout)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    east = ev.filter(F.col("user_id") % 2 == 0).withColumn("cluster", F.lit("east"))
+    west = ev.filter(F.col("user_id") % 2 == 1).withColumn("cluster", F.lit("west"))
+    return (
+        east.unionByName(west)
+        .groupBy("cluster", "event_type")
+        .agg(dsum("value").alias("sum_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window frames: lag delta + 7-row rolling mean over the daily series
+# (SURVEY §2.5 notes the reference has no lead/lag/frame windows; the
+# dashboard's day-over-day reading is done by eye. Free in Spark.)
+# --------------------------------------------------------------------------
+@register(
+    "rolling_daily_window",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         {sql_dsum('value')} AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT day, event_type, day_value,
+       day_value - lag(day_value) OVER w AS delta,
+       CAST(SUM(CAST(day_value AS DECIMAL(27,4))) OVER w7 AS DOUBLE)
+         / COUNT(day_value) OVER w7 AS rolling7
+FROM daily
+WINDOW w  AS (PARTITION BY event_type ORDER BY day),
+       w7 AS (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    tags=("window", "frame", "timeunit"),
+)
+def rolling_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup, then day-over-day delta (lag) and a 7-day rolling
+    mean over an explicit row frame. The rolling mean divides a
+    DECIMAL frame-sum by the frame count so both engines agree bitwise
+    (functions/compat.py convention)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(dsum("value").alias("day_value"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        "event_type",
+        "day_value",
+        (F.col("day_value") - F.lag("day_value").over(w)).alias("delta"),
+        (
+            F.sum(dec("day_value")).over(w7).cast("double")
+            / F.count("day_value").over(w7)
+        ).alias("rolling7"),
+    )
