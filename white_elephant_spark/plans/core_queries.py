@@ -545,3 +545,69 @@ def rolling_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("day_value").over(w7)
         ).alias("rolling7"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles per group — distribution metrics the reference's
+# fixed SUM-only measure set can't answer (usage_data.rb:584-588).
+# --------------------------------------------------------------------------
+@register(
+    "event_value_percentiles",
+    oracle="""
+SELECT event_type,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       CAST(COUNT(*) AS BIGINT)   AS n
+FROM events
+GROUP BY event_type
+""",
+    tags=("agg", "percentile"),
+)
+def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated p50/p95 of event value per type
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB the
+    same query shape swaps in ``approx_percentile`` — a one-word
+    change the oracle can't hash-match, so the exact form is declared."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Latest-record-per-key: deterministic top-1 by recency — the batch
+# form of "keep the newest version of each document" (and the J2
+# last-non-null merge generalized to whole rows).
+# --------------------------------------------------------------------------
+@register(
+    "latest_event_per_user",
+    oracle="""
+SELECT user_id, event_id, ts, event_type
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+""",
+    tags=("window", "dedup", "topk"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newest event per user via row_number with a total order
+    (ts desc, event_id desc — ties broken deterministically, so both
+    engines pick the same row). One shuffle on user_id; at scale this
+    is the standard keep-latest dedup pass before training-data use."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
