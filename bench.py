@@ -33,6 +33,10 @@ HEADLINE = [
     "priority_conditional_agg",
     "bucketed_colocated_join",
     "skew_salted_event_rollup",
+    "union_clusters_rollup",
+    "rolling_daily_window",
+    "event_value_percentiles",
+    "latest_event_per_user",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
