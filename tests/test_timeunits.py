@@ -90,3 +90,19 @@ def test_bucket_sql_matches_spark(spark):
                 for ts in instants
             ]
             assert got_spark == got_duck, (unit, zone)
+
+
+def test_day_la_dst_fall_back(spark):
+    # 2024-11-03: PDT→PST at 02:00 local (25-hour civil day).
+    # 2024-11-04 06:00 UTC = 2024-11-03 22:00 PST — still 11-03 local;
+    # local midnight 11-03 was PDT (UTC-7) → 07:00 UTC.
+    assert _bucket_one(spark, "2024-11-04 06:00:00", "DAYS", LA) == datetime(2024, 11, 3, 7)
+    # First instant of 11-04 local: midnight is PST (UTC-8) → 08:00 UTC.
+    assert _bucket_one(spark, "2024-11-04 08:30:00", "DAYS", LA) == datetime(2024, 11, 4, 8)
+
+
+def test_week_la_dst_fall_back(spark):
+    # Sunday 2024-11-03 is the transition day itself; any time that
+    # week rounds to Sunday 00:00 PDT = 07:00 UTC (midnight precedes
+    # the 02:00 fall-back, so it's still PDT).
+    assert _bucket_one(spark, "2024-11-06 12:00:00", "WEEKS", LA) == datetime(2024, 11, 3, 7)
