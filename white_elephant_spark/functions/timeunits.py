@@ -4,8 +4,13 @@ The reference registers four Java UDFs in HSQLDB —
 ``roundTimestampTo{Day,Week,Month,Quarter}(timestamp, zoneId)``
 (server/src/java/com/linkedin/whiteelephant/TimeZoneConversion.java:23-83,
 registered server/app/usage_database.rb:132-168) — plus an implicit
-HOURS passthrough (server/app/usage_data.rb:544-547). Weeks start on
-**Sunday** (TimeZoneConversion.java:43: ``setFirstDayOfWeek(SUNDAY)``).
+HOURS passthrough (server/app/usage_data.rb:544-547). Week rounding is
+``cal.set(Calendar.DAY_OF_WEEK, SUNDAY)`` on a default-locale
+``Calendar`` (TimeZoneConversion.java:42): in Sunday-first locales
+(the reference's US deployments) that snaps to the *previous* Sunday,
+which is the interpretation this engine pins; a Monday-first JVM
+locale would have shifted the reference's weeks — a locale dependence,
+not a spec.
 
 Spark-first design: each unit is a pure Catalyst expression
 composition — ``from_utc_timestamp`` → ``date_trunc`` →

@@ -49,13 +49,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles."""
+    """Distinct word n-gram shingles. Documents with fewer than n
+    tokens yield an empty set — matching the SQL oracle twin, where
+    DuckDB's generate_series over an inverted range is empty (Spark's
+    ``sequence`` would instead invert with step -1 and ANSI
+    ``element_at`` would throw on index 0)."""
     w = tokens(text)
     if n == 1:
         return F.array_distinct(w)
     idx = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
     gram = lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])  # noqa: E731
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        F.size(w) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def sql_word_ngrams(expr: str, n: int = 3) -> str:

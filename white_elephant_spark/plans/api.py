@@ -17,6 +17,7 @@ Spark. Roll-ups are memoized via :class:`QueryCache` keyed by
 
 from __future__ import annotations
 
+from datetime import timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,7 +88,12 @@ class UsageApi:
             cluster, unit, zone, metric, start_ms, end_ms, users, users_to_aggregate
         ).collect()
         buckets = sorted({r["bucket"] for r in dense})
-        times = [int(b.timestamp() * 1000) for b in buckets]
+        # Buckets come back as naive datetimes that *are* UTC instants
+        # (the cube stores hour-aligned UTC); pin the conversion so the
+        # reference's epoch-ms-UTC contract (server/app.rb:80-106)
+        # holds on non-UTC driver hosts too — datetime.timestamp()
+        # alone would re-interpret them in the OS zone.
+        times = [int(b.replace(tzinfo=timezone.utc).timestamp() * 1000) for b in buckets]
         idx = {b: i for i, b in enumerate(buckets)}
         per_user: dict[str, list[float]] = {}
         for r in dense:

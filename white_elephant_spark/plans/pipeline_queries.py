@@ -847,30 +847,28 @@ def conf_parse_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "usage_json_api",
     oracle=f"""
-SELECT userName,
-       list(bucket ORDER BY bucket) AS times,
-       list(value ORDER BY bucket) AS data,
-       CAST(SUM(value) AS BIGINT) AS total
+SELECT userName, bucket, value,
+       CAST(SUM(value) OVER (PARTITION BY userName) AS BIGINT) AS total
 FROM ({_WEEKLY_ORACLE.strip()})
-GROUP BY userName
 """,
     tags=("serving", "sink", "json"),
 )
 def usage_json_api(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10 — the ``/api/usage`` response shape (server/app.rb:44-107):
-    one row per selected user (plus the aggregated-others series),
-    carrying the shared dense ``times`` axis and the axis-aligned
-    ``data`` array; ``total`` is the A13 per-user grand total. A thin
-    API layer would emit these rows as JSON verbatim."""
+    """S10+A13 — the ``/api/usage`` response (server/app.rb:44-107) in
+    its exploded, engine-side shape: one row per (user, bucket) over
+    the shared dense axis, with ``total`` the A13 per-user grand total
+    repeated on every row. The array assembly into ``{{times, users:
+    [{{user, data}}]}}`` happens at the serving edge
+    (:meth:`white_elephant_spark.plans.api.UsageApi.usage`), keeping
+    the query result scalar-typed (hashable for the oracle gate —
+    list-typed columns can't be canonicalized by the driver)."""
+    from pyspark.sql.window import Window
+
     dense = usage_timeseries_weekly(spark, sf_dir)
-    s = F.array_sort(F.collect_list(F.struct("bucket", "value")))
-    return (
-        dense.groupBy("userName")
-        .agg(s.alias("s"), F.sum("value").cast("long").alias("total"))
-        .select(
-            "userName",
-            F.transform("s", lambda x: x["bucket"]).alias("times"),
-            F.transform("s", lambda x: x["value"]).alias("data"),
-            "total",
-        )
+    w = Window.partitionBy("userName")
+    return dense.select(
+        "userName",
+        "bucket",
+        "value",
+        F.sum("value").over(w).cast("long").alias("total"),
     )

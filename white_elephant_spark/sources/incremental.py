@@ -66,7 +66,14 @@ def existing_days(path: str) -> set[date]:
 
 
 def input_day_range(attempts: DataFrame) -> tuple[date, date]:
-    """Min/max calendar day (GMT) any attempt's buckets can touch."""
+    """Min/max calendar day (GMT) any attempt's buckets can touch.
+
+    Unusable attempts (P8: null / non-positive / inverted times) are
+    excluded first — they can never contribute a bucket, and a single
+    epoch-zero garbage row would otherwise stretch the planned range
+    back to 1970, materializing a ~20k-day work list that
+    ``build_day_cube`` then filters to nothing on every refresh."""
+    attempts = usage.filter_usable_attempts(attempts)
     row = attempts.agg(
         F.min(F.to_date(F.timestamp_millis(F.col("startTime")))).alias("lo"),
         F.max(F.to_date(F.timestamp_millis(F.col("finishTime")))).alias("hi"),
