@@ -220,3 +220,48 @@ def test_cube_null_preserving_cpu(spark):
     cube = usage.build_usage_per_hour(df.withColumn("taskStatus", F.lit("SUCCESS"))).collect()
     assert cube[0].cpuMinutes is None
     assert cube[0].elapsedMinutes == pytest.approx(1000 / 60000)
+
+
+# ------------------------------------------------------- raw log file scan
+
+
+def test_read_log_lines_seq_survives_file_splits(spark, tmp_path):
+    """S1+P9: the (file_block_start, row-in-partition) seq struct must
+    reproduce within-file line order even when one file is carved into
+    many input splits — the geometry a 100 TB scan actually has. The
+    last-wins fold over TOTAL_MAPS detects any ordering break."""
+    from white_elephant_spark.operators import parse as P
+    from white_elephant_spark.operators import reconstruct as R
+    from white_elephant_spark.sources import logfiles
+
+    n = 5000
+    log = tmp_path / "cluster-a" / "daily" / "2024" / "0101"
+    log.mkdir(parents=True)
+    with open(log / "big.log", "w") as fh:
+        for i in range(n):  # one job, n fragments: value i at line i
+            fh.write(f'Job JOBID="job_7_1" USER="u" TOTAL_MAPS="{i}" .\n')
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        # force ~64 splits over one small file
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        lines = logfiles.read_log_lines(spark, str(tmp_path / "*" / "daily" / "*" / "*" / "*.log"))
+        assert lines.rdd.getNumPartitions() > 8, "file was not split"
+        merged = R.merge_job_fragments(P.parse_job_lines(lines)).collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_open)
+    assert len(merged) == 1
+    assert merged[0]["totalMaps"] == n - 1  # last line in file order wins
+
+
+def test_cluster_from_path(spark, tmp_path):
+    from white_elephant_spark.sources import logfiles
+
+    d = tmp_path / "logs" / "prod-west" / "daily" / "2024" / "0202"
+    d.mkdir(parents=True)
+    (d / "f.log").write_text('Job JOBID="job_1_1" USER="u" TOTAL_MAPS="3" .\n')
+    lines = logfiles.read_log_lines(spark, str(tmp_path / "logs" / "*" / "daily" / "*" / "*" / "*.log"))
+    got = lines.withColumn("cluster", logfiles.cluster_from_path(root_name="logs")).first()
+    assert got["cluster"] == "prod-west"

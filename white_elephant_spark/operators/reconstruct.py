@@ -39,15 +39,19 @@ def _last_non_null(col: str, seq: str) -> Column:
     return F.max_by(F.col(col), F.when(F.col(col).isNotNull(), F.col(seq)))
 
 
-def merge_job_fragments(job_lines: DataFrame, seq_col: str = "seq") -> DataFrame:
+def merge_job_fragments(
+    job_lines: DataFrame, seq_col: str = "seq", extra_keys: tuple[str, ...] = ()
+) -> DataFrame:
     """J2 — fold per-line job fragments to one row per jobId
-    (ParseJobsFromLogs.java:380-456)."""
+    (ParseJobsFromLogs.java:380-456). ``extra_keys`` carries
+    job-constant columns (e.g. the P9 ``cluster`` derived from the
+    file path) through the fold as additional group keys."""
     last = lambda c: _last_non_null(c, seq_col)  # noqa: E731
     status_seq = F.when(
         F.col("jobStatus").isNotNull() & F.col("finishTime").isNotNull(),
         F.col(seq_col),
     )
-    return job_lines.groupBy("jobId").agg(
+    return job_lines.groupBy("jobId", *extra_keys).agg(
         last("user").alias("user"),
         last("jobName").alias("jobName"),
         last("jobQueue").alias("jobQueue"),
@@ -140,6 +144,71 @@ def derive_attempt_measures(attempts: DataFrame) -> DataFrame:
             "cpuMinutes": F.element_at(F.col("counters"), "CPU_MILLISECONDS") / 60000.0,
         }
     )
+
+
+def _cmp_fields(a: Column, b: Column, fields: list[str]) -> Column:
+    """Lexicographic struct comparator as a -1/0/1 expression — the
+    Spark analogue of the reference's Java sort comparators. Needed
+    (vs natural struct ordering) because the structs carry map-typed
+    columns (counters), which are not orderable in Spark."""
+    out = F.lit(0)
+    for f in reversed(fields):
+        out = (
+            F.when(a[f] < b[f], F.lit(-1))
+            .when(a[f] > b[f], F.lit(1))
+            .otherwise(out)
+        )
+    return out
+
+
+def to_nested_jobs(
+    jobs: DataFrame, tasks: DataFrame, attempts: DataFrame
+) -> DataFrame:
+    """J3/J4 attach + O1 sorts — assemble the reference's nested
+    export record Job ⊃ Task ⊃ Attempt (LogData.avsc:30-139) from the
+    flat entity DataFrames.
+
+    Sort parity: tasks ordered by taskId
+    (ParseJobsFromLogs.java:518-524); attempts ordered by startTime,
+    then taskAttemptId (:701-707,751-757). Attempts attach to their
+    task by (jobId, taskId) inner match (:679-694 — the reference
+    errors on a missing task; here the inner join drops, consistent
+    with the P7 drop-don't-error policy).
+
+    Distributed shape: two groupBy+collect_list levels — each task's
+    attempt list, then each job's task list, lives in one aggregation
+    buffer, which is exactly the reference's reducer memory footprint
+    for one job. The flat DataFrames remain the query-side
+    representation (SURVEY §7.3); this operator exists for export
+    parity at the serving edge."""
+    att_struct = F.struct(
+        "taskAttemptId", "taskStatus", "startTime", "finishTime",
+        "shuffleFinished", "sortFinished",
+        *(["counters"] if "counters" in attempts.columns else []),
+        *(["excess"] if "excess" in attempts.columns else []),
+        *(["minutes"] if "minutes" in attempts.columns else []),
+        *(["cpuMinutes"] if "cpuMinutes" in attempts.columns else []),
+    )
+    att_arrays = attempts.groupBy("jobId", "taskId").agg(
+        F.array_sort(
+            F.collect_list(att_struct),
+            lambda a, b: _cmp_fields(a, b, ["startTime", "taskAttemptId"]),
+        ).alias("attempts")
+    )
+    task_struct = F.struct(
+        "taskId", "type", "taskStatus", "startTime", "finishTime", "attempts"
+    )
+    task_arrays = (
+        tasks.join(att_arrays, ["jobId", "taskId"])
+        .groupBy("jobId")
+        .agg(
+            F.array_sort(
+                F.collect_list(task_struct),
+                lambda a, b: _cmp_fields(a, b, ["taskId"]),
+            ).alias("tasks")
+        )
+    )
+    return jobs.join(task_arrays, "jobId", "left")
 
 
 def reconstruct_attempts(raw_attempt_lines: DataFrame, seq_col: str = "seq") -> DataFrame:

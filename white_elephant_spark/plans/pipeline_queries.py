@@ -872,3 +872,281 @@ def usage_json_api(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.sum("value").over(w).cast("long").alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Raw log files: S1 text scan + P9 path/line-order correlation, end to end
+# --------------------------------------------------------------------------
+
+_RAW_LOG_ORACLE_BASE = """
+of2 AS (
+  SELECT o_orderkey AS k, o_custkey AS c, epoch_ms(o_orderdate) AS submit,
+         o_orderstatus AS st
+  FROM orders
+),
+jobs_exp AS (
+  SELECT 'job_' || CAST(k AS VARCHAR) || '_1' AS jobId,
+         CASE WHEN k % 2 = 0 THEN 'alpha' ELSE 'beta' END AS cluster,
+         'u' || CAST(c % 13 AS VARCHAR) AS user,
+         CASE WHEN st = 'F' THEN 'SUCCESS' WHEN st = 'O' THEN 'FAILED' END AS jobStatus,
+         submit AS submitTime,
+         submit + (k % 100000) * 1000 AS finishTime,
+         CAST(k % 50 AS INTEGER) AS totalMaps,
+         CAST(k % 7 AS INTEGER) AS failedMaps,
+         k, submit
+  FROM of2
+),
+atts_exp AS (
+  SELECT 'job_' || CAST(k AS VARCHAR) || '_1' AS jobId,
+         'attempt_' || CAST(k AS VARCHAR) || '_1_m_0_0' AS taskAttemptId,
+         submit + 1000 AS attStart,
+         submit + 61000 + (k % 3600) * 1000
+           + CASE WHEN k % 3 = 0 THEN 2000 ELSE 0 END AS attFinish,
+         CAST(CASE WHEN k % 3 = 0 THEN 7 + k % 13
+              ELSE 1 + k % 1000000 END AS BIGINT) AS cpu
+  FROM of2
+  UNION ALL
+  SELECT 'job_' || CAST(k AS VARCHAR) || '_1',
+         'attempt_' || CAST(k AS VARCHAR) || '_1_m_0_1',
+         submit + 800, submit + 60000, CAST(3 + k % 17 AS BIGINT)
+  FROM of2 WHERE k % 4 = 0
+  UNION ALL
+  SELECT 'job_' || CAST(k AS VARCHAR) || '_1',
+         'attempt_' || CAST(k AS VARCHAR) || '_1_m_1_0',
+         submit + 2000, submit + 65000, CAST(11 + k % 19 AS BIGINT)
+  FROM of2 WHERE k % 5 = 0
+)
+"""
+
+
+def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Render the orders table as real Hadoop-1.x job-history log
+    *files* under ``<root>/<cluster>/daily/<yyyy>/<MMdd>/part-N.log``
+    (the reference's directory layout, JobStatsProcessing.java:62-67).
+
+    Line order inside each file is load-bearing: the early job line
+    carries a bogus TOTAL_MAPS=999 and a non-terminal JOB_STATUS that
+    the later terminal line must override via the seq fold — if the
+    scan's within-file ordering key is wrong, 999 leaks into the
+    output and the oracle catches it. Fixture generation is
+    driver-side by design (it *writes* the files a cluster's history
+    server would have written); the query path reads them back
+    distributed."""
+    import shutil
+
+    marker = os.path.join(root, "_FIXTURE_SF")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == sf_dir:
+                return  # already rendered for this scale factor
+    shutil.rmtree(root, ignore_errors=True)
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").cast("long").alias("k"),
+            (F.col("o_custkey") % 13).cast("long").alias("u"),
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("submit"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: r["k"])
+
+    files: dict[tuple[str, int], dict[str, list[str]]] = {}
+    for r in rows:
+        k, u, submit, st = r["k"], r["u"], r["submit"], r["st"]
+        cluster = "alpha" if k % 2 == 0 else "beta"
+        sections = files.setdefault(
+            (cluster, (k // 2) % 2), {"f1": [], "task": [], "att": [], "dup": [], "f2": []}
+        )
+        jid, tid = f"job_{k}_1", f"task_{k}_1_m_0"
+        raw_status = {"F": "SUCCESS", "O": "FAILURE"}.get(st, "RUNNING")
+        fin = submit + (k % 100000) * 1000
+        att_fin = submit + 61000 + (k % 3600) * 1000
+        sections["f1"].append(
+            f'Job JOBID="{jid}" JOBNAME="raw" USER="u{u}" JOB_STATUS="FAILURE"'
+            f' SUBMIT_TIME="{submit}" TOTAL_MAPS="999" FAILED_MAPS="{k % 7}" .'
+        )
+        sections["task"].append(
+            f'Task TASKID="{tid}" TASK_TYPE="MAP" TASK_STATUS="SUCCESS"'
+            f' START_TIME="{submit + 900}" FINISH_TIME="{att_fin + 100}" .'
+        )
+        sections["att"].append(
+            f'MapAttempt TASK_TYPE="MAP" TASKID="{tid}" TASK_ATTEMPT_ID="attempt_{k}_1_m_0_0"'
+            f' TASK_STATUS="SUCCESS" START_TIME="{submit + 1000}" FINISH_TIME="{att_fin}"'
+            f' COUNTERS="[(CPU_MILLISECONDS)(CPU)({1 + k % 1000000})]" .'
+        )
+        if k % 4 == 0:
+            sections["att"].append(
+                f'MapAttempt TASK_TYPE="MAP" TASKID="{tid}" TASK_ATTEMPT_ID="attempt_{k}_1_m_0_1"'
+                f' TASK_STATUS="FAILED" START_TIME="{submit + 800}" FINISH_TIME="{submit + 60000}"'
+                f' COUNTERS="[(CPU_MILLISECONDS)(CPU)({3 + k % 17})]" .'
+            )
+        if k % 5 == 0:
+            sections["task"].append(
+                f'Task TASKID="task_{k}_1_m_1" TASK_TYPE="MAP" TASK_STATUS="SUCCESS"'
+                f' START_TIME="{submit + 1900}" FINISH_TIME="{submit + 65100}" .'
+            )
+            sections["att"].append(
+                f'MapAttempt TASK_TYPE="MAP" TASKID="task_{k}_1_m_1"'
+                f' TASK_ATTEMPT_ID="attempt_{k}_1_m_1_0" TASK_STATUS="SUCCESS"'
+                f' START_TIME="{submit + 2000}" FINISH_TIME="{submit + 65000}"'
+                f' COUNTERS="[(CPU_MILLISECONDS)(CPU)({11 + k % 19})]" .'
+            )
+        if k % 3 == 0:
+            # duplicate fragment LATER in the file: max-times merge must
+            # keep the larger finish, the LAST counters map must win
+            sections["dup"].append(
+                f'MapAttempt TASK_TYPE="MAP" TASKID="{tid}" TASK_ATTEMPT_ID="attempt_{k}_1_m_0_0"'
+                f' TASK_STATUS="SUCCESS" START_TIME="{submit + 500}" FINISH_TIME="{att_fin + 2000}"'
+                f' COUNTERS="[(CPU_MILLISECONDS)(CPU)({7 + k % 13})]" .'
+            )
+        sections["f2"].append(
+            f'Job JOBID="{jid}" JOB_STATUS="{raw_status}" FINISH_TIME="{fin}"'
+            f' TOTAL_MAPS="{k % 50}" .'
+        )
+
+    for (cluster, fileno), sections in files.items():
+        d = os.path.join(root, cluster, "daily", "2024", "0101")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"part-{fileno}.log"), "w") as fh:
+            fh.write('Meta VERSION="1" .\n')
+            for line in sections["f1"]:
+                fh.write(line + "\n")
+            fh.write('MapAttempt TASK_TYPE="MAP" START_TIME="5" .\n')  # truncated → dropped
+            for sec in ("task", "att", "dup", "f2"):
+                for line in sections[sec]:
+                    fh.write(line + "\n")
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
+
+
+def _raw_log_entities(spark: SparkSession, sf_dir: str):
+    """S1 scan → P1-P5 parse → J2/J3/J4 merges over the log fixture;
+    returns (jobs, tasks, attempts) flat DataFrames with ``cluster``
+    from the file path (P9)."""
+    from white_elephant_spark.sources import logfiles
+
+    root = os.path.join(_SCRATCH_ROOT, "rawlogs")
+    _write_raw_log_fixture(spark, sf_dir, root)
+    lines = logfiles.read_log_lines(
+        spark, os.path.join(root, "*", "daily", "*", "*", "*.log")
+    ).withColumn("cluster", logfiles.cluster_from_path(root_name="rawlogs"))
+    jobs = reconstruct.merge_job_fragments(
+        parse.parse_job_lines(lines), extra_keys=("cluster",)
+    )
+    tasks = reconstruct.merge_task_fragments(parse.parse_task_lines(lines))
+    atts = reconstruct.merge_attempt_fragments(parse.parse_attempt_lines(lines))
+    return jobs, tasks, atts
+
+
+@register(
+    "raw_logfile_pipeline",
+    oracle=f"""
+WITH {_RAW_LOG_ORACLE_BASE.strip()}
+SELECT j.jobId, j.cluster, j.user, j.jobStatus, j.submitTime, j.finishTime,
+       j.totalMaps, j.failedMaps, a.taskAttemptId, a.attStart, a.attFinish, a.cpu
+FROM jobs_exp j JOIN atts_exp a ON j.jobId = a.jobId
+""",
+    tags=("source", "parse", "merge", "pipeline"),
+)
+def raw_logfile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P9 end to end — the reference's actual entry point
+    (CombinedTextInputFormat.java:32-64 text splits;
+    ParseJobsFromLogs.java:280-294 path attach): real log *files* read
+    with ``spark.read.text``, the within-file line order reproduced as
+    the ``(file_block_start, row-in-partition)`` seq struct with zero
+    shuffle, cluster extracted from the directory layout, then the
+    full parse → fragment-merge chain. The oracle derives every field
+    from ``orders`` — wrong line ordering leaks the early fragment's
+    bogus TOTAL_MAPS=999 and fails the hash."""
+    jobs, _tasks, atts = _raw_log_entities(spark, sf_dir)
+    a = atts.select(
+        "jobId",
+        "taskAttemptId",
+        F.col("startTime").alias("attStart"),
+        F.col("finishTime").alias("attFinish"),
+        F.element_at("counters", "CPU_MILLISECONDS").alias("cpu"),
+    )
+    return jobs.join(a, "jobId").select(
+        "jobId", "cluster", "user", "jobStatus", "submitTime", "finishTime",
+        "totalMaps", "failedMaps", "taskAttemptId", "attStart", "attFinish", "cpu",
+    )
+
+
+@register(
+    "nested_jobs_export",
+    oracle=f"""
+WITH {_RAW_LOG_ORACLE_BASE.strip()},
+tasks_exp AS (
+  SELECT 'job_' || CAST(k AS VARCHAR) || '_1' AS jobId,
+         'task_' || CAST(k AS VARCHAR) || '_1_m_0' AS taskId,
+         'MAP' AS type, 'SUCCESS' AS taskStatus,
+         submit + 900 AS tStart,
+         submit + 61000 + (k % 3600) * 1000 + 100 AS tFinish
+  FROM of2
+  UNION ALL
+  SELECT 'job_' || CAST(k AS VARCHAR) || '_1',
+         'task_' || CAST(k AS VARCHAR) || '_1_m_1', 'MAP', 'SUCCESS',
+         submit + 1900, submit + 65100
+  FROM of2 WHERE k % 5 = 0
+),
+atts_tagged AS (
+  SELECT *,
+         regexp_replace(taskAttemptId, '^attempt_(.*)_[0-9]+$', 'task_\\1') AS taskId,
+         CASE WHEN taskAttemptId LIKE '%_m_0_1' THEN 'FAILED' ELSE 'SUCCESS' END AS attStatus
+  FROM atts_exp
+)
+SELECT j.jobId, j.cluster, j.user,
+       CAST(DENSE_RANK() OVER (PARTITION BY t.jobId ORDER BY t.taskId) - 1 AS INTEGER) AS task_pos,
+       t.taskId, t.type, t.taskStatus, t.tStart, t.tFinish,
+       CAST(ROW_NUMBER() OVER (PARTITION BY t.jobId, t.taskId
+                               ORDER BY a.attStart, a.taskAttemptId) - 1 AS INTEGER) AS att_pos,
+       a.taskAttemptId, a.attStatus, a.attStart, a.attFinish,
+       a.attStatus <> 'SUCCESS' AS excess,
+       (a.attFinish - a.attStart) / 60000.0 AS minutes,
+       a.cpu / 60000.0 AS cpuMinutes
+FROM jobs_exp j
+JOIN tasks_exp t ON j.jobId = t.jobId
+JOIN atts_tagged a ON a.jobId = t.jobId AND a.taskId = t.taskId
+""",
+    tags=("merge", "nested", "export"),
+)
+def nested_jobs_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J4 attach + O1 sort parity — the reference's nested
+    Job ⊃ Task ⊃ Attempt export record (LogData.avsc:30-139), built by
+    :func:`reconstruct.to_nested_jobs` from the raw-log scan, then
+    position-exploded back to scalar rows: ``task_pos``/``att_pos``
+    encode the reference's sort orders (tasks by taskId,
+    ParseJobsFromLogs.java:518-524; attempts by startTime then
+    attemptId, :701-757) so the oracle hash verifies the nesting *and*
+    the ordering."""
+    jobs, tasks, atts = _raw_log_entities(spark, sf_dir)
+    atts = reconstruct.derive_attempt_measures(
+        reconstruct.label_excess(reconstruct.filter_valid_attempts(atts))
+    )
+    nested = reconstruct.to_nested_jobs(jobs, tasks, atts)
+    t = nested.select(
+        "jobId", "cluster", "user", F.posexplode("tasks").alias("task_pos", "task")
+    )
+    a = t.select(
+        "jobId", "cluster", "user", "task_pos",
+        F.col("task.taskId").alias("taskId"),
+        F.col("task.type").alias("type"),
+        F.col("task.taskStatus").alias("taskStatus"),
+        F.col("task.startTime").alias("tStart"),
+        F.col("task.finishTime").alias("tFinish"),
+        F.posexplode("task.attempts").alias("att_pos", "att"),
+    )
+    return a.select(
+        "jobId", "cluster", "user", "task_pos", "taskId", "type", "taskStatus",
+        "tStart", "tFinish", "att_pos",
+        F.col("att.taskAttemptId").alias("taskAttemptId"),
+        F.col("att.taskStatus").alias("attStatus"),
+        F.col("att.startTime").alias("attStart"),
+        F.col("att.finishTime").alias("attFinish"),
+        F.col("att.excess").alias("excess"),
+        F.col("att.minutes").alias("minutes"),
+        F.col("att.cpuMinutes").alias("cpuMinutes"),
+    )
