@@ -28,7 +28,9 @@ def test_exact_dedup(docs):
 
 
 def test_ngram_jaccard_finds_near_dups(docs):
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    # explicit first-token block: pins the exact-Jaccard math
+    blk = F.element_at(tx.tokens(F.col("text")), 1)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, block=blk).collect()
     found = {(r.id_a, r.id_b): r.jaccard for r in pairs}
     assert found[(1, 2)] == 1.0
     assert (1, 3) in found and 0.5 <= found[(1, 3)] < 1.0
@@ -144,3 +146,91 @@ def test_sample_frames_counts(spark):
     assert len(per[3]) == 8          # capped at max_frames
     assert bytes(per[2][0]["frame"]) == b"b" * 10
     assert all(len(bytes(r["frame"])) == 256 for r in per[3])
+
+
+def test_ngram_jaccard_banded_default_finds_exact_dups(docs):
+    # default block = MinHash bands: exact dups always collide
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_banded_blocking_bounds_hot_token_skew(spark):
+    """200 docs all starting with 'the' — first-token blocking would
+    put them in ONE quadratic block; MinHash band buckets must stay
+    hash-bounded (only true near-dups cluster)."""
+    docs = [(i, "the " + " ".join(f"w{i}x{j}" for j in range(12))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df, k=12, n=3)
+    from pyspark.sql import functions as SF
+
+    bands = SF.array(
+        *[
+            SF.md5(SF.concat_ws("|", *[SF.element_at(SF.col("sig"), b * 3 + r + 1) for r in range(3)]))
+            for b in range(4)
+        ]
+    )
+    buckets = (
+        sigs.select(SF.posexplode(bands).alias("band", "bh"))
+        .groupBy("band", "bh")
+        .count()
+    )
+    assert buckets.agg(SF.max("count")).first()[0] <= 4  # no hot bucket
+
+
+def test_short_docs_yield_empty_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three")],
+        "doc_id long, text string",
+    )
+    sizes = {
+        r.doc_id: r.n
+        for r in df.select("doc_id", F.size(dedup.word_ngrams(F.col("text"), 3)).alias("n")).collect()
+    }
+    assert sizes == {1: 0, 2: 0, 3: 0, 4: 1}
+    # and the full pipelines survive short docs
+    assert dedup.ngram_jaccard_pairs(df).count() == 0
+
+
+def test_simhash_neardup_pairs_radix_blocking(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+        (3, "totally different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.simhash32(df)
+    pairs = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_neardup_pairs(fps).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(fps, max_hamming=5, bands=4)
+
+
+def test_simhash_radix_blocking_is_complete(spark):
+    """Pigeonhole completeness: every pair within Hamming 3 must be
+    found by the banded join — construct fingerprints directly."""
+    fps = [(1, 0), (2, 0b111), (3, 0b10101), (4, 1 << 31 | 1 << 15 | 1 << 7)]
+    df = spark.createDataFrame(fps, "id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_neardup_pairs(df).collect()}
+    assert got == {(1, 2): 3, (1, 3): 3, (1, 4): 3, (2, 3): 2}  # every pair within distance 3
+
+
+def test_ann_lsh_recall_floor(spark):
+    """Multi-table LSH must keep recall@10 >= 0.9 vs the exact
+    baseline on the driver corpus (the round-1 single-table design
+    lost neighbors to one flipped sign bit)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("driver corpus not available")
+    from white_elephant_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.lsh_cosine_topk(emb, queries, dim=64, k=10, planes=3, tables=12)
+    e = {(r.query_id, r.nbr_id) for r in exact.collect()}
+    a = {(r.query_id, r.nbr_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9

@@ -77,6 +77,11 @@ def sql_word_ngrams(expr: str, n: int = 3) -> str:
 # ------------------------------------------------------- n-gram Jaccard
 
 
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -84,31 +89,55 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     block: Column | None = None,
+    k: int = 12,
+    bands: int = 4,
+    rows: int = 3,
 ) -> DataFrame:
-    """Jaccard-similar pairs over word n-gram sets, restricted to a
-    blocking key (default: first token) so the self-join is band-local
-    rather than all-pairs. Output: (id_a, id_b, jaccard) with
-    id_a < id_b.
+    """Jaccard-similar pairs over word n-gram sets. Output:
+    (id_a, id_b, jaccard) with id_a < id_b.
 
-    At scale: the block key is the knob — swap in an LSH band from
-    :func:`minhash_signatures` for guaranteed recall at a target
-    similarity."""
-    blk = block if block is not None else F.element_at(tokens(F.col(text_col)), 1)
+    **Default blocking = MinHash LSH bands** (:func:`minhash_signatures`
+    → :func:`lsh_candidate_pairs`): candidate pairs must share one of
+    ``bands`` signature-band buckets, then the *exact* Jaccard is
+    computed and thresholded. Bucket population is governed by the
+    hash, not by token frequency — no "the"-block quadratic blow-up at
+    corpus scale (the round-1 first-token default); recall at
+    similarity s is 1-(1-s^rows)^bands (≥ 0.93 at s = 0.5 with the
+    4×3 default, → 1 for exact dups).
+
+    An explicit ``block`` column (e.g. a language or domain key)
+    switches to the plain blocked self-join — useful when an exact
+    within-block guarantee matters more than hash-bounded skew; tests
+    keep the first-token form to pin the Jaccard math."""
     base = df.select(
         F.col(id_col).alias("id"),
-        blk.alias("blk"),
         word_ngrams(F.col(text_col), n).alias("grams"),
     )
-    a, b = base.alias("a"), base.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
-    jac = inter / union
+    if block is not None:
+        blocked = df.select(
+            F.col(id_col).alias("id"),
+            block.alias("blk"),
+            word_ngrams(F.col(text_col), n).alias("grams"),
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        return (
+            a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                _jaccard(F.col("a.grams"), F.col("b.grams")).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    sigs = minhash_signatures(df, text_col, id_col, k=k, n=n)
+    cand = lsh_candidate_pairs(sigs, bands=bands, rows=rows, k=k).select("id_a", "id_b")
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jac.alias("jaccard"),
+            "id_a",
+            "id_b",
+            _jaccard(F.col("ga"), F.col("gb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -236,6 +265,83 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         start=F.lit(0),
     )
     return tally.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    fps: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "id",
+    fp_col: str = "simhash",
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via **radix blocking**:
+    split the 32-bit fingerprint into ``bands`` bit-slices; by the
+    pigeonhole principle any pair within Hamming distance
+    ``bands - 1`` matches at least one slice *exactly*, so the
+    candidate join on (band, slice-value) is complete for
+    ``max_hamming ≤ bands - 1`` — never all-pairs. The exact Hamming
+    distance (``bit_count(a XOR b)``) filters candidates after.
+
+    Completes the promise of the module docstring: fingerprints →
+    actual duplicate *pairs*. Output: (id_a, id_b, hamming),
+    id_a < id_b. Scale: |docs|×bands narrow rows shuffled by slice
+    value; slice-bucket skew is bounded by the hash uniformity (a
+    degenerate corpus of identical docs concentrates — exactly the
+    duplicate mass the operator exists to find)."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"radix blocking with {bands} bands is only complete up to "
+            f"Hamming distance {bands - 1} (got max_hamming={max_hamming})"
+        )
+    width = 32 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    e = fps.select(
+        F.col(id_col).alias("id"),
+        F.col(fp_col).alias("fp"),
+        F.posexplode(slices).alias("band", "bv"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def sql_simhash_neardup_pairs(
+    fp_cte: str, max_hamming: int = 3, bands: int = 4
+) -> str:
+    """DuckDB twin of :func:`simhash_neardup_pairs` over a CTE named
+    ``fp_cte`` with columns (id, simhash)."""
+    width = 32 // bands
+    mask = (1 << width) - 1
+    return f"""
+slices AS (
+  SELECT id, simhash, b AS band, (simhash >> (b * {width})) & {mask} AS bv
+  FROM {fp_cte}, (SELECT unnest(generate_series(0, {bands - 1})) AS b)
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM slices a JOIN slices b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
 
 
 def sql_simhash32(expr: str, id_expr: str) -> str:
