@@ -6,6 +6,13 @@ Prints exactly one JSON line:
 Each query is fully materialized via the ``noop`` sink (JVM-side, no
 driver collect) so the measured time is the distributed plan, not
 row-shipping to Python.
+
+BASELINE.md documents that the reference publishes no benchmark
+numbers, so the comparator with teeth is the DuckDB oracle twin of
+every headline query: single-node, vectorized, same parquet inputs,
+materialized to a temp table (DuckDB's analogue of the noop sink).
+``duckdb_queries``/``duckdb_total``/``spark_over_duckdb`` in the
+output give the per-round ratio the 2x gate can bite on.
 """
 
 from __future__ import annotations
@@ -47,6 +54,34 @@ HEADLINE = [
 ]
 
 
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
+    """Wall time per headline oracle on DuckDB (all cores, same
+    parquet). CREATE TEMP TABLE AS forces full materialization without
+    paying Python row conversion — comparable to the noop sink."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    out: dict[str, float] = {}
+    for name in names:
+        sql = qs[name].oracle
+        if not sql:
+            continue
+        t0 = time.time()
+        try:
+            con.execute(f"CREATE OR REPLACE TEMP TABLE _bench AS {sql}")
+            out[name] = round(time.time() - t0, 3)
+        except Exception:
+            out[name] = -1.0  # oracle not runnable standalone; flagged, not hidden
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -74,14 +109,20 @@ def main() -> None:
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
+    duck = duckdb_times(sf_dir, names, qs)
+    duck_total = round(sum(v for v in duck.values() if v >= 0), 3)
+    total = round(sum(times.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall",
-                "value": round(sum(times.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "duckdb_queries": duck,
+                "duckdb_total": duck_total,
+                "spark_over_duckdb": round(total / duck_total, 3) if duck_total > 0 else None,
             }
         )
     )

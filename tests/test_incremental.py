@@ -122,3 +122,29 @@ def test_file_manifest_diff(tmp_path):
     assert {os.path.basename(p) for p in new} == {"c.parquet"}
     assert {os.path.basename(p) for p in changed} == {"a.parquet"}
     assert {os.path.basename(p) for p in removed} == {"b.parquet"}
+
+
+def test_hadoopfs_listing_matches_local(spark, tmp_path):
+    """The HadoopFsListing (JVM FileSystem API — the object-storage
+    path) must agree with LocalListing on the same tree, including
+    hidden-file filtering and missing-path behavior."""
+    from white_elephant_spark.sources import incremental as inc
+    from white_elephant_spark.sources.listing import HadoopFsListing, LocalListing
+
+    d = tmp_path / "cube"
+    (d / "cluster=a" / "day=2024-01-01").mkdir(parents=True)
+    (d / "cluster=a" / "day=2024-01-02").mkdir()
+    (d / "cluster=b" / "day=2024-01-02").mkdir(parents=True)
+    (d / "cluster=a" / "day=2024-01-01" / "x.parquet").write_bytes(b"d")
+    (d / "cluster=a" / "day=2024-01-01" / "_SUCCESS").write_bytes(b"")
+    (d / "cluster=a" / "day=2024-01-01" / ".hidden.parquet").write_bytes(b"h")
+
+    local, hfs = LocalListing(), HadoopFsListing(spark)
+    assert sorted(hfs.list_subdirs(str(d))) == sorted(local.list_subdirs(str(d)))
+    lw = local.walk_files(str(d), ".parquet")
+    hw = hfs.walk_files(str(d), ".parquet")
+    assert [p.rsplit("/", 1)[-1] for p in lw] == ["x.parquet"]
+    assert [p.rsplit("/", 1)[-1] for p in hw] == ["x.parquet"]
+    assert inc.existing_days(str(d), hfs) == inc.existing_days(str(d))
+    assert hfs.list_subdirs(str(d / "nope")) == []
+    assert hfs.walk_files(str(d / "nope"), ".parquet") == {}

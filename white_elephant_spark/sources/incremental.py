@@ -26,6 +26,12 @@ The reference's incremental machinery, re-expressed Spark-first:
   *from scratch* out of all current input for that day, never
   appended to, so reprocessing is idempotent.
 
+Storage: all directory/file probing goes through the listing
+abstraction (sources/listing.py) — ``LocalListing`` for tests,
+``HadoopFsListing`` for HDFS/S3/GCS/ABFS — so the incremental state
+survives object storage; the reference's equivalent probe is
+``FileSystem.exists`` (JobStatsProcessing.java:71-79).
+
 Scale: the refresh cost is O(days changed), not O(history). The input
 scan is pruned by a pushed-down ``finishTime`` range predicate before
 the hour explode, and the write touches only the planned day
@@ -43,23 +49,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from white_elephant_spark.operators import usage
+from white_elephant_spark.sources.listing import Listing, LocalListing
 
 DAY_MS = 86_400_000
 
 
-def existing_days(path: str) -> set[date]:
+def existing_days(path: str, listing: Listing | None = None) -> set[date]:
     """I1 — the high-water-mark state: which ``day=`` partitions exist
-    under ``path`` (any cluster). Directory listing, like the
-    reference's ``FileSystem.exists`` probe
-    (JobStatsProcessing.java:71-79)."""
+    under ``path`` (any cluster). A directory listing through the
+    storage abstraction (sources/listing.py) — the reference's
+    ``FileSystem.exists`` probe (JobStatsProcessing.java:71-79); pass
+    :class:`~white_elephant_spark.sources.listing.HadoopFsListing`
+    when the cube lives on HDFS/object storage."""
+    listing = listing or LocalListing()
     out: set[date] = set()
-    if not os.path.isdir(path):
-        return out
-    for cluster_dir in os.listdir(path):
-        sub = os.path.join(path, cluster_dir)
-        if not (cluster_dir.startswith("cluster=") and os.path.isdir(sub)):
+    for cluster_dir in listing.list_subdirs(path):
+        if not cluster_dir.startswith("cluster="):
             continue
-        for day_dir in os.listdir(sub):
+        for day_dir in listing.list_subdirs(os.path.join(path, cluster_dir)):
             if day_dir.startswith("day="):
                 out.add(date.fromisoformat(day_dir[len("day=") :]))
     return out
@@ -140,7 +147,7 @@ def write_day_partitions(cube: DataFrame, path: str) -> None:
 
 
 def refresh(
-    attempts: DataFrame, path: str, num_days_forced: int = 5
+    attempts: DataFrame, path: str, num_days_forced: int = 5, listing: Listing | None = None
 ) -> list[date]:
     """I1-I5 end to end: plan the day set from the input range and the
     existing partitions, rebuild exactly those day partitions from all
@@ -150,7 +157,7 @@ def refresh(
     lo, hi = input_day_range(attempts)
     if lo is None:
         return []
-    days = plan_days(lo, hi, existing_days(path), num_days_forced)
+    days = plan_days(lo, hi, existing_days(path, listing), num_days_forced)
     if days:
         write_day_partitions(build_day_cube(attempts, days), path)
     return days
@@ -177,27 +184,25 @@ def save_manifest(manifest_path: str, manifest: dict[str, float]) -> None:
 
 
 def file_changes(
-    input_dir: str, manifest: dict[str, float], suffix: str = ".parquet"
+    input_dir: str,
+    manifest: dict[str, float],
+    suffix: str = ".parquet",
+    listing: Listing | None = None,
 ) -> tuple[set[str], set[str], set[str]]:
     """I3 diff (server/app/usage_loader.rb:83-163): (new, changed,
     removed) data files vs the manifest. Hidden files (``_*``/``.*``)
     are skipped like the reference's S5 filter."""
-    current = current_manifest(input_dir, suffix)
+    current = current_manifest(input_dir, suffix, listing)
     new = {p for p in current if p not in manifest}
     changed = {p for p in current if p in manifest and current[p] != manifest[p]}
     removed = {p for p in manifest if p not in current}
     return new, changed, removed
 
 
-def current_manifest(input_dir: str, suffix: str = ".parquet") -> dict[str, float]:
-    out: dict[str, float] = {}
-    for root, _dirs, files in os.walk(input_dir):
-        for name in files:
-            if name.startswith(("_", ".")) or not name.endswith(suffix):
-                continue
-            p = os.path.join(root, name)
-            out[p] = os.path.getmtime(p)
-    return out
+def current_manifest(
+    input_dir: str, suffix: str = ".parquet", listing: Listing | None = None
+) -> dict[str, float]:
+    return (listing or LocalListing()).walk_files(input_dir, suffix)
 
 
 def read_cube(spark: SparkSession, path: str) -> DataFrame:
