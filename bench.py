@@ -90,7 +90,12 @@ def main() -> None:
     from white_elephant_spark.plans.registry import all_queries
     from white_elephant_spark.session import get_spark
 
-    spark = get_spark("bench")
+    # Shuffle-partition count sized to the bench SF, not the CPU count:
+    # at sf<=1 a 32-way shuffle is pure task-scheduling overhead (the
+    # whole input fits in a handful of partitions). On a cluster this
+    # knob stays high and AQE coalesces instead — see session.py.
+    parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8"))
+    spark = get_spark("bench", shuffle_partitions=parts)
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
     # JVM/codegen warmup on the smallest table, untimed.

@@ -234,3 +234,14 @@ def test_ann_lsh_recall_floor(spark):
     e = {(r.query_id, r.nbr_id) for r in exact.collect()}
     a = {(r.query_id, r.nbr_id) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.9
+
+
+def test_lsh_strategies_agree(spark):
+    vecs = [(i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6), float(i % 5 + 1), float((i * 5) % 9 - 4)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    a = similarity.lsh_cosine_topk(df, q, dim=4, k=5, planes=2, tables=4, strategy="broadcast")
+    b = similarity.lsh_cosine_topk(df, q, dim=4, k=5, planes=2, tables=4, strategy="shuffle")
+    ra = sorted((r.query_id, r.nbr_id, r.rank) for r in a.collect())
+    rb = sorted((r.query_id, r.nbr_id, r.rank) for r in b.collect())
+    assert ra == rb and len(ra) > 0

@@ -557,6 +557,23 @@ FROM au LEFT JOIN sel ON au.bucket = sel.bucket AND au.userName = sel.userName
 """
 
 
+def _fused_hour_rows(spark: SparkSession, sf_dir: str, cluster: str) -> DataFrame:
+    """Per-hour exploded rows for one cluster with the cube's full-
+    fidelity labeling, but WITHOUT materializing the 6-dim cube
+    aggregation in between: a serving roll-up only needs
+    (user, time, elapsedMs), and summing exploded rows directly is
+    algebraically identical to cube-then-rollup (the oracle still
+    derives through cube_t — same totals). This is the materialized-
+    view rewrite a production deployment gets by reading the stored
+    cube; here it removes one full shuffle from the query chain.
+    Excess labeling runs *before* the cluster filter (a task's
+    attempts can span clusters in this corpus, and J5 is a per-task
+    property)."""
+    att = reconstruct.label_excess(_attempts_from_events(spark, sf_dir))
+    att = att.filter(F.col("cluster") == cluster)
+    return usage.explode_attempt_hours(usage.filter_usable_attempts(att))
+
+
 @register(
     "usage_timeseries_weekly",
     oracle=_WEEKLY_ORACLE,
@@ -568,16 +585,16 @@ def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the reference's shrink-a-week edge rule, zero-filled."""
     from white_elephant_spark.plans import serving
 
-    cube = _cube_df(spark, sf_dir).filter(F.col("cluster") == "alpha")
+    rows = _fused_hour_rows(spark, sf_dir, "alpha")
     series = (
-        cube.groupBy(
+        rows.groupBy(
             F.col("user").alias("userName"),
             tu.bucket(F.col("time"), "WEEKS", _LA).alias("bucket"),
         )
         .agg(F.sum("elapsedMs").alias("value"))
     )
     axis = serving.dense_axis(
-        spark, "WEEKS", _LA, _WIDE_START, _WIDE_END, clamp=serving.clamp_range(cube)
+        spark, "WEEKS", _LA, _WIDE_START, _WIDE_END, clamp=serving.clamp_range(rows)
     )
     out = serving.timeseries(series, axis, _SEL_USERS, _AGG_USERS)
     return out.select("userName", "bucket", F.col("value").cast("long").alias("value"))
@@ -633,16 +650,16 @@ def usage_csv_table_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     %Y-%m-%d, one column per user, minutes→hours (÷60)."""
     from white_elephant_spark.plans import serving
 
-    cube = _cube_df(spark, sf_dir).filter(F.col("cluster") == "beta")
+    rows = _fused_hour_rows(spark, sf_dir, "beta")
     series = (
-        cube.groupBy(
+        rows.groupBy(
             F.col("user").alias("userName"),
             tu.bucket(F.col("time"), "DAYS", _LA).alias("bucket"),
         )
         .agg((F.sum("elapsedMs") / 60000.0).alias("value"))
     )
     axis = serving.dense_axis(
-        spark, "DAYS", _LA, _WIDE_START, _WIDE_END, clamp=serving.clamp_range(cube)
+        spark, "DAYS", _LA, _WIDE_START, _WIDE_END, clamp=serving.clamp_range(rows)
     )
     return serving.csv_table(series, axis, _CSV_USERS, _LA, to_hours=True)
 

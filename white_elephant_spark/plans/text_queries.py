@@ -261,25 +261,15 @@ _ANN_PLANES, _ANN_TABLES = 3, 12
     oracle=f"""
 WITH b AS (
   SELECT vec_id, embedding,
-         {similarity.sql_hyperplane_buckets('embedding', 64, _ANN_PLANES, _ANN_TABLES)} AS buckets
+         {similarity.sql_encoded_buckets('embedding', 64, _ANN_PLANES, _ANN_TABLES)} AS buckets
   FROM embeddings
 ),
-tb AS (SELECT unnest(generate_series(0, {_ANN_TABLES - 1})) AS tbl),
-qb AS (
-  SELECT vec_id AS query_id, tbl, buckets[tbl + 1] AS bucket
-  FROM b, tb WHERE vec_id % 100 = 0
-),
-cb AS (SELECT vec_id AS nbr_id, tbl, buckets[tbl + 1] AS bucket FROM b, tb),
-cand AS (
-  SELECT DISTINCT query_id, nbr_id
-  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
-  WHERE nbr_id <> query_id
-),
 scored AS (
-  SELECT query_id, nbr_id, {similarity.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
-  FROM cand
-  JOIN embeddings q ON q.vec_id = cand.query_id
-  JOIN embeddings c ON c.vec_id = cand.nbr_id
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         {similarity.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+  FROM b q JOIN b c
+    ON len(list_intersect(q.buckets, c.buckets)) > 0 AND c.vec_id <> q.vec_id
+  WHERE q.vec_id % 100 = 0
 )
 SELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
