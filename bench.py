@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "token_stats",
 ]

@@ -236,6 +236,53 @@ def test_ann_lsh_recall_floor(spark):
     assert len(e & a) / len(e) >= 0.9
 
 
+def test_ivf_recall_floor(spark):
+    """IVF-flat (stride 50, nprobe 4) must hold recall@10 >= 0.9 vs
+    the exact baseline on the driver corpus."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.01")
+    if not os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        pytest.skip("driver corpus not available")
+    from white_elephant_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.ivf_cosine_topk(emb, queries, dim=64, k=10, stride=50, nprobe=4)
+    e = {(r.query_id, r.nbr_id) for r in exact.collect()}
+    a = {(r.query_id, r.nbr_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
+
+
+def test_ivf_finds_cellmates(spark):
+    """Two tight clusters: with enough probes to cover a cluster's
+    cells, IVF returns the same neighbors as the exact baseline."""
+    vecs = []
+    for i in range(20):
+        vecs.append((i, [10.0 + i * 0.01, 1.0, 0.0]))        # cluster A
+        vecs.append((100 + i, [0.0, 1.0, 10.0 + i * 0.01]))  # cluster B
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id").isin(0, 100))
+    exact = similarity.cosine_topk(df, q, k=5)
+    approx = similarity.ivf_cosine_topk(df, q, dim=3, k=5, stride=10, nprobe=2)
+    e = sorted((r.query_id, r.nbr_id, r.rank) for r in exact.collect())
+    a = sorted((r.query_id, r.nbr_id, r.rank) for r in approx.collect())
+    assert e == a
+
+
+def test_ivf_each_vector_in_one_cell(spark):
+    vecs = [(i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6), float(i % 5 + 1)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(df, stride=8)
+    assert [c[0] for c in cents] == [0, 8, 16, 24, 32]
+    # nprobe > ncentroids degrades to exact search, not an error
+    q = df.filter(F.col("vec_id") == 0)
+    exact = similarity.cosine_topk(df, q, k=3)
+    full = similarity.ivf_cosine_topk(df, q, dim=3, k=3, stride=8, nprobe=99)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full.collect()))
+
+
 def test_lsh_strategies_agree(spark):
     vecs = [(i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6), float(i % 5 + 1), float((i * 5) % 9 - 4)]) for i in range(60)]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")

@@ -269,6 +269,140 @@ def lsh_cosine_topk(
     )
 
 
+# ----------------------------------------------------------- IVF-flat ANN
+
+
+def _py_norm(vec: list[float]) -> float:
+    """Euclidean norm as a strict left fold in double — bit-identical
+    to ``sqrt(_dsum_products(v, v))`` in Spark and ``sqrt(list_reduce
+    (...))`` in DuckDB (same op sequence, same IEEE rounding)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic sampled coarse quantizer: every ``stride``-th
+    vector by id, collected to the driver as ``(cid, vector, norm)``.
+
+    The collect is the bounded model-fetch a production IVF index
+    performs anyway — C = N/stride centroid vectors, the same driver
+    footprint as ``KMeansModel.clusterCenters()`` before broadcasting
+    a trained quantizer. Sampling instead of k-means keeps the
+    quantizer a pure function of the corpus, so the DuckDB oracle
+    can re-derive it exactly in SQL."""
+    rows = (
+        corpus.filter(F.col(id_col) % stride == 0)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    cents = sorted((r.cid, [float(x) for x in r.cvec]) for r in rows)
+    if not cents:
+        raise ValueError(f"no centroids: stride {stride} matched no {id_col}")
+    return [(cid, vec, _py_norm(vec)) for cid, vec in cents]
+
+
+def _cell_structs(
+    vec: Column, norm: Column, cents: list[tuple[int, list[float], float]]
+) -> Column:
+    """array<struct<ccos, negid>> of the row's cosine to every
+    centroid; struct ordering makes max = (best cosine, lowest cid)."""
+    return F.array(
+        *[
+            F.struct(
+                (
+                    _dsum_products(vec, F.array(*[F.lit(v) for v in cvec]))
+                    / (norm * F.lit(cnorm))
+                ).alias("ccos"),
+                F.lit(-cid).cast("long").alias("negid"),
+            )
+            for cid, cvec, cnorm in cents
+        ]
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    stride: int = 50,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into inverted
+    lists by nearest sampled centroid, search only each query's
+    ``nprobe`` closest lists. Same output shape as :func:`cosine_topk`.
+
+    The 100 TB shape, stage by stage:
+
+    - **quantizer**: C = N/stride centroids, driver-collected once
+      (bounded, like shipping a trained k-means model) and inlined as
+      plan literals — executors assign cells in a *map-side
+      projection*, zero shuffle, one corpus scan.
+    - **cell assignment**: argmax over C cosine expressions via
+      ``array_max`` on (ccos, -cid) structs — ties break to the
+      lowest cid, so assignment is deterministic and the DuckDB
+      oracle's ``ROW_NUMBER ... ORDER BY ccos DESC, cid ASC``
+      reproduces it exactly.
+    - **probe + join**: queries explode to (query, cid) rows and
+      broadcast-hash-join the assigned corpus on ``cid`` — cid is the
+      IVF list id and the natural partition key; a corpus vector is in
+      exactly one cell and probe cids are distinct, so no dedup step
+      is needed (unlike multi-table LSH).
+    - scanned fraction ≈ nprobe/C with recall set by how clustered
+      the corpus is; on the driver corpus (stride 50, nprobe 4) the
+      recall@10 ≥ 0.9 floor is asserted in tests against the exact
+      baseline."""
+    cents = ivf_centroids(corpus, stride, id_col, vec_col)
+    norm = F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
+    cells = _cell_structs(F.col(vec_col), norm, cents)
+    cv = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nvec"),
+        norm.alias("nnorm"),
+        (-F.array_max(cells).getField("negid")).alias("cid"),
+    )
+    probes = F.transform(
+        F.slice(F.reverse(F.array_sort(cells)), 1, nprobe),
+        lambda s: -s.getField("negid"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm.alias("qnorm"),
+        F.explode(probes).alias("cid"),
+    )
+    scored = (
+        F.broadcast(qv)
+        .join(cv, "cid")
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                _dsum_products(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def neardup_pairs(
     vectors: DataFrame,
     threshold: float = 0.999,

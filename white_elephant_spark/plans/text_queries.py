@@ -293,6 +293,55 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_STRIDE, _IVF_NPROBE = 50, 4
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {similarity.sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid ASC
+         ) AS rn
+  FROM embeddings e, cents c
+),
+cells AS (SELECT vec_id AS nbr_id, embedding AS nvec, cid FROM assign WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cid
+  FROM assign WHERE rn <= {_IVF_NPROBE} AND vec_id % 100 = 0
+),
+scored AS (
+  SELECT p.query_id, a.nbr_id, {similarity.sql_cosine('p.qvec', 'a.nvec')} AS cos_sim
+  FROM probes p JOIN cells a ON a.cid = p.cid AND a.nbr_id <> p.query_id
+)
+SELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 10
+""",
+    tags=("similarity", "topk", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: corpus partitioned into inverted lists by nearest
+    sampled centroid (deterministic quantizer — every 50th vector),
+    each query probes its 4 closest lists. Complements ``ann_lsh_topk``:
+    IVF prunes by *cell locality* (strong on clustered corpora, the
+    vector-search workhorse), LSH by sign-sketch collision. Cell
+    assignment is a map-side expression over driver-inlined centroid
+    literals — one scan, zero shuffle before the cid-keyed candidate
+    join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_cosine_topk(
+        emb, queries, dim=64, k=10, stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
+    )
+
+
 @register(
     "embedding_neardup",
     oracle=f"""
