@@ -292,3 +292,40 @@ def test_lsh_strategies_agree(spark):
     ra = sorted((r.query_id, r.nbr_id, r.rank) for r in a.collect())
     rb = sorted((r.query_id, r.nbr_id, r.rank) for r in b.collect())
     assert ra == rb and len(ra) > 0
+
+
+# ------------------------------------------------- cluster assembly
+
+
+def test_connected_components_chain(spark):
+    # A-B, B-C, plus an isolated pair D-E: transitivity must pull C
+    # into A's cluster even though (A, C) is not a pair.
+    from white_elephant_spark.operators import clustering
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r.node: r.cluster_id
+        for r in clustering.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_attach_clusters_singletons_and_representatives(spark):
+    from white_elephant_spark.operators import clustering
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    rows = {
+        r.doc_id: r for r in clustering.attach_clusters(docs, pairs).collect()
+    }
+    assert rows[99].cluster_id == 99 and rows[99].cluster_size == 1
+    assert rows[99].is_representative
+    assert [rows[i].cluster_id for i in (1, 2, 3)] == [1, 1, 1]
+    assert rows[1].is_representative and not rows[2].is_representative
+    assert rows[2].cluster_size == 3 and rows[10].cluster_size == 2

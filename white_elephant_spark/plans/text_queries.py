@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from white_elephant_spark.functions import text as tx
-from white_elephant_spark.operators import dedup, multimodal, similarity
+from white_elephant_spark.operators import clustering, dedup, multimodal, similarity
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.sources.catalog import load_table
 
@@ -103,6 +103,49 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dedup_simhash``'s fingerprints."""
     fps = dedup.simhash32(_docs_with_copies(spark, sf_dir))
     return dedup.simhash_neardup_pairs(fps, max_hamming=3, bands=4)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_DOCS_COPIES_SQL.lstrip()},
+fp AS (
+  {dedup.sql_simhash32('text', 'doc_id').replace('FROM documents', 'FROM docs').strip()}
+),
+slices AS (
+  SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM slices a JOIN slices b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+{clustering.sql_connected_components('pairs').strip()},
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM docs d LEFT JOIN components c ON d.doc_id = c.node
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM labeled GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id AS is_representative
+FROM labeled l JOIN sizes s USING (cluster_id)
+""",
+    tags=("dedup", "clustering"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assembly: SimHash near-dup pairs → iterative
+    min-label connected components → every doc labeled with its
+    transitive duplicate cluster, cluster population, and a
+    deterministic representative flag. The step after pair-finding
+    that an "A≈B, B≈C" corpus needs before it can drop B *and* C."""
+    docs = _docs_with_copies(spark, sf_dir)
+    fps = dedup.simhash32(docs)
+    pairs = dedup.simhash_neardup_pairs(fps, max_hamming=3, bands=4)
+    return clustering.attach_clusters(docs, pairs)
 
 
 @register(
@@ -332,9 +375,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     each query probes its 4 closest lists. Complements ``ann_lsh_topk``:
     IVF prunes by *cell locality* (strong on clustered corpora, the
     vector-search workhorse), LSH by sign-sketch collision. Cell
-    assignment is a map-side expression over driver-inlined centroid
-    literals — one scan, zero shuffle before the cid-keyed candidate
-    join."""
+    assignment is a map-side Arrow-batched ranking against the
+    broadcast centroid matrix — one scan, zero shuffle before the
+    cid-keyed candidate join."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.ivf_cosine_topk(
