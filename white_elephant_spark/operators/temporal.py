@@ -1,0 +1,185 @@
+"""Temporal joins and sessionization: as-of join, interval (range)
+join, gap-based batch sessions.
+
+The reference engine has no temporal-join operator (its joins are the
+jobId equi-joins of SURVEY.md §2.3); these are the time-series
+operations a training-data / telemetry pipeline needs next to them —
+"attach the most recent dimension state to each fact", "find facts
+inside windows", "cut event streams into sessions".
+
+Spark-first shapes, chosen for the 100 TB case:
+
+- **As-of join = union + window, one shuffle.** Tag both inputs,
+  union them, and take ``last(payload, ignorenulls=True)`` over a
+  (key)-partitioned window ordered by (time, side). Right rows sort
+  *before* left rows at equal timestamps, so the match is inclusive
+  (``l.t >= r.t``) exactly like DuckDB's ``ASOF JOIN``. Cost: one
+  shuffle on the join key for both sides together — no per-key
+  driver loops, no range explosion, no broadcast requirement. This
+  is the classic scalable as-of shape (the same plan Flink's
+  temporal join and kdb's aj compile to).
+- **Keyless interval join = day-bucket banding.** Without an equi
+  key, a naive range join is a cartesian product. Explode each
+  interval to the coarse time buckets it covers (bounded fan-out =
+  interval span / bucket width), map each fact row to its bucket, and
+  equi-join on the bucket before the exact containment filter. The
+  bucket is the shuffle key; Catalyst runs a plain hash join.
+- **Sessionization = lag + running count.** A new-session flag
+  (gap > threshold) cumulatively summed over the per-user window is
+  the standard two-window formulation; one shuffle on user.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_time <= left_time`` (``direction="backward"``, inclusive)
+    or the least ``right_time >= left_time`` (``"forward"``) within
+    the same ``key`` group. Unmatched left rows keep nulls.
+
+    ``right`` must be unique per (key, right_time) — pre-aggregate it
+    otherwise (ties would make any engine's pick arbitrary). Output:
+    all left columns, plus every non-key right column (right's time
+    column included, as matched state).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    r_payload = [c for c in right.columns if c != key]
+    l_side = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_side = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*r_payload).alias("_r"),
+    )
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_side").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_side").asc()]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l_side.unionByName(r_side)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
+        F.col(f"_m.{c}").alias(c) for c in r_payload
+    ]
+    return matched.select(*out_cols)
+
+
+def sql_asof_join(
+    left_cte: str,
+    right_cte: str,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> str:
+    """DuckDB twin: native ``ASOF LEFT JOIN`` (backward, inclusive)."""
+    lsel = ", ".join(f"l.{c}" for c in left_cols)
+    rsel = ", ".join(f"r.{c}" for c in right_cols)
+    return (
+        f"SELECT {lsel}, {rsel} FROM {left_cte} l ASOF LEFT JOIN {right_cte} r"
+        f" ON l.{key} = r.{key} AND l.{left_time} >= r.{right_time}"
+    )
+
+
+def interval_join(
+    facts: DataFrame,
+    windows: DataFrame,
+    fact_time: str,
+    win_start: str,
+    win_end: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Keyless range join: every (fact, window) pair with
+    ``win_start <= fact_time < win_end``, via coarse-bucket banding.
+
+    Each window row explodes to the ``bucket``-width time buckets its
+    interval covers (fan-out = ceil(span / bucket) + 1, bounded by
+    the widest interval); each fact maps to exactly one bucket. The
+    equi-join on the bucket turns the range predicate into a hash
+    join + residual filter — never a cartesian product. Output: all
+    window columns, then all fact columns.
+    """
+    w_bkts = windows.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col(win_start)),
+                F.date_trunc("day", F.col(win_end)),
+                F.expr(f"interval {bucket}"),
+            )
+        ),
+    )
+    f_bkts = facts.withColumn("_bkt", F.date_trunc("day", F.col(fact_time)))
+    return (
+        w_bkts.join(f_bkts, "_bkt")
+        .filter(
+            (F.col(fact_time) >= F.col(win_start))
+            & (F.col(fact_time) < F.col(win_end))
+        )
+        .select(*windows.columns, *facts.columns)
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since
+    the user's previous event exceeds ``gap_minutes``. Returns the
+    input with ``session_seq`` (1-based per-user session counter)
+    attached — aggregate downstream for per-session rollups.
+
+    ``tiebreak`` (e.g. the event id) totally orders equal timestamps
+    so the lag — and therefore the session cut — is deterministic.
+    One shuffle on the user column; both windows share it.
+    """
+    order = [time_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    # Gap math in integer microseconds (unix_micros / DuckDB epoch_us)
+    # — never float seconds, so a 1800.000001s gap cuts identically in
+    # both engines.
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(prev.isNull() | (us - prev > gap_us), 1).otherwise(0)
+    return events.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )

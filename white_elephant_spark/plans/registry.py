@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
         core_queries,
         pipeline_queries,
         scale_queries,
+        temporal_queries,
         text_queries,
     )
 

@@ -1,0 +1,148 @@
+"""Temporal-operator queries: as-of join, keyless interval join,
+batch sessionization — each with a DuckDB oracle (native ASOF JOIN /
+inequality join / window SQL) derived from the base tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from white_elephant_spark.functions.compat import dsum, sql_dsum
+from white_elephant_spark.operators import temporal
+from white_elephant_spark.plans.registry import register
+from white_elephant_spark.sources.catalog import load_table
+
+
+@register(
+    "asof_latest_order_per_event",
+    oracle="""
+WITH od AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         MAX(o_orderkey) AS o_orderkey,
+         max_by(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+),
+ev AS (SELECT event_id, user_id, ts FROM events)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderdate, o.o_orderkey, o.o_totalprice
+FROM ev e ASOF LEFT JOIN od o
+  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+""",
+    tags=("temporal", "join", "window"),
+)
+def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks up the customer's most
+    recent order state at the event's timestamp (orders first deduped
+    to one row per (custkey, orderdate) via arg-max on orderkey, so
+    the match is well-defined). Union+window shape — one shuffle on
+    the key for both inputs; the oracle is DuckDB's native ASOF
+    JOIN."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+        )
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+    )
+    return temporal.asof_join(
+        ev, od, key="user_id", left_time="ts", right_time="o_orderdate"
+    )
+
+
+@register(
+    "interval_join_busy_windows",
+    oracle=f"""
+WITH wins AS (
+  SELECT day AS win_start, day + INTERVAL 3 DAY AS win_end
+  FROM (
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY 1
+    ORDER BY n DESC, day ASC LIMIT 5
+  )
+)
+SELECT w.win_start, w.win_end, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('e.value')} AS total_value
+FROM wins w JOIN events e
+  ON e.ts >= w.win_start AND e.ts < w.win_end
+GROUP BY 1, 2, 3
+""",
+    tags=("temporal", "join", "range"),
+)
+def interval_join_busy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join: the 5 busiest days open 3-day windows;
+    every event falling inside any window is matched and rolled up
+    per (window, event_type). Day-bucket banding turns the range
+    predicate into an equi-join (bounded fan-out: 4 buckets per
+    window) — the oracle does the naive inequality join, which is
+    only viable at oracle scale."""
+    ev = load_table(spark, sf_dir, "events")
+    wins = (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("day").asc())
+        .limit(5)
+        .select(
+            F.col("day").alias("win_start"),
+            (F.col("day") + F.expr("interval 3 day")).alias("win_end"),
+        )
+    )
+    joined = temporal.interval_join(
+        ev.select("ts", "event_type", "value"),
+        wins,
+        fact_time="ts",
+        win_start="win_start",
+        win_end="win_end",
+    )
+    return joined.groupBy("win_start", "win_end", "event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+
+
+@register(
+    "event_sessions_batch",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM sess GROUP BY 1, 2
+""",
+    tags=("temporal", "window", "session"),
+)
+def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization (30-min gap): the offline twin of the
+    streaming ``streaming_job_sessions`` operator, cut with lag +
+    running-sum windows and rolled up per session. Gap math is
+    integer microseconds so both engines cut identically."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    s = temporal.sessionize(ev, gap_minutes=30, tiebreak="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
