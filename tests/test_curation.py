@@ -1,0 +1,114 @@
+"""Behavioral tests for sampling, splitting, scrubbing, relevance,
+and packing operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from white_elephant_spark.functions import text as tx
+from white_elephant_spark.operators import packing, relevance, sampling
+
+
+def test_hash_sample_partitioning_invariant(spark):
+    # Identical selection regardless of physical layout — the property
+    # df.sample() lacks.
+    df1 = spark.range(0, 2000).repartition(1)
+    df32 = spark.range(0, 2000).repartition(32)
+    kept = lambda df: sorted(
+        r.id for r in df.filter(sampling.hash_bucket(F.col("id"), 100, "s1") < 25).collect()
+    )
+    k1, k32 = kept(df1), kept(df32)
+    assert k1 == k32
+    assert 0.18 < len(k1) / 2000 < 0.32  # ~25%
+
+
+def test_stratified_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], "id long, s string"
+    )
+    out = sampling.stratified_sample(
+        df, "s", {"a": 50}, default_rate=5, id_col="id"
+    ).groupBy("s").count().collect()
+    n = {r.s: r["count"] for r in out}
+    assert 400 < n["a"] < 600      # ~50% of 1000
+    assert 20 < n.get("b", 0) < 90  # ~5% of 1000
+
+
+def test_split_by_cluster_never_straddles(spark):
+    docs = spark.createDataFrame(
+        [(i, i % 50) for i in range(500)], "doc_id long, cluster_id long"
+    )
+    out = sampling.split_by_cluster(docs, train_pct=80)
+    per_cluster = (
+        out.groupBy("cluster_id").agg(F.count_distinct("split").alias("k")).collect()
+    )
+    assert all(r.k == 1 for r in per_cluster)
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "test"}
+
+
+def test_scrub_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail Bob.Smith+x@corp.example.org and https://a.b/c?d=1 now"),
+         (2, "no pii   here\tat all")],
+        "id long, text string",
+    )
+    n_emails, n_urls = tx.pii_counts(F.col("text"))
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            n_emails.alias("ne"),
+            n_urls.alias("nu"),
+            tx.normalize_text(tx.scrub_pii(F.col("text"))).alias("clean"),
+        ).collect()
+    }
+    assert (out[1].ne, out[1].nu) == (1, 1)
+    assert out[1].clean == "mail <email> and <url> now"
+    assert (out[2].ne, out[2].nu) == (0, 0)
+    assert out[2].clean == "no pii here at all"
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare1"),
+            (2, "common rare2 rare2"),
+            (3, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    top = relevance.tfidf_top_terms(docs, k=1).collect()
+    best = {r.doc_id: r.term for r in top}
+    assert best[1] == "rare1" and best[2] == "rare2"
+    assert best[3] == "common"  # only term present
+
+
+def test_bm25_rewards_tf_and_brevity(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "q q q pad"),
+            (2, "q pad pad pad pad pad pad pad"),
+            (3, "pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bm25 for r in relevance.bm25_scores(docs, ["q"]).collect()}
+    assert set(out) == {1, 2}           # doc 3 has no query term
+    assert out[1] > out[2] > 0
+
+
+def test_pack_linear_boundaries(spark):
+    # One shard; tokens 300+300 cross the 512 boundary: the second doc
+    # starts at offset 300 and still belongs to bin 0; the third doc
+    # starts at 600 -> bin 1, offset 88.
+    docs = spark.createDataFrame(
+        [(0, 300), (8, 300), (16, 100)], "doc_id long, ntok long"
+    )
+    out = {
+        r.doc_id: (r.bin, r.bin_offset)
+        for r in packing.pack_linear(docs, "ntok", budget=512, shards=8).collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[8] == (0, 300)
+    assert out[16] == (1, 600 - 512)

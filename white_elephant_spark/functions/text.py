@@ -163,3 +163,53 @@ def sql_fingerprint(expr: str) -> str:
     return (
         f"md5(array_to_string(list_sort(list_distinct(string_split({expr}, ' '))), ' '))"
     )
+
+
+# ------------------------------------------------------ scrubbing
+# Patterns kept to the Java-regex ∩ RE2 common subset so Spark and
+# DuckDB match the exact same spans.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^ ]+"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then URLs to typed placeholder tokens — the
+    corpus-prep PII pass. Order is fixed (emails first) so both
+    engines rewrite identical spans."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, URL_RE, "<URL>")
+
+
+def sql_scrub_pii(expr: str) -> str:
+    # DuckDB replaces only the first match without the 'g' flag.
+    return (
+        f"regexp_replace(regexp_replace({expr}, '{EMAIL_RE}', '<EMAIL>', 'g'),"
+        f" '{URL_RE}', '<URL>', 'g')"
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_urls) found in the raw text."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long"),
+        F.regexp_count(text, F.lit(URL_RE)).cast("long"),
+    )
+
+
+def sql_pii_counts(expr: str) -> tuple[str, str]:
+    return (
+        f"CAST(len(regexp_extract_all({expr}, '{EMAIL_RE}')) AS BIGINT)",
+        f"CAST(len(regexp_extract_all({expr}, '{URL_RE}')) AS BIGINT)",
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form: lowercase, collapse whitespace runs to a
+    single space, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[ \t\r\n]+", " "))
+
+
+def sql_normalize_text(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(lower({expr}), '[ \\t\\r\\n]+', ' ', 'g'))"
+    )

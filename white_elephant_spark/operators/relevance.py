@@ -1,0 +1,177 @@
+"""Term relevance: TF-IDF and BM25 over the document corpus.
+
+Spark-first shapes for corpus scale:
+
+- The term index (explode → groupBy) shuffles narrow (doc_id, term)
+  rows once; document frequency aggregates from the term index, not
+  a second scan.
+- Corpus-level scalars (N, average doc length) are 1-row aggregates
+  attached by ``crossJoin(broadcast(...))`` — fully declarative, no
+  driver round-trip, so the whole query stays one Catalyst plan.
+- Scores avoid transcendental functions: the classic ``log`` idf is
+  replaced by the monotone rational form ``(N+1)/(df+1)`` (TF-IDF)
+  and the BM25 idf numerator/denominator ratio without the log.
+  Rankings are identical (the transform is order-preserving in df)
+  and every arithmetic step is a rational function evaluated in a
+  fixed order, so Spark and DuckDB produce bit-identical doubles —
+  log/ln would differ in the last ulp between libm implementations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from white_elephant_spark.functions import text as tx
+from white_elephant_spark.functions.compat import dsum, sql_dsum
+
+
+def term_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, term, tf) — term frequency per document."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(tx.tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by rational-idf TF-IDF
+    score ``tf · (N+1)/(df+1)``; ties break lexicographically."""
+    idx = term_index(docs, id_col, text_col)
+    dfreq = idx.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        idx.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * ((F.col("n_docs") + F.lit(1)).cast("double") / (F.col("df") + F.lit(1)))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("rank").cast("long").alias("rank"), "score")
+    )
+
+
+def sql_tfidf_top_terms(docs_cte: str, k: int = 3) -> str:
+    """DuckDB twin over a CTE with (doc_id, text)."""
+    return f"""
+idx AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {docs_cte})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM idx GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM {docs_cte}),
+scored AS (
+  SELECT doc_id, idx.term,
+         CAST(tf AS DOUBLE)
+           * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
+  FROM idx JOIN dfreq ON idx.term = dfreq.term CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id
+           ORDER BY score DESC, term ASC) AS BIGINT) AS rank, score
+  FROM scored
+)
+SELECT doc_id, term, rank, score FROM ranked WHERE rank <= {k}
+"""
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 relevance of every matching document to a bag-of-terms
+    query, log-free idf ``(N - df + 0.5)/(df + 0.5)`` (rank-equivalent
+    to the standard form). Returns (doc_id, bm25) for docs containing
+    at least one query term."""
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        tx.token_count(F.col(text_col)).alias("dl"),
+    )
+    idx = term_index(base, "doc_id", "text").filter(F.col("term").isin(query_terms))
+    dfreq = idx.groupBy("term").agg(F.count("*").alias("df"))
+    scal = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    return (
+        idx.join(dfreq, "term")
+        .join(base.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            (
+                (
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0)
+                            - F.lit(b)
+                            + F.lit(b) * (F.col("dl") / F.col("avgdl"))
+                        )
+                    )
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        # DECIMAL-routed sum: per-term double scores are exact in both
+        # engines, but their summation order is not — see compat.py.
+        .agg(dsum("term_score").alias("bm25"))
+    )
+
+
+def sql_bm25_scores(docs_cte: str, query_terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB twin over a CTE with (doc_id, text)."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+base AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM {docs_cte}
+),
+idx AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM base)
+  GROUP BY 1, 2
+  HAVING term IN ({terms})
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM idx GROUP BY 1),
+scal AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+)
+SELECT doc_id,
+       {sql_dsum(f'((n_docs - df + 0.5) / (df + 0.5))'
+                 f' * ((tf * {k1 + 1.0}) / (tf + {k1} * (1.0 - {b} + {b} * (dl / avgdl))))')} AS bm25
+FROM idx JOIN dfreq ON idx.term = dfreq.term
+         JOIN base USING (doc_id)
+         CROSS JOIN scal
+GROUP BY doc_id
+"""

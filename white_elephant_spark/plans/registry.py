@@ -51,6 +51,7 @@ def all_queries() -> dict[str, QueryDef]:
     # Import side-effect modules that populate the registry.
     from white_elephant_spark.plans import (  # noqa: F401
         core_queries,
+        curation_queries,
         pipeline_queries,
         scale_queries,
         temporal_queries,
