@@ -54,6 +54,7 @@ def all_queries() -> dict[str, QueryDef]:
         curation_queries,
         pipeline_queries,
         scale_queries,
+        sketch_queries,
         temporal_queries,
         text_queries,
     )

@@ -1,0 +1,140 @@
+"""Sketch queries: deterministic HLL / count-min / Bloom over the
+events and customer tables — approximate operators whose sketches are
+engine-portable, so even the approximation error is oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from white_elephant_spark.operators import sketches
+from white_elephant_spark.plans.registry import register
+from white_elephant_spark.sources.catalog import load_table
+
+
+# sql_hll_estimate emits "<ctes> SELECT ... FROM regs"; rewrap its
+# final SELECT as one more CTE so the query can join the exact count.
+_HLL_CTES = (
+    sketches.sql_hll_estimate("ev", "user_id", p=8)
+    .strip()
+    .replace(")\nSELECT ", "),\nest AS (SELECT ", 1)
+    .replace("FROM regs", "FROM regs),", 1)
+)
+
+
+@register(
+    "hll_distinct_users",
+    oracle=f"""
+WITH ev AS (SELECT user_id FROM events),
+{_HLL_CTES}
+exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM ev)
+SELECT hll_estimate, n_registers, exact_distinct,
+       (hll_estimate - exact_distinct) / exact_distinct AS rel_err
+FROM est CROSS JOIN exact
+""",
+    tags=("sketch", "agg"),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (p=8, md5 hash, trailing-zero rank):
+    the distinct-user estimate, the exact answer, and the realized
+    relative error — all hash-checked against the oracle, because the
+    sketch is engine-portable (unlike ``approx_count_distinct``,
+    whose HLL++ state is engine-private). MAX-merged registers: one
+    narrow shuffle of ≤2^p rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    est = sketches.hll_estimate(ev, "user_id", p=8)
+    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "hll_estimate",
+        "n_registers",
+        "exact_distinct",
+        (
+            (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_err"),
+    )
+
+
+@register(
+    "cms_event_type_counts",
+    oracle=f"""
+WITH ev AS (SELECT event_type FROM events),
+kt AS (SELECT DISTINCT event_type FROM events),
+{sketches.sql_cms_estimate('ev', 'event_type', 'kt', 'event_type', d=4, w=64).strip()}
+""",
+    tags=("sketch", "agg"),
+)
+def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4×64 integer cells) frequency estimates for
+    every distinct event type — overestimates only, by construction;
+    the d×w sketch is mergeable by cell sum and broadcasts to the
+    probe side."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    sketch = sketches.cms_table(ev, "event_type", d=4, w=64)
+    keys = ev.distinct()
+    return sketches.cms_estimate(sketch, keys, "event_type", d=4, w=64)
+
+
+def _sql_bloom_pos(expr: str, j: int, m: int) -> str:
+    return f"CAST(({sketches.sql_hash64(expr, f'bloom{j}')}) % {m} AS INTEGER)"
+
+
+@register(
+    "bloom_prefilter_events",
+    oracle=f"""
+WITH hv AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= 9000),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {' UNION ALL '.join(f"SELECT {_sql_bloom_pos('c_custkey', j, 1024)} AS pos FROM hv" for j in range(3))}
+  )
+),
+probe AS (
+  SELECT user_id,
+         {' AND '.join(f"({_sql_bloom_pos('user_id', j, 1024)}) IN (SELECT pos FROM bits)" for j in range(3))}
+           AS might_contain,
+         user_id IN (SELECT c_custkey FROM hv) AS actual
+  FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+       CAST(SUM(CASE WHEN might_contain THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+       CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+       CAST(SUM(CASE WHEN might_contain AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM probe
+""",
+    tags=("sketch", "join"),
+)
+def bloom_prefilter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join prefilter: the high-balance customer key
+    set lights 3×md5 bits in a 1024-bit filter; the big (events) side
+    is probed map-side via one broadcast row — no shuffle of the
+    probe side, the standard 100 TB prefilter before an expensive
+    join. Output counts include the realized false-positive tally,
+    which the oracle reproduces exactly because the hash family is
+    fixed."""
+    hv = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 9000)
+        .select("c_custkey")
+        .distinct()
+    )
+    bits = sketches.bloom_bits(hv, "c_custkey", m=1024, k=3)
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    probed = sketches.bloom_probe(ev, bits, "user_id", m=1024, k=3)
+    actual = probed.join(
+        hv.select(F.col("c_custkey").alias("user_id")).withColumn(
+            "actual", F.lit(True)
+        ),
+        "user_id",
+        "left",
+    ).withColumn("actual", F.coalesce(F.col("actual"), F.lit(False)))
+    return actual.agg(
+        F.count("*").cast("long").alias("n_probed"),
+        F.sum(F.when(F.col("might_contain"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("long").alias("n_actual"),
+        F.sum(F.when(F.col("might_contain") & ~F.col("actual"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
