@@ -52,6 +52,12 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_quality",
     "token_stats",
+    "asof_latest_order_per_event",
+    "event_sessions_batch",
+    "dedup_clusters",
+    "tfidf_top_terms",
+    "pack_sequences",
+    "hll_distinct_users",
 ]
 
 

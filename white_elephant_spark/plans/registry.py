@@ -53,6 +53,7 @@ def all_queries() -> dict[str, QueryDef]:
         core_queries,
         curation_queries,
         pipeline_queries,
+        relational_queries,
         scale_queries,
         sketch_queries,
         temporal_queries,

@@ -1,0 +1,166 @@
+"""Relational-surface queries: pivot, cube, set operations, JSON
+extraction, deterministic per-group sampling — the remaining ANSI/
+DataFrame API surface a reference user would expect an analytics
+engine to cover, each oracle-paired."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from white_elephant_spark.functions.compat import dsum, sql_dsum
+from white_elephant_spark.plans.registry import register
+from white_elephant_spark.sources.catalog import load_table
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_COLS = ", ".join(
+    sql_dsum("CASE WHEN event_type = '%s' THEN value END" % t) + " AS " + t
+    for t in _EVENT_TYPES
+)
+
+
+@register(
+    "pivot_event_values",
+    oracle=f"""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, {_PIVOT_COLS}
+FROM events GROUP BY 1
+""",
+    tags=("pivot", "agg"),
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type value matrix via ``pivot`` with an explicit
+    value list (never the implicit-distinct form — that takes an
+    extra collect-distinct job and makes the output schema
+    data-dependent, both wrong at scale). The oracle is the
+    conditional-aggregation expansion pivot desugars to."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(dsum("value"))
+    )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("cube", "agg"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with grouping indicators —
+    all four aggregation levels in one pass (Spark expands the
+    grouping sets before the shuffle, so it is still a single
+    exchange). Extends the reference's fixed dimension cube
+    (aggregate! blocks) to the ad-hoc multi-level form."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "repeat_customers_setops",
+    oracle="""
+SELECT c_custkey FROM (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
+""",
+    tags=("setops",),
+)
+def repeat_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra: customers ordering in both 1995
+    and 1996, minus any with a finalized order. Spark plans set ops as
+    aggregate-style hash joins on the full row — same shuffle shape as
+    a distinct, no special casing needed at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    y96 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    fin = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    # subtract = EXCEPT DISTINCT, matching the SQL EXCEPT above
+    # (exceptAll would be EXCEPT ALL — different on duplicate rows).
+    return y95.intersect(y96).subtract(fin)
+
+
+@register(
+    "json_props_rollup",
+    oracle=f"""
+SELECT event_type, json_extract_string(props, '$.k') AS k,
+       CAST(COUNT(*) AS BIGINT) AS n, {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("json", "agg"),
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction in the hot path (``get_json_object``,
+    JVM-side) feeding a rollup — the semi-structured column pattern;
+    null extractions group as their own bucket in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.get_json_object(F.col("props"), "$.k").alias("k")
+    ).agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+
+
+@register(
+    "per_group_hash_sample",
+    oracle="""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY md5('s2' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents
+)
+WHERE rk <= 3
+""",
+    tags=("sampling", "window", "topk"),
+)
+def per_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling: rank by content hash inside each
+    group and keep the first k — a deterministic reservoir
+    (reproducible on any partitioning, unlike RNG reservoirs), the
+    standard way to pull fixed-size per-language eval sets from a
+    100 TB corpus. One shuffle on the group key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("s2"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
