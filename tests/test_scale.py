@@ -87,3 +87,37 @@ def test_salted_rollup_spreads_hot_key(spark):
         with_salt(df, 16).filter(F.col("key") == "hot").select(_SALT).distinct().count()
     )
     assert shards > 8
+
+
+def test_asof_join_single_shuffle(spark):
+    # union+window as-of: both inputs shuffle ONCE together on the key
+    # — no per-key loop, no range join, no broadcast requirement.
+    from white_elephant_spark.operators.temporal import asof_join
+
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("t"), F.col("id").alias("payload")
+    )
+    right = spark.range(0, 200).select(
+        (F.col("id") % 50).alias("k"), (F.col("id") * 7).alias("rt"), F.lit(1.0).alias("state")
+    )
+    out = asof_join(left, right, key="k", left_time="t", right_time="rt")
+    plan = _formatted_plan(out)
+    # count Exchange *nodes* (detail headers), not string occurrences
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert out.count() == 1000  # every left row survives
+
+
+def test_bloom_probe_is_map_side(spark):
+    # probe side must not shuffle: one broadcast row + filter.
+    from white_elephant_spark.operators.sketches import bloom_bits, bloom_probe
+
+    members = spark.range(0, 100).select(F.col("id").alias("v"))
+    bits = bloom_bits(members, "v").localCheckpoint(eager=True)  # freeze build side
+    probe = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    out = bloom_probe(probe, bits, "v")
+    plan = _formatted_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # no hash-partition exchange of the probe side
+    assert "Exchange hashpartitioning" not in plan

@@ -146,3 +146,52 @@ def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
     )
+
+
+@register(
+    "streaming_dedup_events",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value FROM events
+""",
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the events table arrives as three
+    at-least-once deliveries (two copies, then a third in a later
+    ingestion cycle); keyed ``dropDuplicates`` state in the checkpoint
+    suppresses every re-delivery — within a batch, across batches, and
+    across ``availableNow`` restarts — so the sink holds exactly the
+    distinct source rows. Watermark bounds the seen-set to a 60-day
+    horizon (the state-size contract at scale)."""
+    import os
+    import shutil
+
+    from white_elephant_spark.streaming import dedup_stream as ds
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".scratch",
+        "streaming_dedup",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    inp, out, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    ev.unionAll(ev).write.mode("append").parquet(inp)
+    ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
+    ev.write.mode("append").parquet(inp)
+    ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
+
+    return spark.read.parquet(out).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
