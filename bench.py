@@ -27,39 +27,42 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_nation_revenue",
-    "rollup_hours_utc",
-    "rollup_weeks_los_angeles",
+    "rollup_time_units_tz",
     "topk_users_other",
     "dense_hour_axis_fill",
     "usage_cube_hourly",
-    "usage_timeseries_weekly",
+    "usage_json_api",
     "q10_returned_revenue_topk",
-    "orders_with_returns_semi",
+    "semi_anti_customer_join",
     "priority_conditional_agg",
     "bucketed_colocated_join",
     "skew_salted_event_rollup",
-    "union_clusters_rollup",
     "rolling_daily_window",
     "event_value_percentiles",
-    "latest_event_per_user",
     "dedup_exact",
-    "dedup_minhash_lsh",
+    "dedup_minhash_jaccard",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "text_quality",
-    "token_stats",
+    "text_profile",
     "asof_latest_order_per_event",
     "event_sessions_batch",
     "dedup_clusters",
-    "tfidf_top_terms",
+    "relevance_scores",
     "pack_sequences",
-    "hll_distinct_users",
+    "sketch_estimates",
 ]
 
+# Spark wall time above which a query runs once instead of twice (the
+# second run only exists to shed one-time codegen compile cost, which
+# is noise for a query this long).
+SINGLE_RUN_ABOVE = 8.0
+# Hard per-oracle DuckDB ceiling: one intractable oracle must degrade
+# to a flagged -1.0, never hang the whole artifact (the round-2 bench
+# died rc=124 inside an unbounded recursive-CTE oracle).
+ORACLE_TIMEOUT = 60.0
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -67,7 +70,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
     """Wall time per headline oracle on DuckDB (all cores, same
     parquet). CREATE TEMP TABLE AS forces full materialization without
-    paying Python row conversion — comparable to the noop sink."""
+    paying Python row conversion — comparable to the noop sink. Each
+    oracle runs under a hard timeout enforced by ``con.interrupt()``
+    from a timer thread; a timed-out or failing oracle records -1.0
+    (flagged, not hidden) and the run continues."""
+    import threading
+
     import duckdb
 
     con = duckdb.connect()
@@ -80,12 +88,16 @@ def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
         sql = qs[name].oracle
         if not sql:
             continue
+        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+        timer.start()
         t0 = time.time()
         try:
             con.execute(f"CREATE OR REPLACE TEMP TABLE _bench AS {sql}")
             out[name] = round(time.time() - t0, 3)
         except Exception:
-            out[name] = -1.0  # oracle not runnable standalone; flagged, not hidden
+            out[name] = -1.0  # timed out or not runnable standalone
+        finally:
+            timer.cancel()
     return out
 
 
@@ -111,11 +123,15 @@ def main() -> None:
     # Two runs per query, report the faster: the first run pays
     # one-time whole-stage-codegen compilation (~2-5s/plan), which
     # amortizes to zero at real scale; steady-state is the honest
-    # throughput number.
+    # throughput number. Queries whose first run already exceeds
+    # SINGLE_RUN_ABOVE run once — the compile cost is noise there and
+    # doubling them is what blew the round-2 wall-clock budget.
     times: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.time()
+        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = time.time() - t0
+        if best <= SINGLE_RUN_ABOVE:
             t0 = time.time()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -34,7 +34,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = the minimum node id reachable through the undirected
@@ -119,12 +119,75 @@ def attach_clusters(
     )
 
 
+def fingerprint_clusters(
+    docs: DataFrame,
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 8,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate clusters from SimHash fingerprints, **collapsed to
+    distinct fingerprints before pairing** — the 100 TB shape.
+
+    ``fps`` is (id, simhash) from :func:`white_elephant_spark.
+    operators.dedup.simhash64`. Stages:
+
+    1. group identical fingerprints: one node per distinct ``simhash``
+       labeled by its min doc id (``fid``). Equal fingerprints are
+       Hamming-0 connected, so this collapse is *exactness-preserving*
+       — the doc-level pair graph and the fingerprint-level graph have
+       identical transitive components. It is also the scale fix: a
+       corpus whose duplicate mass is M exact-ish copies of D
+       templates pairs O(M²) at doc level but O(D·bands) here.
+    2. radix-band candidate join over *distinct* fingerprints only
+       (complete for ``max_hamming ≤ bands - 1`` by pigeonhole),
+       exact ``bit_count(XOR)`` filter.
+    3. iterative min-label :func:`connected_components` over the
+       fingerprint graph — node count = distinct fingerprints, not
+       corpus rows.
+    4. map every document through its fingerprint to the component
+       label; singleton fingerprints keep their own min-doc-id label.
+
+    Output: (doc_id, cluster_id, cluster_size, is_representative) —
+    same contract as :func:`attach_clusters`; cluster_id is the min
+    doc id of the transitive cluster."""
+    from white_elephant_spark.operators.dedup import simhash_neardup_pairs
+
+    groups = (
+        fps.groupBy("simhash")
+        .agg(F.min("id").alias("fid"))
+        .select(F.col("fid").alias("id"), "simhash")
+        .localCheckpoint(eager=True)
+    )
+    fpairs = simhash_neardup_pairs(groups, max_hamming=max_hamming, bands=bands)
+    comp = connected_components(fpairs, max_iter=max_iter)
+    fid_label = groups.join(comp, groups.id == comp.node, "left").select(
+        F.col("simhash"),
+        F.coalesce(F.col("cluster_id"), F.col("id")).alias("label"),
+    )
+    labeled = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(fps, F.col("doc_id") == fps.id)
+        .join(fid_label, "simhash")
+        .select("doc_id", F.col("label").alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 def sql_connected_components(pairs_cte: str) -> str:
     """DuckDB oracle twin: transitive closure by recursive CTE over a
     pairs CTE with columns (id_a, id_b); returns (node, cluster_id).
-    O(V·E) — oracle-scale only, which is the point: the oracle derives
-    the answer by brute closure, independently of the engine's
-    iterative algorithm."""
+    O(V·E) in the closure — only tractable over a *bounded* pair set,
+    which is why every registered oracle feeds it fingerprint-level
+    edges (see :func:`sql_fingerprint_clusters`), never raw doc
+    pairs."""
     return f"""
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
@@ -139,5 +202,52 @@ reach(src, dst) AS (
 components AS (
   SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
   FROM reach GROUP BY src
+)
+"""
+
+
+def sql_fingerprint_clusters(
+    docs_cte: str, fp_sql: str, max_hamming: int = 3, bands: int = 8
+) -> str:
+    """DuckDB twin of :func:`fingerprint_clusters`: CTE chain from a
+    docs CTE (doc_id, text) and a fingerprint SELECT ``fp_sql``
+    (id, simhash) to a ``clusters`` CTE with columns
+    (doc_id, cluster_id, cluster_size, is_representative). Must be
+    embedded under ``WITH RECURSIVE``."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+fp AS (
+  {fp_sql.strip()}
+),
+fpg AS (
+  SELECT simhash, MIN(id) AS fid FROM fp GROUP BY simhash
+),
+slices AS (
+  SELECT fid, simhash, b AS band, (simhash >> (b * {width})) & {mask} AS bv
+  FROM fpg, (SELECT unnest(generate_series(0, {bands - 1})) AS b)
+),
+fpairs AS (
+  SELECT DISTINCT a.fid AS id_a, b.fid AS id_b
+  FROM slices a JOIN slices b ON a.band = b.band AND a.bv = b.bv AND a.fid < b.fid
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+),
+{sql_connected_components('fpairs').strip()},
+fid_label AS (
+  SELECT g.simhash, COALESCE(c.cluster_id, g.fid) AS label
+  FROM fpg g LEFT JOIN components c ON g.fid = c.node
+),
+doc_label AS (
+  SELECT d.doc_id, l.label AS cluster_id
+  FROM {docs_cte} d JOIN fp ON d.doc_id = fp.id JOIN fid_label l ON fp.simhash = l.simhash
+),
+csize AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM doc_label GROUP BY cluster_id
+),
+clusters AS (
+  SELECT dl.doc_id, dl.cluster_id, s.cluster_size,
+         dl.doc_id = dl.cluster_id AS is_representative
+  FROM doc_label dl JOIN csize s USING (cluster_id)
 )
 """

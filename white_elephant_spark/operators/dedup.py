@@ -130,13 +130,14 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
         )
     sigs = minhash_signatures(df, text_col, id_col, k=k, n=n)
-    cand = lsh_candidate_pairs(sigs, bands=bands, rows=rows, k=k).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(sigs, bands=bands, rows=rows, k=k)
     return (
         cand.join(base.select(F.col("id").alias("id_a"), F.col("grams").alias("ga")), "id_a")
         .join(base.select(F.col("id").alias("id_b"), F.col("grams").alias("gb")), "id_b")
         .select(
             "id_a",
             "id_b",
+            "est_sim",
             _jaccard(F.col("ga"), F.col("gb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -229,12 +230,26 @@ def lsh_candidate_pairs(
 
 # --------------------------------------------------------------- SimHash
 
+_LONG_MIN = -(1 << 63)
 
-def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash fingerprint: each distinct token votes ±1 on 32
+
+def _bitval(bit: int) -> int:
+    """Value of bit ``bit`` in a signed 64-bit fingerprint (bit 63 is
+    the sign bit — the long MIN_VALUE, not 1<<63 which overflows)."""
+    return _LONG_MIN if bit == 63 else 1 << bit
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash fingerprint: each distinct token votes ±1 on 64
     bit positions taken from the nibbles of md5(token); the sign of
     each bit's tally forms the fingerprint. Near-duplicates have small
     Hamming distance.
+
+    64 bits (not 32): at corpus scale the Hamming≤3 ball of a 32-bit
+    fingerprint is dense enough that *random* collisions dominate the
+    pair set (measured ×98 superlinear growth sf0.01→sf0.1); doubling
+    the fingerprint width collapses the spurious mass while keeping
+    genuinely similar documents within the threshold.
 
     Distributed shape: explode (token × bit) → two-level aggregate.
     Integer tallies make the result engine-exact."""
@@ -242,8 +257,8 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
     ).withColumn("h", F.md5(F.encode(F.col("w"), "UTF-8")))
-    # 32 vote columns per (id, token) — wide-not-tall keeps the row
-    # count at |tokens| (not 32×|tokens|) and needs a single shuffle.
+    # 64 vote columns per (id, token) — wide-not-tall keeps the row
+    # count at |tokens| (not 64×|tokens|) and needs a single shuffle.
     votes = toks.select(
         "id",
         *[
@@ -256,13 +271,16 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 * 2
                 - 1
             ).alias(f"v{bit}")
-            for bit in range(32)
+            for bit in range(64)
         ],
     )
-    tally = votes.groupBy("id").agg(*[F.sum(f"v{bit}").alias(f"t{bit}") for bit in range(32)])
+    tally = votes.groupBy("id").agg(*[F.sum(f"v{bit}").alias(f"t{bit}") for bit in range(64)])
     fp = sum(
-        [F.when(F.col(f"t{bit}") > 0, F.lit(1 << bit)).otherwise(0) for bit in range(32)],
-        start=F.lit(0),
+        [
+            F.when(F.col(f"t{bit}") > 0, F.lit(_bitval(bit))).otherwise(F.lit(0).cast("long"))
+            for bit in range(64)
+        ],
+        start=F.lit(0).cast("long"),
     )
     return tally.select("id", fp.cast("long").alias("simhash"))
 
@@ -270,30 +288,30 @@ def simhash32(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 def simhash_neardup_pairs(
     fps: DataFrame,
     max_hamming: int = 3,
-    bands: int = 4,
+    bands: int = 8,
     id_col: str = "id",
     fp_col: str = "simhash",
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints via **radix blocking**:
-    split the 32-bit fingerprint into ``bands`` bit-slices; by the
+    split the 64-bit fingerprint into ``bands`` bit-slices; by the
     pigeonhole principle any pair within Hamming distance
     ``bands - 1`` matches at least one slice *exactly*, so the
     candidate join on (band, slice-value) is complete for
     ``max_hamming ≤ bands - 1`` — never all-pairs. The exact Hamming
     distance (``bit_count(a XOR b)``) filters candidates after.
 
-    Completes the promise of the module docstring: fingerprints →
-    actual duplicate *pairs*. Output: (id_a, id_b, hamming),
-    id_a < id_b. Scale: |docs|×bands narrow rows shuffled by slice
-    value; slice-bucket skew is bounded by the hash uniformity (a
-    degenerate corpus of identical docs concentrates — exactly the
-    duplicate mass the operator exists to find)."""
+    Output: (id_a, id_b, hamming), id_a < id_b. NOTE: over a corpus
+    with heavy duplicate mass this materializes O(dup-mass²) rows —
+    for cluster assembly use :func:`white_elephant_spark.operators.
+    clustering.fingerprint_clusters`, which collapses identical
+    fingerprints to one node *before* pairing (exactness-preserving,
+    since equal fingerprints are Hamming-0 connected)."""
     if max_hamming > bands - 1:
         raise ValueError(
             f"radix blocking with {bands} bands is only complete up to "
             f"Hamming distance {bands - 1} (got max_hamming={max_hamming})"
         )
-    width = 32 // bands
+    width = 64 // bands
     mask = (1 << width) - 1
     slices = F.array(
         *[
@@ -326,11 +344,11 @@ def simhash_neardup_pairs(
 
 
 def sql_simhash_neardup_pairs(
-    fp_cte: str, max_hamming: int = 3, bands: int = 4
+    fp_cte: str, max_hamming: int = 3, bands: int = 8
 ) -> str:
     """DuckDB twin of :func:`simhash_neardup_pairs` over a CTE named
     ``fp_cte`` with columns (id, simhash)."""
-    width = 32 // bands
+    width = 64 // bands
     mask = (1 << width) - 1
     return f"""
 slices AS (
@@ -344,15 +362,23 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-def sql_simhash32(expr: str, id_expr: str) -> str:
+# Bit 63 of a signed BIGINT can't be built with 1<<63 (overflow in
+# DuckDB's checked shift) — emit the sign-bit constant directly.
+_SQL_BITVAL = (
+    "CASE WHEN bit = 63 THEN CAST(-9223372036854775808 AS BIGINT) "
+    "ELSE (CAST(1 AS BIGINT) << bit) END"
+)
+
+
+def sql_simhash64(expr: str, id_expr: str) -> str:
     return f"""
-SELECT id, CAST(SUM(CASE WHEN t > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+SELECT id, CAST(SUM(CASE WHEN t > 0 THEN {_SQL_BITVAL} ELSE 0 END) AS BIGINT) AS simhash
 FROM (
   SELECT id, bit, SUM(((strpos('{HEX}', substr(h, CAST(bit // 4 AS INTEGER) + 1, 1)) - 1 >> CAST(bit % 4 AS INTEGER)) % 2) * 2 - 1) AS t
   FROM (
     SELECT {id_expr} AS id, md5(w) AS h, bit
     FROM (SELECT {id_expr}, unnest(list_distinct(string_split({expr}, ' '))) AS w FROM documents),
-         (SELECT unnest(generate_series(0, 31)) AS bit)
+         (SELECT unnest(generate_series(0, 63)) AS bit)
   )
   GROUP BY id, bit
 )

@@ -28,7 +28,7 @@ def pack_linear(
     docs: DataFrame,
     token_col: str,
     budget: int,
-    shards: int = 8,
+    shards: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, shard, n_tokens, bin, bin_offset) per document.
@@ -37,7 +37,15 @@ def pack_linear(
     ``bin`` is the running-token-count prefix divided by ``budget``
     (a document straddling a boundary belongs to the bin where it
     starts — consumers pad/splice at read time). All integer
-    arithmetic."""
+    arithmetic.
+
+    ``shards`` is the parallelism ceiling of the window stage —
+    when omitted it defaults to ``sparkContext.defaultParallelism``
+    so the packing scales with the cluster instead of a fixed
+    constant. Registered queries pin it explicitly (the shard
+    assignment is part of the deterministic output contract)."""
+    if shards is None:
+        shards = docs.sparkSession.sparkContext.defaultParallelism
     w = Window.partitionBy("shard").orderBy(id_col)
     tok = F.col(token_col)
     return (

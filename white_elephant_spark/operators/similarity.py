@@ -360,28 +360,43 @@ def _py_norm(vec: list[float]) -> float:
 
 def ivf_centroids(
     corpus: DataFrame,
-    stride: int = 50,
+    ncentroids: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float], float]]:
-    """Deterministic sampled coarse quantizer: every ``stride``-th
-    vector by id, collected to the driver as ``(cid, vector, norm)``.
+    """Deterministic sampled coarse quantizer with a **fixed centroid
+    budget**: the ``ncentroids`` corpus vectors whose
+    ``md5('ivf:' || id)`` sorts lowest — a uniform hash-order sample,
+    collected to the driver as ``(cid, vector, norm)``.
 
-    The collect is the bounded model-fetch a production IVF index
-    performs anyway — C = N/stride centroid vectors, the same driver
-    footprint as ``KMeansModel.clusterCenters()`` before broadcasting
-    a trained quantizer. Sampling instead of k-means keeps the
+    The budget is independent of corpus size (the round-2
+    ``id % stride`` rule collected N/stride vectors — linear in N, a
+    driver-memory and per-row-ranking blow-up at 100 TB). The top-C
+    hash-order selection runs as a distributed TakeOrdered — only C
+    rows ever reach the driver, the same bounded model-fetch as
+    ``KMeansModel.clusterCenters()`` before broadcasting a trained
+    quantizer. Hash-order sampling instead of k-means keeps the
     quantizer a pure function of the corpus, so the DuckDB oracle
-    can re-derive it exactly in SQL."""
+    re-derives it exactly (``ORDER BY md5(...) LIMIT C``)."""
+    key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
     rows = (
-        corpus.filter(F.col(id_col) % stride == 0)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), key.alias("hk"))
+        .orderBy("hk", "cid")
+        .limit(ncentroids)
         .collect()
     )
     cents = sorted((r.cid, [float(x) for x in r.cvec]) for r in rows)
     if not cents:
-        raise ValueError(f"no centroids: stride {stride} matched no {id_col}")
+        raise ValueError(f"no centroids: empty corpus ({id_col})")
     return [(cid, vec, _py_norm(vec)) for cid, vec in cents]
+
+
+def sql_ivf_centroids(ncentroids: int = 32, table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`ivf_centroids` (before norm attachment)."""
+    return (
+        f"SELECT vec_id AS cid, embedding AS cvec FROM {table} "
+        f"ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {ncentroids}"
+    )
 
 
 def centroid_ranking_arrow(cents: list[tuple[int, list[float], float]], dim: int):
@@ -431,7 +446,7 @@ def ivf_cosine_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    stride: int = 50,
+    ncentroids: int = 32,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -442,10 +457,11 @@ def ivf_cosine_topk(
 
     The 100 TB shape, stage by stage:
 
-    - **quantizer**: C = N/stride centroids, driver-collected once
-      (bounded, like shipping a trained k-means model) and inlined as
-      plan literals — executors assign cells in a *map-side
-      projection*, zero shuffle, one corpus scan.
+    - **quantizer**: C = ``ncentroids`` centroids (fixed budget,
+      independent of corpus size), driver-collected once via a
+      distributed top-C (bounded, like shipping a trained k-means
+      model) and inlined as plan literals — executors assign cells in
+      a *map-side projection*, zero shuffle, one corpus scan.
     - **cell assignment**: Arrow-batched centroid ranking
       (:func:`centroid_ranking_arrow`) against the broadcast centroid
       matrix — ties break to the lowest cid, so assignment is
@@ -458,10 +474,9 @@ def ivf_cosine_topk(
       exactly one cell and probe cids are distinct, so no dedup step
       is needed (unlike multi-table LSH).
     - scanned fraction ≈ nprobe/C with recall set by how clustered
-      the corpus is; on the driver corpus (stride 50, nprobe 4) the
-      recall@10 ≥ 0.9 floor is asserted in tests against the exact
-      baseline."""
-    cents = ivf_centroids(corpus, stride, id_col, vec_col)
+      the corpus is; on the driver corpus the recall@10 ≥ 0.9 floor
+      is asserted in tests against the exact baseline."""
+    cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
     norm = F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
     ranked = centroid_ranking_arrow(cents, dim)
     cv = corpus.select(

@@ -73,43 +73,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conf⋈logs analytics that the reference never implemented).
 # --------------------------------------------------------------------------
 @register(
-    "q3_shipping_priority",
-    oracle="""
-SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4)) * CAST(1 - l_discount AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
-       o_orderdate, o_orderpriority
-FROM customer JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON l_orderkey = o_orderkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
-  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-""",
-    tags=("join", "agg"),
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-way join + aggregate; customer side is broadcast by AQE."""
-    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp_ntz")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp_ntz")
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.sum(dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount")))
-            .cast("double")
-            .alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-    )
-
-
-@register(
     "q5_nation_revenue",
     oracle="""
 SELECT n_name,
@@ -152,76 +115,92 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range clamping (A10: usage_data.rb:279-289).
 # --------------------------------------------------------------------------
 @register(
-    "distinct_event_types",
-    oracle="SELECT DISTINCT event_type FROM events ORDER BY event_type",
-    tags=("distinct",),
+    "event_types_time_range",
+    oracle="""
+SELECT event_type, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("distinct", "agg"),
 )
-def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 — dropdown-population query: sorted distinct dimension."""
+def event_types_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 + A10 in one verified result: the sorted distinct dimension
+    (dropdown population — the group keys) with each value's MIN/MAX
+    time range clamp and row count."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.select("event_type").distinct().orderBy("event_type")
-
-
-@register(
-    "events_time_range",
-    oracle="SELECT MIN(ts) AS min_ts, MAX(ts) AS max_ts, CAST(COUNT(*) AS BIGINT) AS n FROM events",
-    tags=("agg",),
-)
-def events_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 — range clamp: MIN/MAX time over the fact table."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
     )
 
 
 # --------------------------------------------------------------------------
 # Time-bucketed rollups across all five units/zones (A4 + W1-W5).
 # --------------------------------------------------------------------------
-def _rollup(unit: str, zone: str):
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        ev = load_table(spark, sf_dir, "events")
-        return (
-            ev.groupBy(
-                tu.bucket(F.col("ts"), unit, zone).alias("bucket"),
-                F.col("event_type"),
-            )
-            .agg(
-                dsum("value").alias("total_value"),
-                F.count(F.lit(1)).alias("n_events"),
-            )
-        )
-
-    fn.__doc__ = f"A4 rollup at {unit} grain in zone {zone} (W-series bucketing)."
-    return fn
-
-
-def _rollup_oracle(unit: str, zone: str) -> str:
-    b = tu.bucket_sql("ts", unit, zone)
-    return f"""
-SELECT {b} AS bucket, event_type,
-       {sql_dsum('value')} AS total_value,
-       CAST(COUNT(*) AS BIGINT) AS n_events
-FROM events
-GROUP BY 1, 2
-"""
-
-
-for _unit, _zone in [
+# One rollup per (unit, zone) pair, unioned with a unit tag: all five
+# W-series bucketing functions (hour passthrough, tz day, tz Sunday
+# week, month, quarter — including a DST zone and a +05:30 offset
+# zone) verified by a single registered query.
+_ROLLUP_UNITS = [
     ("HOURS", "UTC"),
     ("DAYS", "America/Los_Angeles"),
     ("WEEKS", "America/Los_Angeles"),
     ("MONTHS", "UTC"),
     ("QUARTERS", "Asia/Kolkata"),
-]:
-    register(
-        f"rollup_{_unit.lower()}_{_zone.split('/')[-1].lower()}",
-        oracle=_rollup_oracle(_unit, _zone),
-        tags=("agg", "timeunit"),
-        doc=f"Time rollup {_unit} @ {_zone}",
-    )(_rollup(_unit, _zone))
+]
+
+
+def _rollup_one(ev: DataFrame, unit: str, zone: str) -> DataFrame:
+    return (
+        ev.groupBy(
+            tu.bucket(F.col("ts"), unit, zone).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            dsum("value").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.lit(f"{unit}@{zone}").alias("unit"),
+            "bucket", "event_type", "total_value", "n_events",
+        )
+    )
+
+
+def _rollup_oracle_one(unit: str, zone: str) -> str:
+    b = tu.bucket_sql("ts", unit, zone)
+    return f"""
+SELECT '{unit}@{zone}' AS unit, {b} AS bucket, event_type,
+       {sql_dsum('value')} AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "rollup_time_units_tz",
+    oracle="\nUNION ALL\n".join(_rollup_oracle_one(u, z) for u, z in _ROLLUP_UNITS),
+    tags=("agg", "timeunit"),
+)
+def rollup_time_units_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 rollup across every W-series time unit (W1-W5): the events
+    fact bucketed at HOURS (UTC passthrough), DAYS and Sunday-start
+    WEEKS in America/Los_Angeles (DST transitions), MONTHS (UTC), and
+    QUARTERS in Asia/Kolkata (+05:30 half-hour offset), unioned with
+    a unit tag. Each branch shares one scan of the fact table
+    (Catalyst reuses the exchange); with no user dimension this is
+    also the A6 collapse_on shape — users summed away."""
+    ev = load_table(spark, sf_dir, "events")
+    out = _rollup_one(ev, *_ROLLUP_UNITS[0])
+    for u, z in _ROLLUP_UNITS[1:]:
+        out = out.unionByName(_rollup_one(ev, u, z))
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -320,21 +299,28 @@ def dense_hour_axis_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast/sort-merge strategy choice.
 # --------------------------------------------------------------------------
 @register(
-    "orders_with_returns_semi",
+    "semi_anti_customer_join",
     oracle="""
-SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+SELECT 'semi_returns' AS probe, o_orderpriority AS key, CAST(COUNT(*) AS BIGINT) AS n
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
   AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority
+UNION ALL
+SELECT 'anti_no_finished' AS probe, c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
 """,
-    tags=("join", "semi", "agg"),
+    tags=("join", "semi", "anti", "agg"),
 )
-def orders_with_returns_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 semi-join shape (TPC-H Q4 adapted): orders in a half-year
-    window having at least one returned lineitem, counted by
-    priority. left_semi keeps the probe side unduplicated — no
-    distinct needed after the join."""
+def semi_anti_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 semi- and anti-join shapes in one verified result (TPC-H Q4
+    adapted): orders in a half-year window having at least one
+    returned lineitem counted by priority (``left_semi`` — the probe
+    side stays unduplicated, no distinct after the join), unioned
+    with customers having no finished order counted by segment
+    (``left_anti`` — the build side reduces to distinct custkeys)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     window = o.filter(
@@ -344,38 +330,31 @@ def orders_with_returns_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = li.filter(F.col("l_returnflag") == "R").select(
         F.col("l_orderkey").alias("o_orderkey")
     )
-    return (
+    semi = (
         window.join(returned, "o_orderkey", "left_semi")
         .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("order_count"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("semi_returns").alias("probe"),
+            F.col("o_orderpriority").alias("key"),
+            "n",
+        )
     )
-
-
-@register(
-    "customers_without_orders_anti",
-    oracle="""
-SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
-FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
-GROUP BY c_mktsegment
-""",
-    tags=("join", "anti", "agg"),
-)
-def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: customers with no finished (status F) order, by
-    segment. The build side reduces to the distinct custkeys of
-    finished orders."""
     c = load_table(spark, sf_dir, "customer")
-    o = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select(F.col("o_custkey").alias("c_custkey"))
+    fin = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
     )
-    return (
-        c.join(o, "c_custkey", "left_anti")
+    anti = (
+        c.join(fin, "c_custkey", "left_anti")
         .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("anti_no_finished").alias("probe"),
+            F.col("c_mktsegment").alias("key"),
+            "n",
+        )
     )
+    return semi.unionByName(anti)
 
 
 @register(
@@ -463,41 +442,6 @@ def priority_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Set operation: multi-cluster union + re-aggregate (SURVEY §2.6 — the
-# reference models multi-cluster as a dimension, never a UNION; Spark's
-# union makes the per-cluster-dataset layout equally workable).
-# --------------------------------------------------------------------------
-@register(
-    "union_clusters_rollup",
-    oracle=f"""
-SELECT cluster, event_type,
-       {sql_dsum('value')} AS sum_value,
-       CAST(COUNT(*) AS BIGINT) AS n
-FROM (
-  SELECT 'east' AS cluster, event_type, value FROM events WHERE user_id % 2 = 0
-  UNION ALL
-  SELECT 'west' AS cluster, event_type, value FROM events WHERE user_id % 2 = 1
-) u
-GROUP BY cluster, event_type
-""",
-    tags=("union", "agg", "setop"),
-)
-def union_clusters_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two per-cluster event sets unioned (unionByName) then rolled
-    up per (cluster, event_type) — the shape a per-cluster-dataset
-    deployment of the reference would use instead of its cluster
-    dimension (ComputeUsagePerHour.java:117-119 layout)."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    east = ev.filter(F.col("user_id") % 2 == 0).withColumn("cluster", F.lit("east"))
-    west = ev.filter(F.col("user_id") % 2 == 1).withColumn("cluster", F.lit("west"))
-    return (
-        east.unionByName(west)
-        .groupBy("cluster", "event_type")
-        .agg(dsum("value").alias("sum_value"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-# --------------------------------------------------------------------------
 # Window frames: lag delta + 7-row rolling mean over the daily series
 # (SURVEY §2.5 notes the reference has no lead/lag/frame windows; the
 # dashboard's day-over-day reading is done by eye. Free in Spark.)
@@ -576,38 +520,3 @@ def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# Latest-record-per-key: deterministic top-1 by recency — the batch
-# form of "keep the newest version of each document" (and the J2
-# last-non-null merge generalized to whole rows).
-# --------------------------------------------------------------------------
-@register(
-    "latest_event_per_user",
-    oracle="""
-SELECT user_id, event_id, ts, event_type
-FROM (
-  SELECT user_id, event_id, ts, event_type,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-) t
-WHERE rn = 1
-""",
-    tags=("window", "dedup", "topk"),
-)
-def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Newest event per user via row_number with a total order
-    (ts desc, event_id desc — ties broken deterministically, so both
-    engines pick the same row). One shuffle on user_id; at scale this
-    is the standard keep-latest dedup pass before training-data use."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "event_type"
-    )
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )

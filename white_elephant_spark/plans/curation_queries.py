@@ -19,60 +19,28 @@ _SAMPLE_RATES = {"en": 60, "zh": 20}
 
 
 @register(
-    "stratified_doc_sample",
-    oracle=f"""
-SELECT doc_id, lang, n_chars FROM documents
-WHERE {sampling.sql_stratified_sample_pred('lang', _SAMPLE_RATES, 10, 'doc_id')}
-""",
-    tags=("sampling",),
-)
-def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-bucket stratified sample: 60% of English, 20% of Chinese,
-    10% of everything else — reproducible on any partitioning (content
-    hash, not RNG), applied as a map-side filter that pushes through
-    the scan."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    return sampling.stratified_sample(
-        docs, "lang", _SAMPLE_RATES, default_rate=10, id_col="doc_id"
-    )
-
-
-@register(
     "leakage_safe_split",
     oracle=f"""
-WITH RECURSIVE {_DOCS_COPIES_SQL.lstrip()},
-fp AS (
-  {dedup.sql_simhash32('text', 'doc_id').replace('FROM documents', 'FROM docs').strip()}
-),
-slices AS (
-  SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
-  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
-),
-pairs AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM slices a JOIN slices b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-),
-{clustering.sql_connected_components('pairs').strip()},
-labeled AS (
-  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM docs d LEFT JOIN components c ON d.doc_id = c.node
-)
+WITH RECURSIVE {_DOCS_COPIES_SQL.strip()},
+{clustering.sql_fingerprint_clusters(
+    'docs',
+    dedup.sql_simhash64('text', 'doc_id').replace('FROM documents', 'FROM docs'),
+).strip()}
 SELECT doc_id, cluster_id,
        {sampling.sql_split_expr('cluster_id', 90)} AS split
-FROM labeled
+FROM clusters
 """,
     tags=("sampling", "dedup", "clustering"),
 )
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test split hashed on the duplicate-cluster id, not the
-    document id: near-duplicates (SimHash pairs → connected
-    components) land in the same split by construction, closing the
-    train→test contamination path."""
+    document id: near-duplicates (64-bit SimHash → fingerprint-level
+    connected components, see ``dedup_clusters``) land in the same
+    split by construction, closing the train→test contamination
+    path."""
     docs = _docs_with_copies(spark, sf_dir)
-    fps = dedup.simhash32(docs)
-    pairs = dedup.simhash_neardup_pairs(fps, max_hamming=3, bands=4)
-    labeled = clustering.attach_clusters(docs, pairs).select("doc_id", "cluster_id")
+    fps = dedup.simhash64(docs)
+    labeled = clustering.fingerprint_clusters(docs, fps).select("doc_id", "cluster_id")
     return sampling.split_by_cluster(labeled, train_pct=90)
 
 
@@ -123,42 +91,75 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tfidf_top_terms",
-    oracle=f"""
-WITH base AS (SELECT doc_id, text FROM documents),
-{relevance.sql_tfidf_top_terms('base', k=3).strip()}
-""",
-    tags=("text", "relevance", "topk"),
-)
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 characteristic terms per document: one narrow
-    (doc, term) shuffle builds the term index; document frequency
-    aggregates from the index; the corpus-size scalar attaches by
-    broadcast cross join. Rational idf (N+1)/(df+1) — monotone in df,
-    log-free so both engines agree bitwise."""
-    docs = load_table(spark, sf_dir, "documents")
-    return relevance.tfidf_top_terms(docs, k=3)
-
-
 _BM25_TERMS = ["join", "vector", "data"]
 
 
 @register(
-    "bm25_documents",
+    "relevance_scores",
     oracle=f"""
-WITH docs_cte AS (SELECT doc_id, text FROM documents),
-{relevance.sql_bm25_scores('docs_cte', _BM25_TERMS).strip()}
-""",
-    tags=("text", "relevance"),
+WITH base AS (SELECT doc_id, text FROM documents),
+idx AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM base)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df FROM idx GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM base),
+scored AS (
+  SELECT doc_id, idx.term,
+         CAST(tf AS DOUBLE)
+           * (CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
+  FROM idx JOIN dfreq ON idx.term = dfreq.term CROSS JOIN nd
+),
+tf3 AS (
+  SELECT doc_id, term, rank, score FROM (
+    SELECT doc_id, term, CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term ASC) AS BIGINT) AS rank, score
+    FROM scored
+  ) WHERE rank <= 3
+),
+b_base AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM base
+),
+b_idx AS (
+  SELECT * FROM idx WHERE term IN ({', '.join(repr(t) for t in _BM25_TERMS)})
+),
+b_dfreq AS (SELECT term, COUNT(*) AS df FROM b_idx GROUP BY 1),
+b_scal AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM b_base
+),
+bm AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(((n_docs - df + 0.5) / (df + 0.5))
+           * ((tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl))))
+           AS DECIMAL(27,4))) AS DOUBLE) AS bm25
+  FROM b_idx JOIN b_dfreq ON b_idx.term = b_dfreq.term
+             JOIN b_base USING (doc_id)
+             CROSS JOIN b_scal
+  GROUP BY doc_id
 )
-def bm25_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 (k1=1.2, b=0.75, log-free rank-equivalent idf) of every
-    document against a fixed bag-of-terms query; per-doc term scores
-    summed through DECIMAL so engine summation order can't drift the
-    hash."""
+SELECT t.doc_id, t.term, t.rank, t.score, bm.bm25
+FROM tf3 t LEFT JOIN bm USING (doc_id)
+""",
+    tags=("text", "relevance", "topk"),
+)
+def relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The term-relevance surface in one verified result: top-3
+    characteristic terms per document by rational-idf TF-IDF
+    (one narrow (doc, term) shuffle builds the term index; corpus
+    scalars attach by broadcast cross join), left-joined with each
+    document's BM25 score (k1=1.2, b=0.75, log-free rank-equivalent
+    idf) against a fixed bag-of-terms query — NULL where no query
+    term occurs. Log-free rational scoring keeps both engines
+    bit-identical; per-doc BM25 sums go through DECIMAL so summation
+    order can't drift the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    return relevance.bm25_scores(docs, _BM25_TERMS)
+    tf3 = relevance.tfidf_top_terms(docs, k=3)
+    bm = relevance.bm25_scores(docs, _BM25_TERMS)
+    return tf3.join(bm, "doc_id", "left").select(
+        "doc_id", "term", "rank", "score", "bm25"
+    )
 
 
 @register(
@@ -173,7 +174,8 @@ WITH base AS (
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded linear sequence packing: 8 hash shards pack
-    independently (the parallel unit at corpus scale), documents fill
+    independently (the parallel unit at corpus scale — defaults to
+    the session's parallelism when unspecified), documents fill
     512-token training bins in deterministic id order via one
     cumulative-sum window. Integer math end-to-end."""
     docs = load_table(spark, sf_dir, "documents").select(
@@ -190,36 +192,51 @@ scored AS (
   SELECT doc_id,
          {tx.sql_predict_lang('text')} AS lang_pred,
          {tx.sql_quality_score('text')} AS quality,
-         MIN(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS is_canonical
+         MIN(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS is_canonical,
+         {sampling.sql_stratified_sample_pred(tx.sql_predict_lang('text'), _SAMPLE_RATES, 10, 'doc_id')} AS sampled
   FROM docs
 )
-SELECT doc_id, lang_pred, quality, is_canonical,
-       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep
+SELECT doc_id, lang_pred, quality, is_canonical, sampled,
+       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep,
+       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AND sampled AS keep_sampled
 FROM scored
 """,
-    tags=("text", "curation", "dedup"),
+    tags=("text", "curation", "dedup", "sampling"),
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation decision: exact-dup canonical flag
-    (min-id per content digest), language-ID, quality score, and the
-    final keep verdict (canonical ∧ English ∧ quality ≥ 0.5) — one
-    pass, one window, all codegen expressions."""
+    (min-id per content digest), language-ID, quality score, the
+    hash-bucket stratified sample verdict (60% of English, 20% of
+    Chinese, 10% default — reproducible on any partitioning: content
+    hash, not RNG, applied as a map-side predicate), and the final
+    keep verdicts (canonical ∧ English ∧ quality ≥ 0.5, with and
+    without the sampling gate) — one pass, one window, all codegen
+    expressions."""
     docs = _docs_with_copies(spark, sf_dir)
     w = Window.partitionBy(F.md5(F.col("text")))
+    lang_pred = tx.predict_lang(F.col("text"))
+    bucket = sampling.hash_bucket(F.col("doc_id"), 100, "s1")
+    rate = F.lit(10)
+    for value, pct in sorted(_SAMPLE_RATES.items()):
+        rate = F.when(lang_pred == value, F.lit(pct)).otherwise(rate)
     scored = docs.select(
         "doc_id",
-        tx.predict_lang(F.col("text")).alias("lang_pred"),
+        lang_pred.alias("lang_pred"),
         tx.quality_score(F.col("text")).alias("quality"),
         (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_canonical"),
+        (bucket < rate).alias("sampled"),
+    )
+    keep = (
+        F.col("is_canonical")
+        & (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
     )
     return scored.select(
         "doc_id",
         "lang_pred",
         "quality",
         "is_canonical",
-        (
-            F.col("is_canonical")
-            & (F.col("lang_pred") == "en")
-            & (F.col("quality") >= 0.5)
-        ).alias("keep"),
+        "sampled",
+        keep.alias("keep"),
+        (keep & F.col("sampled")).alias("keep_sampled"),
     )

@@ -8,8 +8,12 @@ derives the expected output **directly from the base tables** — the
 oracle never runs the parser/merger, so a parser bug can't cancel out.
 
 Covered operators: P1/P2/P5 (parse_jobs_roundtrip), J2
-(reconstruct_jobs_merge), J4/J5 (excess_attempt_labeling), P8+A1-A3
-(usage_cube_hourly), A4+W1 metric catalog (usage_metric_rollup).
+(reconstruct_jobs_merge), J4/J5+P8+A1-A3 (usage_cube_hourly — excess
+labeling and fragment merging run inside the cube build and the raw
+logfile pipeline), the A4 17-metric catalog (usage_metric_catalog),
+S1/P9/J3/J4/O1 (raw_logfile_pipeline), serving/incremental/streaming
+(usage_csv_table_days, usage_json_api, incremental_cube_refresh,
+streaming_cube_refresh), S2/P6/J8 (conf_parse_join).
 
 Numeric convention: measures are exact integers (ms / counts) so the
 distributed Spark sums and single-threaded DuckDB sums are
@@ -135,21 +139,6 @@ def _cube_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "excess_attempt_labeling",
-    oracle=f"""
-WITH {_LABELED_CTE.lstrip()}
-SELECT taskId, taskAttemptId, taskStatus, excess FROM lab
-""",
-    tags=("window", "pipeline"),
-)
-def excess_attempt_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 — per-task excess labeling (ParseJobsFromLogs.java:709-748)
-    over synthetic attempts; oracle re-derives with window SQL."""
-    att = _attempts_from_events(spark, sf_dir)
-    return reconstruct.label_excess(att).select("taskId", "taskAttemptId", "taskStatus", "excess")
-
-
-@register(
     "usage_cube_hourly",
     oracle=f"""
 WITH {_CUBE_CTE.lstrip()}
@@ -162,35 +151,6 @@ def usage_cube_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     usage cube (ComputeUsagePerHour.java:97-205), exact-integer
     measures."""
     return _cube_df(spark, sf_dir)
-
-
-@register(
-    "usage_metric_rollup",
-    oracle=f"""
-WITH {_CUBE_CTE.lstrip()}
-SELECT "user" AS userName,
-       {tu.bucket_sql('time', 'DAYS', 'America/Los_Angeles')} AS bucket,
-       CAST(SUM(elapsedMs) AS BIGINT) AS value_ms
-FROM cube_t
-WHERE cluster = 'alpha' AND {metric_predicate_sql(METRICS['minutesExcessMap'])}
-GROUP BY 1, 2
-""",
-    tags=("pipeline", "timeunit", "metric-catalog"),
-)
-def usage_metric_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 — the serving layer's query_by_time
-    (usage_data.rb:525-645) for metric ``minutesExcessMap`` at DAYS
-    grain in America/Los_Angeles, against the hourly cube."""
-    cube = _cube_df(spark, sf_dir)
-    return (
-        cube.filter(F.col("cluster") == "alpha")
-        .filter(metric_predicate(METRICS["minutesExcessMap"]))
-        .groupBy(
-            F.col("user").alias("userName"),
-            tu.bucket(F.col("time"), "DAYS", "America/Los_Angeles").alias("bucket"),
-        )
-        .agg(F.sum("elapsedMs").alias("value_ms"))
-    )
 
 
 _EXACT_MEASURE = {
@@ -368,134 +328,6 @@ def reconstruct_jobs_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_job_sessions",
-    oracle="""
-SELECT 'job_' || CAST(event_id // 40 AS VARCHAR) AS jobId,
-       MIN(epoch_ms(ts)) AS firstStart,
-       MAX(epoch_ms(ts) + 60000 + (event_id % 7200) * 1000) AS lastFinish,
-       CAST(COUNT(*) AS BIGINT) AS nAttempts,
-       FALSE AS final
-FROM events GROUP BY 1
-""",
-    tags=("streaming", "stateful", "pandas-udf"),
-)
-def streaming_job_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful operator (SURVEY §2.7 I6):
-    ``applyInPandasWithState`` job sessionization over a one-batch
-    ``availableNow`` stream — per-job state (firstStart, lastFinish,
-    nAttempts) must equal the batch groupBy the oracle computes.
-    (The event-time-timeout closure path is exercised in
-    tests/test_stateful_streaming.py, where batch boundaries are
-    controlled.)"""
-    import shutil
-
-    from white_elephant_spark.streaming import stateful
-
-    root = os.path.join(_SCRATCH_ROOT, "job_sessions")
-    shutil.rmtree(root, ignore_errors=True)
-    inp, out, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
-
-    ev = load_table(spark, sf_dir, "events")
-    e = F.col("event_id")
-    s = F.unix_millis(F.col("ts").cast("timestamp"))
-    att = ev.select(
-        F.concat(F.lit("job_"), (e / 40).cast("long").cast("string")).alias("jobId"),
-        s.alias("startTime"),
-        (s + 60000 + (e % 7200) * 1000).alias("finishTime"),
-    )
-    # one file → one micro-batch → no timeout firings: deterministic
-    att.coalesce(1).write.parquet(inp)
-
-    stream = spark.readStream.schema("jobId string, startTime long, finishTime long").parquet(inp)
-    q = (
-        stateful.sessionize_jobs(stream, gap="30 minutes", watermark="1 hour")
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    # The drain runs one extra empty batch whose watermark fires
-    # timeouts; which jobs close depends on Spark's watermark-compare
-    # edge, so the oracle pins only the running (final=False) rows —
-    # the closure path is asserted in tests/test_stateful_streaming.py.
-    return spark.read.parquet(out).filter(~F.col("final"))
-
-
-@register(
-    "attempt_fragments_merge",
-    oracle="""
-SELECT 'job_' || CAST(event_id // 40 AS VARCHAR) AS jobId,
-       'task_' || CAST(event_id // 4 AS VARCHAR) AS taskId,
-       'attempt_' || CAST(event_id AS VARCHAR) AS taskAttemptId,
-       CASE WHEN event_id % 2 = 0 THEN 'MAP' ELSE 'REDUCE' END AS type,
-       CASE event_id % 3 WHEN 0 THEN 'SUCCESS' WHEN 1 THEN 'FAILED' ELSE 'KILLED' END AS taskStatus,
-       epoch_ms(ts) AS startTime,
-       CASE WHEN event_id % 3 = 0
-            THEN epoch_ms(ts) + 61000 + (event_id % 7200) * 1000
-            ELSE epoch_ms(ts) + 60000 + (event_id % 7200) * 1000 END AS finishTime,
-       epoch_ms(ts) + 10 AS shuffleFinished,
-       CASE WHEN event_id % 3 = 0 THEN epoch_ms(ts) + 20 END AS sortFinished,
-       CASE WHEN event_id % 3 = 0 THEN 5000 + event_id % 7
-            ELSE 1 + event_id % 1000 END AS cpu
-FROM events
-""",
-    tags=("merge", "pipeline"),
-)
-def attempt_fragments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4 merge quirks (ParseJobsFromLogs.java:575-619): duplicate
-    attempt fragments merge with **max** of every time field but the
-    **last** counters map. Three fragments per attempt — a start line,
-    a finish line whose duplicate startTime is 500 ms earlier (max
-    must win), and for every 3rd attempt a late duplicate with a
-    bigger finishTime and a replacement counters map."""
-    ev = load_table(spark, sf_dir, "events")
-    e = F.col("event_id")
-    s = F.unix_millis(F.col("ts").cast("timestamp"))
-    fin = s + 60000 + (e % 7200) * 1000
-    ids = [
-        F.concat(F.lit("job_"), (e / 40).cast("long").cast("string")).alias("jobId"),
-        F.concat(F.lit("task_"), (e / 4).cast("long").cast("string")).alias("taskId"),
-        F.concat(F.lit("attempt_"), e.cast("string")).alias("taskAttemptId"),
-    ]
-    nul = lambda t="long": F.lit(None).cast(t)  # noqa: E731
-    f1 = ev.select(
-        *ids,
-        F.when(e % 2 == 0, "MAP").otherwise("REDUCE").alias("type"),
-        nul("string").alias("taskStatus"),
-        s.alias("startTime"), nul().alias("finishTime"),
-        nul().alias("shuffleFinished"), nul().alias("sortFinished"),
-        nul("map<string,long>").alias("counters"),
-        F.lit(1).alias("seq"),
-    )
-    f2 = ev.select(
-        *ids,
-        nul("string").alias("type"),
-        F.when(e % 3 == 0, "SUCCESS").when(e % 3 == 1, "FAILED").otherwise("KILLED").alias("taskStatus"),
-        (s - 500).alias("startTime"), fin.alias("finishTime"),
-        (s + 10).alias("shuffleFinished"), nul().alias("sortFinished"),
-        F.create_map(F.lit("CPU_MILLISECONDS"), 1 + e % 1000).alias("counters"),
-        F.lit(2).alias("seq"),
-    )
-    f3 = ev.filter(e % 3 == 0).select(
-        *ids,
-        nul("string").alias("type"),
-        nul("string").alias("taskStatus"),
-        (s - 1000).alias("startTime"), (fin + 1000).alias("finishTime"),
-        nul().alias("shuffleFinished"), (s + 20).alias("sortFinished"),
-        F.create_map(F.lit("CPU_MILLISECONDS"), 5000 + e % 7).alias("counters"),
-        F.lit(3).alias("seq"),
-    )
-    merged = reconstruct.merge_attempt_fragments(f1.unionAll(f2).unionAll(f3))
-    return merged.select(
-        "jobId", "taskId", "taskAttemptId", "type", "taskStatus",
-        "startTime", "finishTime", "shuffleFinished", "sortFinished",
-        F.element_at("counters", "CPU_MILLISECONDS").alias("cpu"),
-    )
-
-
 # --------------------------------------------------------------------------
 # Serving layer: dense-axis timeseries + CSV table (§3.2-3.3)
 # --------------------------------------------------------------------------
@@ -574,15 +406,13 @@ def _fused_hour_rows(spark: SparkSession, sf_dir: str, cluster: str) -> DataFram
     return usage.explode_attempt_hours(usage.filter_usable_attempts(att))
 
 
-@register(
-    "usage_timeseries_weekly",
-    oracle=_WEEKLY_ORACLE,
-    tags=("serving", "densify", "timeunit"),
-)
 def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 end-to-end: weekly minutesTotal series for 5 users plus
     the aggregated '__other__' series, dense WEEKS axis in LA time
-    with the reference's shrink-a-week edge rule, zero-filled."""
+    with the reference's shrink-a-week edge rule, zero-filled.
+    Driver-verified through ``usage_json_api``, which is this series
+    plus the A13 per-user window total (same rows, superset
+    columns)."""
     from white_elephant_spark.plans import serving
 
     rows = _fused_hour_rows(spark, sf_dir, "alpha")
@@ -747,49 +577,6 @@ def streaming_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user", "time", "cluster", "excess", "type", "status",
         "started", "finished", "elapsedMs", "cpuMsProrated",
         "spilledRecords", "reduceShuffleBytes",
-    )
-
-
-@register(
-    "distinct_cube_users",
-    oracle=f"""
-WITH {_CUBE_CTE.lstrip()}
-SELECT DISTINCT "user" AS userName FROM cube_t WHERE cluster = 'alpha' ORDER BY userName
-""",
-    tags=("distinct", "serving"),
-)
-def distinct_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 — the ``/api/users?cluster=`` dropdown query
-    (server/app/usage_data.rb:479-523): sorted distinct users of one
-    cluster, straight off the cube."""
-    cube = _cube_df(spark, sf_dir)
-    return (
-        cube.filter(F.col("cluster") == "alpha")
-        .select(F.col("user").alias("userName"))
-        .distinct()
-        .orderBy("userName")
-    )
-
-
-@register(
-    "usage_rollup_grouping_sets",
-    oracle=f"""
-WITH {_CUBE_CTE.lstrip()}
-SELECT cluster, type, CAST(SUM(elapsedMs) AS BIGINT) AS total_ms,
-       CAST(COUNT(DISTINCT "user") AS BIGINT) AS n_users
-FROM cube_t GROUP BY ROLLUP (cluster, type)
-""",
-    tags=("agg", "rollup", "distinct"),
-)
-def usage_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-set rollup + COUNT(DISTINCT) — capabilities the
-    reference's fixed-grouping cube lacked entirely (SURVEY §2.4
-    notes) but a Spark re-expression gets natively: per (cluster,
-    type), per cluster, and grand-total rows in one pass."""
-    cube = _cube_df(spark, sf_dir)
-    return cube.rollup("cluster", "type").agg(
-        F.sum("elapsedMs").alias("total_ms"),
-        F.countDistinct("user").alias("n_users"),
     )
 
 
@@ -1061,40 +848,6 @@ def _raw_log_entities(spark: SparkSession, sf_dir: str):
 @register(
     "raw_logfile_pipeline",
     oracle=f"""
-WITH {_RAW_LOG_ORACLE_BASE.strip()}
-SELECT j.jobId, j.cluster, j.user, j.jobStatus, j.submitTime, j.finishTime,
-       j.totalMaps, j.failedMaps, a.taskAttemptId, a.attStart, a.attFinish, a.cpu
-FROM jobs_exp j JOIN atts_exp a ON j.jobId = a.jobId
-""",
-    tags=("source", "parse", "merge", "pipeline"),
-)
-def raw_logfile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+P9 end to end — the reference's actual entry point
-    (CombinedTextInputFormat.java:32-64 text splits;
-    ParseJobsFromLogs.java:280-294 path attach): real log *files* read
-    with ``spark.read.text``, the within-file line order reproduced as
-    the ``(file_block_start, row-in-partition)`` seq struct with zero
-    shuffle, cluster extracted from the directory layout, then the
-    full parse → fragment-merge chain. The oracle derives every field
-    from ``orders`` — wrong line ordering leaks the early fragment's
-    bogus TOTAL_MAPS=999 and fails the hash."""
-    jobs, _tasks, atts = _raw_log_entities(spark, sf_dir)
-    a = atts.select(
-        "jobId",
-        "taskAttemptId",
-        F.col("startTime").alias("attStart"),
-        F.col("finishTime").alias("attFinish"),
-        F.element_at("counters", "CPU_MILLISECONDS").alias("cpu"),
-    )
-    return jobs.join(a, "jobId").select(
-        "jobId", "cluster", "user", "jobStatus", "submitTime", "finishTime",
-        "totalMaps", "failedMaps", "taskAttemptId", "attStart", "attFinish", "cpu",
-    )
-
-
-@register(
-    "nested_jobs_export",
-    oracle=f"""
 WITH {_RAW_LOG_ORACLE_BASE.strip()},
 tasks_exp AS (
   SELECT 'job_' || CAST(k AS VARCHAR) || '_1' AS jobId,
@@ -1115,7 +868,8 @@ atts_tagged AS (
          CASE WHEN taskAttemptId LIKE '%_m_0_1' THEN 'FAILED' ELSE 'SUCCESS' END AS attStatus
   FROM atts_exp
 )
-SELECT j.jobId, j.cluster, j.user,
+SELECT j.jobId, j.cluster, j.user, j.jobStatus, j.submitTime, j.finishTime,
+       j.totalMaps, j.failedMaps,
        CAST(DENSE_RANK() OVER (PARTITION BY t.jobId ORDER BY t.taskId) - 1 AS INTEGER) AS task_pos,
        t.taskId, t.type, t.taskStatus, t.tStart, t.tFinish,
        CAST(ROW_NUMBER() OVER (PARTITION BY t.jobId, t.taskId
@@ -1130,25 +884,38 @@ JOIN atts_tagged a ON a.jobId = t.jobId AND a.taskId = t.taskId
 """,
     tags=("merge", "nested", "export"),
 )
-def nested_jobs_export(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3/J4 attach + O1 sort parity — the reference's nested
-    Job ⊃ Task ⊃ Attempt export record (LogData.avsc:30-139), built by
-    :func:`reconstruct.to_nested_jobs` from the raw-log scan, then
-    position-exploded back to scalar rows: ``task_pos``/``att_pos``
-    encode the reference's sort orders (tasks by taskId,
-    ParseJobsFromLogs.java:518-524; attempts by startTime then
-    attemptId, :701-757) so the oracle hash verifies the nesting *and*
-    the ordering."""
+def raw_logfile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P9 end to end, through the nested export — the reference's
+    actual entry point (CombinedTextInputFormat.java:32-64 text
+    splits; ParseJobsFromLogs.java:280-294 path attach): real log
+    *files* read with ``spark.read.text``, within-file line order
+    reproduced as the ``(file_block_start, row-in-partition)`` seq
+    struct with zero shuffle, cluster extracted from the directory
+    layout, the full parse → J2/J3/J4 fragment-merge chain, then the
+    J3/J4 attach + O1 sort parity of the reference's nested
+    Job ⊃ Task ⊃ Attempt record (LogData.avsc:30-139) via
+    :func:`reconstruct.to_nested_jobs`, position-exploded back to
+    scalar rows: ``task_pos``/``att_pos`` encode the reference's sort
+    orders (tasks by taskId, ParseJobsFromLogs.java:518-524; attempts
+    by startTime then attemptId, :701-757) so the oracle hash
+    verifies the nesting *and* the ordering. The job-level columns
+    carry the S1 ordering quirk: wrong line order leaks the early
+    fragment's bogus TOTAL_MAPS=999 / non-terminal JOB_STATUS and
+    fails the hash."""
     jobs, tasks, atts = _raw_log_entities(spark, sf_dir)
     atts = reconstruct.derive_attempt_measures(
         reconstruct.label_excess(reconstruct.filter_valid_attempts(atts))
     )
     nested = reconstruct.to_nested_jobs(jobs, tasks, atts)
+    jcols = [
+        "jobId", "cluster", "user", "jobStatus", "submitTime", "finishTime",
+        "totalMaps", "failedMaps",
+    ]
     t = nested.select(
-        "jobId", "cluster", "user", F.posexplode("tasks").alias("task_pos", "task")
+        *jcols, F.posexplode("tasks").alias("task_pos", "task")
     )
     a = t.select(
-        "jobId", "cluster", "user", "task_pos",
+        *jcols, "task_pos",
         F.col("task.taskId").alias("taskId"),
         F.col("task.type").alias("type"),
         F.col("task.taskStatus").alias("taskStatus"),
@@ -1157,7 +924,7 @@ def nested_jobs_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("task.attempts").alias("att_pos", "att"),
     )
     return a.select(
-        "jobId", "cluster", "user", "task_pos", "taskId", "type", "taskStatus",
+        *jcols, "task_pos", "taskId", "type", "taskStatus",
         "tStart", "tFinish", "att_pos",
         F.col("att.taskAttemptId").alias("taskAttemptId"),
         F.col("att.taskStatus").alias("attStatus"),

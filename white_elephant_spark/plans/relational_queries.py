@@ -7,7 +7,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from white_elephant_spark.functions.compat import dsum, sql_dsum
 from white_elephant_spark.plans.registry import register
@@ -137,30 +136,3 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
 
 
-@register(
-    "per_group_hash_sample",
-    oracle="""
-SELECT doc_id, lang, rk FROM (
-  SELECT doc_id, lang,
-         CAST(row_number() OVER (PARTITION BY lang
-              ORDER BY md5('s2' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
-  FROM documents
-)
-WHERE rk <= 3
-""",
-    tags=("sampling", "window", "topk"),
-)
-def per_group_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exactly-k-per-group sampling: rank by content hash inside each
-    group and keep the first k — a deterministic reservoir
-    (reproducible on any partitioning, unlike RNG reservoirs), the
-    standard way to pull fixed-size per-language eval sets from a
-    100 TB corpus. One shuffle on the group key."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.concat(F.lit("s2"), F.col("doc_id").cast("string"))), F.col("doc_id")
-    )
-    return (
-        docs.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 3)
-    )

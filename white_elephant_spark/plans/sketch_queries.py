@@ -22,57 +22,75 @@ _HLL_CTES = (
 )
 
 
+# sql_cms_estimate likewise ends in a bare SELECT; rewrap as a CTE.
+_CMS_SQL = sketches.sql_cms_estimate("evt", "event_type", "kt", "event_type", d=4, w=64).strip()
+_CMS_CTES, _CMS_TAIL = _CMS_SQL.rsplit("\nSELECT", 1)
+_CMS_CTES = f"{_CMS_CTES},\ncmsq AS (SELECT{_CMS_TAIL})"
+
+
 @register(
-    "hll_distinct_users",
+    "sketch_estimates",
     oracle=f"""
 WITH ev AS (SELECT user_id FROM events),
 {_HLL_CTES}
-exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM ev)
-SELECT hll_estimate, n_registers, exact_distinct,
+exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM ev),
+evt AS (SELECT event_type FROM events),
+kt AS (SELECT DISTINCT event_type FROM events),
+{_CMS_CTES},
+cnts AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS exact FROM events GROUP BY 1)
+SELECT 'hll_distinct_users' AS sketch, 'user_id' AS key,
+       hll_estimate AS estimate, exact_distinct AS exact,
        (hll_estimate - exact_distinct) / exact_distinct AS rel_err
 FROM est CROSS JOIN exact
+UNION ALL
+SELECT 'cms_count' AS sketch, cmsq.key AS key,
+       CAST(est AS DOUBLE) AS estimate, cnts.exact AS exact,
+       (CAST(est AS DOUBLE) - cnts.exact) / cnts.exact AS rel_err
+FROM cmsq JOIN cnts ON cmsq.key = cnts.key
 """,
     tags=("sketch", "agg"),
 )
-def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic HyperLogLog (p=8, md5 hash, trailing-zero rank):
-    the distinct-user estimate, the exact answer, and the realized
-    relative error — all hash-checked against the oracle, because the
-    sketch is engine-portable (unlike ``approx_count_distinct``,
-    whose HLL++ state is engine-private). MAX-merged registers: one
-    narrow shuffle of ≤2^p rows."""
-    ev = load_table(spark, sf_dir, "events").select("user_id")
-    est = sketches.hll_estimate(ev, "user_id", p=8)
-    exact = ev.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
-    return est.crossJoin(F.broadcast(exact)).select(
-        "hll_estimate",
-        "n_registers",
-        "exact_distinct",
+def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch surface in one verified result, each row
+    (sketch, key, estimate, exact, rel_err):
+
+    - deterministic HyperLogLog (p=8, md5 hash, trailing-zero rank)
+      distinct-user estimate — engine-portable sketch (unlike
+      ``approx_count_distinct``, whose HLL++ state is
+      engine-private), MAX-merged registers, one narrow shuffle of
+      ≤2^p rows;
+    - count-min (4×64 integer cells) frequency estimates for every
+      distinct event type — overestimates only, by construction; the
+      d×w sketch merges by cell sum and broadcasts to the probe side.
+
+    Even the approximation *error* is hash-checked, because both
+    sketches are exact deterministic functions of the input."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id")
+    est = sketches.hll_estimate(users, "user_id", p=8)
+    exact = users.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
+    hll_rows = est.crossJoin(F.broadcast(exact)).select(
+        F.lit("hll_distinct_users").alias("sketch"),
+        F.lit("user_id").alias("key"),
+        F.col("hll_estimate").alias("estimate"),
+        F.col("exact_distinct").alias("exact"),
         (
             (F.col("hll_estimate") - F.col("exact_distinct"))
             / F.col("exact_distinct")
         ).alias("rel_err"),
     )
-
-
-@register(
-    "cms_event_type_counts",
-    oracle=f"""
-WITH ev AS (SELECT event_type FROM events),
-kt AS (SELECT DISTINCT event_type FROM events),
-{sketches.sql_cms_estimate('ev', 'event_type', 'kt', 'event_type', d=4, w=64).strip()}
-""",
-    tags=("sketch", "agg"),
-)
-def cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min sketch (4×64 integer cells) frequency estimates for
-    every distinct event type — overestimates only, by construction;
-    the d×w sketch is mergeable by cell sum and broadcasts to the
-    probe side."""
-    ev = load_table(spark, sf_dir, "events").select("event_type")
-    sketch = sketches.cms_table(ev, "event_type", d=4, w=64)
-    keys = ev.distinct()
-    return sketches.cms_estimate(sketch, keys, "event_type", d=4, w=64)
+    types = ev.select("event_type")
+    sketch = sketches.cms_table(types, "event_type", d=4, w=64)
+    cms = sketches.cms_estimate(sketch, types.distinct(), "event_type", d=4, w=64)
+    cnts = types.groupBy("event_type").agg(F.count("*").cast("long").alias("exact"))
+    cms_rows = cms.join(cnts, cms.key == cnts.event_type).select(
+        F.lit("cms_count").alias("sketch"),
+        "key",
+        F.col("est").cast("double").alias("estimate"),
+        "exact",
+        ((F.col("est").cast("double") - F.col("exact")) / F.col("exact")).alias("rel_err"),
+    )
+    return hll_rows.unionByName(cms_rows)
 
 
 def _sql_bloom_pos(expr: str, j: int, m: int) -> str:

@@ -133,7 +133,8 @@ FROM sess GROUP BY 1, 2
 )
 def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch gap-sessionization (30-min gap): the offline twin of the
-    streaming ``streaming_job_sessions`` operator, cut with lag +
+    stateful streaming sessionizer (``streaming/stateful.py``,
+    exercised in tests/test_stateful_streaming.py), cut with lag +
     running-sum windows and rolled up per session. Gap math is
     integer microseconds so both engines cut identically."""
     ev = load_table(spark, sf_dir, "events").select(

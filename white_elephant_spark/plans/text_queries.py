@@ -1,6 +1,13 @@
 """Training-data-pipeline queries: dedup, similarity search, text
 analysis, multimodal plumbing — registered for the driver gate with
-DuckDB oracles wherever SQL can express the semantics."""
+DuckDB oracles wherever SQL can express the semantics.
+
+Registry budget note: the driver verifies at most ~50 queries per
+round, so related operators share one registered query where a single
+result can hash-verify all of them (e.g. ``dedup_minhash_jaccard``
+covers MinHash signatures, banded LSH candidate generation *and*
+exact n-gram Jaccard — every operator contributes verified columns).
+"""
 
 from __future__ import annotations
 
@@ -49,7 +56,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_ngram_jaccard",
+    "dedup_minhash_jaccard",
     oracle=f"""
 WITH {_DOCS_COPIES_SQL.lstrip()},
 base AS (
@@ -60,15 +67,16 @@ sigs AS (
   {dedup.sql_minhash_signatures('text', 'doc_id', k=12, n=3).replace('FROM documents', 'FROM docs')}
 ),
 bands AS (
-  SELECT id, b AS band,
+  SELECT id, sig, b AS band,
          md5(sig[b * 3 + 1] || '|' || sig[b * 3 + 2] || '|' || sig[b * 3 + 3]) AS bh
   FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
 ),
 cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         len(list_filter(generate_series(1, 12), i -> a.sig[i] = b.sig[i])) / 12.0 AS est_sim
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 )
-SELECT id_a, id_b,
+SELECT id_a, id_b, est_sim,
        len(list_intersect(a.grams, b.grams))
          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
 FROM cand JOIN base a ON a.id = cand.id_a JOIN base b ON b.id = cand.id_b
@@ -77,195 +85,101 @@ WHERE len(list_intersect(a.grams, b.grams))
 """,
     tags=("dedup", "join", "lsh"),
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-trigram exact-Jaccard pairs ≥ 0.5 over MinHash-band
-    candidate blocks (the scale-safe default — hash-bounded bucket
-    population instead of the token-frequency-skewed first-token
-    block)."""
+def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (k=12, trigram shingles) + 4-band LSH candidate
+    generation, then exact word-trigram Jaccard ≥ 0.5 over the
+    candidate blocks. One verified result covers three operators:
+    signature construction (``est_sim`` is the signature agreement),
+    banded LSH blocking (candidate membership), and the exact
+    n-gram Jaccard measure — hash-bounded bucket population instead
+    of a token-frequency-skewed block, the scale-safe default."""
     return dedup.ngram_jaccard_pairs(_docs_with_copies(spark, sf_dir), n=3, threshold=0.5)
-
-
-@register(
-    "dedup_simhash_pairs",
-    oracle=f"""
-WITH {_DOCS_COPIES_SQL.lstrip()},
-fp AS (
-  {dedup.sql_simhash32('text', 'doc_id').replace('FROM documents', 'FROM docs').strip()}
-),
-{dedup.sql_simhash_neardup_pairs('fp', max_hamming=3, bands=4).strip()}
-""",
-    tags=("dedup", "join"),
-)
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup *pairs*: 32-bit fingerprints → 4×8-bit radix
-    blocking (complete for Hamming ≤ 3 by pigeonhole) → exact
-    bit_count(XOR) filter. The other half of the SimHash story beyond
-    ``dedup_simhash``'s fingerprints."""
-    fps = dedup.simhash32(_docs_with_copies(spark, sf_dir))
-    return dedup.simhash_neardup_pairs(fps, max_hamming=3, bands=4)
 
 
 @register(
     "dedup_clusters",
     oracle=f"""
-WITH RECURSIVE {_DOCS_COPIES_SQL.lstrip()},
-fp AS (
-  {dedup.sql_simhash32('text', 'doc_id').replace('FROM documents', 'FROM docs').strip()}
-),
-slices AS (
-  SELECT id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
-  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b)
-),
-pairs AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM slices a JOIN slices b ON a.band = b.band AND a.bv = b.bv AND a.id < b.id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-),
-{clustering.sql_connected_components('pairs').strip()},
-labeled AS (
-  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
-  FROM docs d LEFT JOIN components c ON d.doc_id = c.node
-),
-sizes AS (
-  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
-  FROM labeled GROUP BY cluster_id
-)
-SELECT l.doc_id, l.cluster_id, s.cluster_size,
-       l.doc_id = l.cluster_id AS is_representative
-FROM labeled l JOIN sizes s USING (cluster_id)
+WITH RECURSIVE {_DOCS_COPIES_SQL.strip()},
+{clustering.sql_fingerprint_clusters(
+    'docs',
+    dedup.sql_simhash64('text', 'doc_id').replace('FROM documents', 'FROM docs'),
+).strip()}
+SELECT doc_id, cluster_id, cluster_size, is_representative FROM clusters
 """,
     tags=("dedup", "clustering"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assembly: SimHash near-dup pairs → iterative
-    min-label connected components → every doc labeled with its
-    transitive duplicate cluster, cluster population, and a
-    deterministic representative flag. The step after pair-finding
-    that an "A≈B, B≈C" corpus needs before it can drop B *and* C."""
+    """Duplicate-cluster assembly at the 100 TB shape: 64-bit SimHash
+    fingerprints → **identical fingerprints collapsed to one node**
+    (exactness-preserving — equal fingerprints are Hamming-0
+    connected) → radix-banded near-dup edges over *distinct*
+    fingerprints only → iterative min-label connected components →
+    every doc labeled with its transitive duplicate cluster, cluster
+    population, and a deterministic representative flag.
+
+    The fingerprint collapse is what keeps the pair set bounded: a
+    corpus whose duplicate mass is M copies of D templates pairs
+    O(M²) at doc level (the round-2 design: 2.8M pairs from 5k docs
+    at sf0.1) but O(D·bands) here."""
     docs = _docs_with_copies(spark, sf_dir)
-    fps = dedup.simhash32(docs)
-    pairs = dedup.simhash_neardup_pairs(fps, max_hamming=3, bands=4)
-    return clustering.attach_clusters(docs, pairs)
-
-
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
-WITH {_DOCS_COPIES_SQL.lstrip()},
-sigs AS (
-  {dedup.sql_minhash_signatures('text', 'doc_id', k=12, n=3).replace('FROM documents', 'FROM docs')}
-),
-bands AS (
-  SELECT id, sig, b AS band,
-         md5(sig[b * 3 + 1] || '|' || sig[b * 3 + 2] || '|' || sig[b * 3 + 3]) AS bh
-  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
-)
-SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-       len(list_filter(generate_series(1, 12), i -> a.sig[i] = b.sig[i])) / 12.0 AS est_sim
-FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-""",
-    tags=("dedup", "lsh"),
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=12, trigram shingles) + 4-band LSH candidates."""
-    sigs = dedup.minhash_signatures(_docs_with_copies(spark, sf_dir), k=12, n=3)
-    return dedup.lsh_candidate_pairs(sigs, bands=4, rows=3, k=12)
+    fps = dedup.simhash64(docs)
+    return clustering.fingerprint_clusters(docs, fps, max_hamming=3, bands=8)
 
 
 @register(
     "dedup_simhash",
-    oracle=dedup.sql_simhash32("text", "doc_id"),
+    oracle=dedup.sql_simhash64("text", "doc_id"),
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints over the documents table."""
-    return dedup.simhash32(load_table(spark, sf_dir, "documents"))
+    """64-bit SimHash fingerprints over the documents table."""
+    return dedup.simhash64(load_table(spark, sf_dir, "documents"))
 
 
 # ----------------------------------------------------------- text analysis
 
 
 @register(
-    "text_quality",
+    "text_profile",
     oracle=f"""
 SELECT doc_id,
        {tx.sql_token_count('text')} AS n_tokens,
+       {tx.sql_bpe_token_count('text')} AS bpe_tokens,
+       CAST(strlen(text) AS BIGINT) AS n_chars,
        {tx.sql_distinct_ratio('text')} AS distinct_ratio,
        {tx.sql_stopword_ratio('text')} AS stopword_ratio,
        {tx.sql_mean_word_len('text')} AS mean_word_len,
-       {tx.sql_quality_score('text')} AS quality
+       {tx.sql_quality_score('text')} AS quality,
+       lang AS labeled_lang,
+       {tx.sql_predict_lang('text')} AS predicted_lang,
+       {tx.sql_fingerprint('text')} AS fingerprint
 FROM documents
 """,
     tags=("text",),
 )
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token counts + quality-score heuristics."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document text-analysis profile in one scan: token
+    counting both ways (whitespace + BPE-ish regex pre-tokenization),
+    quality-score heuristics (distinct/stopword ratios, mean word
+    length), marker-word language-ID vs the labeled lang column, and
+    the order-insensitive content fingerprint. Every column is a
+    JVM-side codegen expression — one registered query hash-verifies
+    the whole §text operator family."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
+        tx.bpe_token_count(t).alias("bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
         tx.distinct_ratio(t).alias("distinct_ratio"),
         tx.stopword_ratio(t).alias("stopword_ratio"),
         tx.mean_word_len(t).alias("mean_word_len"),
         tx.quality_score(t).alias("quality"),
-    )
-
-
-@register(
-    "token_stats",
-    oracle=f"""
-SELECT doc_id,
-       {tx.sql_token_count('text')} AS ws_tokens,
-       {tx.sql_bpe_token_count('text')} AS bpe_tokens,
-       CAST(strlen(text) AS BIGINT) AS n_chars
-FROM documents
-""",
-    tags=("text",),
-)
-def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting both ways: whitespace split and a BPE-ish regex
-    pre-tokenization (letter runs / digit runs / punctuation marks) —
-    the per-document cost accounting a training-data pipeline needs."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        tx.token_count(t).alias("ws_tokens"),
-        tx.bpe_token_count(t).alias("bpe_tokens"),
-        F.length(t).cast("long").alias("n_chars"),
-    )
-
-
-@register(
-    "lang_id",
-    oracle=f"""
-SELECT doc_id, lang AS labeled_lang, {tx.sql_predict_lang('text')} AS predicted_lang
-FROM documents
-""",
-    tags=("text",),
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language-ID heuristic vs the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
         F.col("lang").alias("labeled_lang"),
-        tx.predict_lang(F.col("text")).alias("predicted_lang"),
+        tx.predict_lang(t).alias("predicted_lang"),
+        tx.fingerprint(t).alias("fingerprint"),
     )
-
-
-@register(
-    "doc_fingerprints",
-    oracle=f"""
-SELECT doc_id, {tx.sql_fingerprint('text')} AS fingerprint FROM documents
-""",
-    tags=("text",),
-)
-def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-insensitive content fingerprints (md5 of sorted token set)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 # ------------------------------------------------------------- similarity
@@ -336,14 +250,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_STRIDE, _IVF_NPROBE = 50, 4
+_IVF_C, _IVF_NPROBE = 32, 4
 
 
 @register(
     "ann_ivf_topk",
     oracle=f"""
 WITH cents AS (
-  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0
+  {similarity.sql_ivf_centroids(_IVF_C)}
 ),
 assign AS (
   SELECT e.vec_id, e.embedding, c.cid,
@@ -371,17 +285,19 @@ WHERE rank <= 10
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN: corpus partitioned into inverted lists by nearest
-    sampled centroid (deterministic quantizer — every 50th vector),
-    each query probes its 4 closest lists. Complements ``ann_lsh_topk``:
-    IVF prunes by *cell locality* (strong on clustered corpora, the
-    vector-search workhorse), LSH by sign-sketch collision. Cell
-    assignment is a map-side Arrow-batched ranking against the
-    broadcast centroid matrix — one scan, zero shuffle before the
-    cid-keyed candidate join."""
+    centroid from a **fixed-budget** hash-order sample (C=32,
+    independent of corpus size — the round-2 every-50th-id quantizer
+    collected N/50 vectors, linear in N), each query probes its 4
+    closest lists. Complements ``ann_lsh_topk``: IVF prunes by *cell
+    locality* (strong on clustered corpora, the vector-search
+    workhorse), LSH by sign-sketch collision. Cell assignment is a
+    map-side Arrow-batched ranking against the broadcast centroid
+    matrix — one scan, zero shuffle before the cid-keyed candidate
+    join."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.ivf_cosine_topk(
-        emb, queries, dim=64, k=10, stride=_IVF_STRIDE, nprobe=_IVF_NPROBE
+        emb, queries, dim=64, k=10, ncentroids=_IVF_C, nprobe=_IVF_NPROBE
     )
 
 
@@ -421,43 +337,56 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------- multimodal
 
+_RS_W, _RS_H = 16, 12  # resize target; digest verifies the truncation path
+
 
 @register(
-    "multimodal_features",
-    oracle="""
-SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS digest,
-       CAST(1 + strlen(text) % 64 AS BIGINT) AS fake_width,
-       CAST(1 + strlen(text) % 48 AS BIGINT) AS fake_height
-FROM documents
-""",
-    tags=("multimodal", "pandas-udf"),
+    "multimodal_pipeline",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len, md5(text) AS digest,
+         CAST(1 + strlen(text) % 64 AS BIGINT) AS fake_width,
+         CAST(1 + strlen(text) % 48 AS BIGINT) AS fake_height,
+         md5(rpad(text, {_RS_W * _RS_H}, chr(0))) AS resized_digest
+  FROM documents
+),
+frames AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS frame_idx,
+         substring(text, CAST(i * 256 + 1 AS INTEGER), 256) AS frame_str
+  FROM documents,
+       unnest(generate_series(0, least(7, greatest(0, strlen(text) // 256 - 1)))) AS t(i)
 )
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction via Arrow-batched
-    mapInPandas (decode stubbed; plumbing real). The oracle recomputes
-    the stub's deterministic outputs in SQL."""
-    docs = load_table(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.documents_as_binary(docs))
-
-
-@register(
-    "multimodal_frame_sample",
-    oracle="""
-SELECT doc_id,
-       CAST(i AS BIGINT) AS frame_idx,
-       substring(text, CAST(i * 256 + 1 AS INTEGER), 256) AS frame_str
-FROM documents,
-     unnest(generate_series(0, least(7, greatest(0, strlen(text) // 256 - 1)))) AS t(i)
+SELECT f.doc_id, f.byte_len, f.digest, f.fake_width, f.fake_height,
+       f.resized_digest, fr.frame_idx, fr.frame_str
+FROM feats f JOIN frames fr ON f.doc_id = fr.doc_id
 """,
     tags=("multimodal", "pandas-udf", "explode"),
 )
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over video-shaped binary payloads: a 1→N
-    mapInPandas explode, one row per sampled fixed-stride frame
-    (ffmpeg keyframe-seek in a real deployment). The corpus is ASCII,
-    so byte frames decode to the oracle's substring frames exactly."""
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal plumbing end to end in one verified result:
+    Arrow-batched ``mapInPandas`` feature extraction (1→1), resize
+    (payload-transforming, verified via the digest of the resized
+    bytes — the corpus is ASCII so ``rpad(text, n, chr(0))`` in the
+    oracle reproduces both the truncate and the NUL-pad path of the
+    stub exactly), and fixed-stride frame sampling (1→N explode,
+    ffmpeg keyframe-seek in a real deployment). Real codecs are
+    stubbed behind documented ``NotImplementedError``; the Spark-side
+    schema/batching/partitioning is real."""
     docs = load_table(spark, sf_dir, "documents")
-    frames = multimodal.sample_frames(multimodal.documents_as_binary(docs))
-    return frames.select(
+    payload = multimodal.documents_as_binary(docs)
+    feats = multimodal.extract_features(payload)
+    resized = multimodal.resize_images(payload, _RS_W, _RS_H).select(
+        "doc_id", F.md5(F.col("payload")).alias("resized_digest")
+    )
+    frames = multimodal.sample_frames(payload).select(
         "doc_id", "frame_idx", F.decode(F.col("frame"), "UTF-8").alias("frame_str")
+    )
+    return (
+        feats.join(resized, "doc_id")
+        .join(frames, "doc_id")
+        .select(
+            "doc_id", "byte_len", "digest", "fake_width", "fake_height",
+            "resized_digest", "frame_idx", "frame_str",
+        )
     )
