@@ -57,8 +57,11 @@ HEADLINE = [
 
 # Spark wall time above which a query runs once instead of twice (the
 # second run only exists to shed one-time codegen compile cost, which
-# is noise for a query this long).
-SINGLE_RUN_ABOVE = 8.0
+# is noise for a query this long). 20s keeps the borderline iterative
+# queries (dedup_clusters first run ~10s, steady-state ~3s) eligible
+# for their steady-state measurement while still single-running a
+# pathological regression.
+SINGLE_RUN_ABOVE = 20.0
 # Hard per-oracle DuckDB ceiling: one intractable oracle must degrade
 # to a flagged -1.0, never hang the whole artifact (the round-2 bench
 # died rc=124 inside an unbounded recursive-CTE oracle).

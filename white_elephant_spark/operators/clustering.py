@@ -43,6 +43,22 @@ def connected_components(
     Nodes not present in any pair are absent — union singletons in at
     the call site (see :func:`attach_clusters`)."""
     spark = pairs.sparkSession
+    # Spark 4.1 Catalyst bug: Union.rewriteConstraints throws
+    # NoSuchElementException when the propagate-union is joined back
+    # against the same label table the union was built from (the
+    # pointer-jump below). Constraint propagation buys nothing inside
+    # this loop (every join key is already non-null by construction),
+    # so disable it for the loop's plans and restore after.
+    _CONSTRAINTS = "spark.sql.constraintPropagation.enabled"
+    prev_constraints = spark.conf.get(_CONSTRAINTS, "true")
+    spark.conf.set(_CONSTRAINTS, "false")
+    try:
+        return _cc_loop(pairs, id_a, id_b, max_iter)
+    finally:
+        spark.conf.set(_CONSTRAINTS, prev_constraints)
+
+
+def _cc_loop(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame:
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -61,12 +77,43 @@ def connected_components(
         offers = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        prop = (
             labels.unionAll(offers)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # Pointer jumping (path halving): follow one's label to *its*
+        # label, so the distance to the component minimum roughly
+        # halves every round and convergence is O(log diameter)
+        # rounds instead of O(diameter) — a long near-dup chain
+        # (measured: 8 rounds at sf0.1) collapses in ~3. Labels are
+        # min-monotone (label(x) ≤ x), so the jump can only lower,
+        # never break, the invariant. The lookup side is the
+        # *previous* round's checkpointed table rather than ``prop``
+        # itself: self-joining the freshly-unioned plan trips a
+        # Catalyst constraint-rewrite bug (NoSuchElementException in
+        # UnionBase.rewriteConstraints), and the stale-by-one-round
+        # pointer still halves path length.
+        jump = (
+            prop.alias("x")
+            .join(
+                labels.select(
+                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                ),
+                F.col("x.label") == F.col("jnode"),
+                "left",
+            )
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.label"), F.coalesce(F.col("jlabel"), F.col("x.label"))
+                ).alias("label"),
+            )
+        )
+        # Lazy checkpoint: the convergence probe below is the action
+        # that materializes (and lineage-truncates) new_labels, so
+        # each round costs ONE Spark job, not two.
+        new_labels = jump.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -154,11 +201,18 @@ def fingerprint_clusters(
     doc id of the transitive cluster."""
     from white_elephant_spark.operators.dedup import simhash_neardup_pairs
 
+    # fps is consumed twice (fingerprint collapse + the doc→label map
+    # in step 4); materialize once so the md5-per-word simhash scan —
+    # the dominant cost — runs a single time. (id, simhash) is 16
+    # bytes/row, so the checkpoint is tiny relative to the corpus.
+    fps = fps.localCheckpoint(eager=True)
+    # groups re-derives from the checkpointed fps in both consumers —
+    # a trivial groupBy over (id, simhash), not worth its own
+    # materialization job.
     groups = (
         fps.groupBy("simhash")
         .agg(F.min("id").alias("fid"))
         .select(F.col("fid").alias("id"), "simhash")
-        .localCheckpoint(eager=True)
     )
     fpairs = simhash_neardup_pairs(groups, max_hamming=max_hamming, bands=bands)
     comp = connected_components(fpairs, max_iter=max_iter)
@@ -189,7 +243,7 @@ def sql_connected_components(pairs_cte: str) -> str:
     edges (see :func:`sql_fingerprint_clusters`), never raw doc
     pairs."""
     return f"""
-edges AS (
+edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM {pairs_cte}
   UNION
   SELECT id_b AS src, id_a AS dst FROM {pairs_cte}
@@ -213,21 +267,27 @@ def sql_fingerprint_clusters(
     docs CTE (doc_id, text) and a fingerprint SELECT ``fp_sql``
     (id, simhash) to a ``clusters`` CTE with columns
     (doc_id, cluster_id, cluster_size, is_representative). Must be
-    embedded under ``WITH RECURSIVE``."""
+    embedded under ``WITH RECURSIVE``.
+
+    Every CTE the recursion (or a later CTE) re-reads is marked
+    ``MATERIALIZED``: DuckDB otherwise *inlines* them, so each
+    recursive-closure step would recompute the whole simhash+band
+    pipeline from scratch (31s → 5.6s at sf0.1, and the round-2 bench
+    timeout, came from exactly that)."""
     width = 64 // bands
     mask = (1 << width) - 1
     return f"""
-fp AS (
+fp AS MATERIALIZED (
   {fp_sql.strip()}
 ),
-fpg AS (
+fpg AS MATERIALIZED (
   SELECT simhash, MIN(id) AS fid FROM fp GROUP BY simhash
 ),
-slices AS (
+slices AS MATERIALIZED (
   SELECT fid, simhash, b AS band, (simhash >> (b * {width})) & {mask} AS bv
   FROM fpg, (SELECT unnest(generate_series(0, {bands - 1})) AS b)
 ),
-fpairs AS (
+fpairs AS MATERIALIZED (
   SELECT DISTINCT a.fid AS id_a, b.fid AS id_b
   FROM slices a JOIN slices b ON a.band = b.band AND a.bv = b.bv AND a.fid < b.fid
   WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}

@@ -113,6 +113,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_ngrams(F.col(text_col), n).alias("grams"),
     )
+    # base feeds both sides of the candidate join below; cache it so
+    # the shingle construction runs once, not once per join side.
+    base = base.persist()
     if block is not None:
         blocked = df.select(
             F.col(id_col).alias("id"),
@@ -257,20 +260,24 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
     ).withColumn("h", F.md5(F.encode(F.col("w"), "UTF-8")))
-    # 64 vote columns per (id, token) — wide-not-tall keeps the row
-    # count at |tokens| (not 64×|tokens|) and needs a single shuffle.
-    votes = toks.select(
+    # Decode each hex nibble ONCE (16 string ops/row), then derive the
+    # 64 bit votes with pure integer arithmetic — versus extracting
+    # the nibble again for every bit (64 substring+instr per row, the
+    # dominant map-stage cost at corpus scale). Values are identical,
+    # so the DuckDB oracle twin is unaffected.
+    nibbled = toks.select(
         "id",
         *[
-            (
-                F.shiftright(
-                    F.instr(F.lit(HEX), F.substring(F.col("h"), bit // 4 + 1, 1)) - 1,
-                    bit % 4,
-                )
-                % 2
-                * 2
-                - 1
-            ).alias(f"v{bit}")
+            (F.instr(F.lit(HEX), F.substring(F.col("h"), i + 1, 1)) - 1).alias(f"n{i}")
+            for i in range(16)
+        ],
+    )
+    # 64 vote columns per (id, token) — wide-not-tall keeps the row
+    # count at |tokens| (not 64×|tokens|) and needs a single shuffle.
+    votes = nibbled.select(
+        "id",
+        *[
+            (F.shiftright(F.col(f"n{bit // 4}"), bit % 4) % 2 * 2 - 1).alias(f"v{bit}")
             for bit in range(64)
         ],
     )

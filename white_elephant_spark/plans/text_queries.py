@@ -59,19 +59,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_jaccard",
     oracle=f"""
 WITH {_DOCS_COPIES_SQL.lstrip()},
-base AS (
+base AS MATERIALIZED (
   SELECT doc_id AS id, {dedup.sql_word_ngrams('text', 3)} AS grams
   FROM docs
 ),
-sigs AS (
+sigs AS MATERIALIZED (
   {dedup.sql_minhash_signatures('text', 'doc_id', k=12, n=3).replace('FROM documents', 'FROM docs')}
 ),
-bands AS (
+bands AS MATERIALIZED (
   SELECT id, sig, b AS band,
          md5(sig[b * 3 + 1] || '|' || sig[b * 3 + 2] || '|' || sig[b * 3 + 3]) AS bh
   FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b)
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          len(list_filter(generate_series(1, 12), i -> a.sig[i] = b.sig[i])) / 12.0 AS est_sim
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id

@@ -74,11 +74,26 @@ def bucketed_pair(
     num_buckets: int = 8,
     tag: str = "we",
     base_dir: str = "/tmp/we_bucketed",
+    reuse: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Bucket two join sides on their keys with one shared bucket
-    count, so ``left.join(right, left[k]==right[k])`` is co-located."""
+    count, so ``left.join(right, left[k]==right[k])`` is co-located.
+
+    ``reuse=True`` returns the existing bucketed tables when they are
+    already in the catalog with the expected columns — the entire
+    point of the layout is that the bucketing shuffle is paid *once*
+    and amortized across every later join, so a repeat call must not
+    rewrite. Pass ``reuse=False`` (or a fresh ``tag``/``base_dir``)
+    when the source data changed."""
     tag = _safe_name(tag)
     lt, rt = f"we_bkt_{tag}_l", f"we_bkt_{tag}_r"
+    if reuse:
+        try:
+            ldf, rdf = spark.table(lt), spark.table(rt)
+            if set(ldf.columns) == set(left.columns) and set(rdf.columns) == set(right.columns):
+                return ldf, rdf
+        except Exception:
+            pass
     ldf = write_bucketed(
         spark, left, lt, [left_key], num_buckets,
         sort_cols=[left_key], path=os.path.join(base_dir, tag, "l"),

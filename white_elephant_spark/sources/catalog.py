@@ -61,6 +61,40 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
 
 
+# Scan-parallelism floor. A parquet file is only splittable at
+# row-group boundaries; the test corpus writes ONE row group per
+# table, so every scan plans a single task and each CPU-dense map
+# stage (simhash votes, shingle hashing, per-token explodes) runs on
+# one core of 32. A 100 TB deployment never hits this — its scans
+# carry millions of row groups — so the floor is conditional: only
+# when the planned scan has fewer partitions than the cluster has
+# cores AND the input is big enough for the round-robin shuffle to
+# pay for itself does it re-spread. At scale both guards fail and the
+# plan is untouched (no extra Exchange).
+_SPREAD_MIN_BYTES = 256 * 1024
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        if _input_bytes(path) < _SPREAD_MIN_BYTES:
+            return df
+    except OSError:
+        return df
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    return df.repartition(cores)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Accepts a ``<name>.parquet`` file or a
     partitioned directory of the same name."""
@@ -77,7 +111,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
-    return df
+    return _spread_small_scan(spark, df, path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
