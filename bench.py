@@ -91,16 +91,26 @@ def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
         sql = qs[name].oracle
         if not sql:
             continue
-        timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
-        timer.start()
-        t0 = time.time()
-        try:
-            con.execute(f"CREATE OR REPLACE TEMP TABLE _bench AS {sql}")
-            out[name] = round(time.time() - t0, 3)
-        except Exception:
-            out[name] = -1.0  # timed out or not runnable standalone
-        finally:
-            timer.cancel()
+        best = None
+        # Best-of-two, symmetric with the Spark side: both engines
+        # report steady-state, neither pays one-time compile/IO warmup
+        # in its recorded number.
+        for _ in range(2):
+            timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
+            timer.start()
+            t0 = time.time()
+            try:
+                con.execute(f"CREATE OR REPLACE TEMP TABLE _bench AS {sql}")
+                t = time.time() - t0
+                best = t if best is None else min(best, t)
+            except Exception:
+                best = -1.0 if best is None else best
+                break  # timed out or not runnable standalone
+            finally:
+                timer.cancel()
+            if best > SINGLE_RUN_ABOVE:
+                break
+        out[name] = round(best, 3)
     return out
 
 
@@ -117,7 +127,17 @@ def main() -> None:
     # whole input fits in a handful of partitions). On a cluster this
     # knob stays high and AQE coalesces instead — see session.py.
     parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8"))
-    spark = get_spark("bench", shuffle_partitions=parts)
+    # AQE stays ON in the engine's production defaults (session.py) —
+    # at the 100 TB target its runtime coalescing/skew handling is a
+    # clear win. At bench scale (sub-second stages over a few MB) its
+    # per-stage re-planning barrier costs ~15% wall with nothing to
+    # re-plan, so the bench sizes it off, the same way it sizes
+    # shuffle partitions down from the cluster default.
+    spark = get_spark(
+        "bench",
+        shuffle_partitions=parts,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
     # JVM/codegen warmup on the smallest table, untimed.
@@ -130,6 +150,8 @@ def main() -> None:
     # SINGLE_RUN_ABOVE run once — the compile cost is noise there and
     # doubling them is what blew the round-2 wall-clock budget.
     times: dict[str, float] = {}
+    import gc
+
     for name in names:
         t0 = time.time()
         qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -139,6 +161,11 @@ def main() -> None:
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
+        # Release block-cache leftovers (persisted lookup sides,
+        # localCheckpoints) between queries so later measurements
+        # don't pay earlier queries' storage/GC pressure.
+        spark.catalog.clearCache()
+        gc.collect()
 
     duck = duckdb_times(sf_dir, names, qs)
     duck_total = round(sum(v for v in duck.values() if v >= 0), 3)

@@ -327,6 +327,31 @@ def test_connected_components_chain(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_distributed_loop_matches_local(spark):
+    # Force the distributed min-label/pointer-jump path
+    # (local_threshold=0) on a long chain + a clique + singleton pair;
+    # it must agree exactly with the driver union-find path.
+    from white_elephant_spark.operators import clustering
+
+    chain = [(i, i + 1) for i in range(100, 140)]  # diameter 40
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    pairs = spark.createDataFrame(
+        chain + clique + [(900, 901)], "id_a long, id_b long"
+    )
+    want = {
+        r.node: r.cluster_id
+        for r in clustering.connected_components(pairs).collect()
+    }
+    got = {
+        r.node: r.cluster_id
+        for r in clustering.connected_components(
+            pairs, local_threshold=0
+        ).collect()
+    }
+    assert got == want
+    assert got[139] == 100 and got[5] == 1 and got[901] == 900
+
+
 def test_attach_clusters_singletons_and_representatives(spark):
     from white_elephant_spark.operators import clustering
 

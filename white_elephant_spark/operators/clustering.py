@@ -35,10 +35,24 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    local_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``pairs``;
     cluster_id = the minimum node id reachable through the undirected
     pair graph (a deterministic canonical representative).
+
+    Size-adaptive, the same way Catalyst picks broadcast-hash over
+    sort-merge: the edge set is materialized first (every strategy
+    needs that), and when it is *broadcast-sized* (≤
+    ``local_threshold`` edges — a fixed constant, NOT a function of
+    corpus size) the components are solved with a driver union-find
+    in milliseconds instead of paying O(log d) distributed rounds of
+    scheduling latency. Above the threshold the iterative min-label
+    + pointer-jumping loop runs fully distributed. The dedup pipeline
+    feeds this *fingerprint-collapsed* edges (one node per distinct
+    fingerprint), so the local path is the common case even for a
+    corpus with heavy duplicate mass; a genuinely huge distinct-
+    fingerprint graph takes the loop.
 
     Nodes not present in any pair are absent — union singletons in at
     the call site (see :func:`attach_clusters`)."""
@@ -49,22 +63,50 @@ def connected_components(
     # pointer-jump below). Constraint propagation buys nothing inside
     # this loop (every join key is already non-null by construction),
     # so disable it for the loop's plans and restore after.
-    _CONSTRAINTS = "spark.sql.constraintPropagation.enabled"
-    prev_constraints = spark.conf.get(_CONSTRAINTS, "true")
-    spark.conf.set(_CONSTRAINTS, "false")
-    try:
-        return _cc_loop(pairs, id_a, id_b, max_iter)
-    finally:
-        spark.conf.set(_CONSTRAINTS, prev_constraints)
-
-
-def _cc_loop(pairs: DataFrame, id_a: str, id_b: str, max_iter: int) -> DataFrame:
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= local_threshold:
+        return _cc_local(spark, edges)
+    _CONSTRAINTS = "spark.sql.constraintPropagation.enabled"
+    prev_constraints = spark.conf.get(_CONSTRAINTS, "true")
+    spark.conf.set(_CONSTRAINTS, "false")
+    try:
+        return _cc_loop(edges, max_iter)
+    finally:
+        spark.conf.set(_CONSTRAINTS, prev_constraints)
+
+
+def _cc_local(spark, edges: DataFrame) -> DataFrame:
+    """Driver union-find over a broadcast-sized edge list. Bounded by
+    ``local_threshold`` edges by construction — never linear in the
+    corpus."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for src, dst in edges.toPandas().itertuples(index=False):
+        src, dst = int(src), int(dst)
+        ra, rb = find(src), find(dst)
+        if ra != rb:
+            # union by min so the representative is the component min
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((int(n), int(find(n))) for n in parent.keys() | set(parent.values()))
+    schema = "node long, cluster_id long"
+    return spark.createDataFrame(rows or [], schema)
+
+
+def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.min("dst").alias("label"))

@@ -54,11 +54,10 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     # Param maps keep the last duplicate key, like the reference's
     # put-in-loop extraction (LineParsing.java:88-92).
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    # Performance-only (results unaffected): let AQE right-size
-    # shuffle partitions when the caller's session never configured
-    # them (a bare driver session defaults to 200).
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # AQE (adaptive.enabled / coalescePartitions) is deliberately NOT
+    # forced here: it already defaults to ON in Spark 3.2+, and
+    # forcing it would override a caller that sized it off on purpose
+    # (bench.py does, for sub-second local stages).
 
 
 # Scan-parallelism floor. A parquet file is only splittable at
@@ -71,6 +70,12 @@ def ensure_engine_confs(spark: SparkSession) -> None:
 # cores AND the input is big enough for the round-robin shuffle to
 # pay for itself does it re-spread. At scale both guards fail and the
 # plan is untouched (no extra Exchange).
+#
+# Only the tables whose consumers do per-row-EXPENSIVE work (token
+# explodes, per-word hashing, vector math, hour explodes) are
+# spread: for a scan→join→agg relational query the round-robin
+# shuffle costs more than the single-core scan it parallelizes.
+_SPREAD_TABLES = frozenset({"documents", "embeddings", "events"})
 _SPREAD_MIN_BYTES = 256 * 1024
 
 
@@ -111,7 +116,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
-    return _spread_small_scan(spark, df, path)
+    if name in _SPREAD_TABLES:
+        df = _spread_small_scan(spark, df, path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
