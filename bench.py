@@ -136,7 +136,19 @@ def main() -> None:
     spark = get_spark(
         "bench",
         shuffle_partitions=parts,
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # Keep the session lean across 27 sequential queries: a
+            # 128 GB driver heap may never GC, so the ContextCleaner
+            # never reclaims shuffle files / broadcast blocks, and the
+            # status stores grow — later queries pay earlier queries'
+            # accumulated state (measured: usage_json_api 0.8s in a
+            # fresh session, 1.9s as bench query #7).
+            "spark.cleaner.periodicGC.interval": "15s",
+            "spark.sql.ui.retainedExecutions": "2",
+            "spark.ui.retainedJobs": "20",
+            "spark.ui.retainedStages": "50",
+        },
     )
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
