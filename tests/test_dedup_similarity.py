@@ -400,3 +400,42 @@ def test_fingerprint_clusters_match_doc_level_closure(spark):
     assert via_fp == via_docs
     assert via_fp[1][0] == via_fp[2][0]  # exact dups share a cluster
     assert via_fp[6][1] == 1 and via_fp[6][2]  # singleton is its own rep
+
+
+# ------------------------------------------------- centroid classification
+
+
+def test_label_centroids_exact_mean_and_order(spark):
+    from white_elephant_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 3.0], "a"),
+            (2, [3.0, 2.0, 5.0], "a"),
+            (3, [0.0, 1.0, 0.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    cents = {r.label: r.centroid for r in similarity.label_centroids(vecs).collect()}
+    assert cents["a"] == [2.0, 1.0, 4.0]          # exact means
+    assert cents["b"] == [0.0, 1.0, 0.0]
+
+
+def test_classify_by_centroid_picks_nearest(spark):
+    from white_elephant_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.9, 0.1], "a"),
+            (3, [0.0, 1.0], "b"),
+            (4, [0.1, 0.9], "b"),
+            (5, [0.8, 0.2], "b"),   # mislabeled: nearest centroid is a's
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    cents = similarity.label_centroids(vecs)
+    out = {r.vec_id: r for r in similarity.classify_by_centroid(vecs, cents).collect()}
+    assert len(out) == 5                      # one prediction per vector
+    assert out[1].pred_label == "a" and out[3].pred_label == "b"
+    assert out[5].pred_label == "a" and out[5].label == "b"

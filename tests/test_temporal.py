@@ -99,3 +99,46 @@ def test_sessionize_gap_cut(spark):
     out = temporal.sessionize(ev, gap_minutes=30, tiebreak="event_id").collect()
     seq = {r.event_id: r.session_seq for r in out}
     assert seq == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_scd2_segments_runs_and_validity(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1), "a"),
+            (1, T(2024, 1, 2), "a"),   # same run
+            (1, T(2024, 1, 3), "b"),   # change
+            (1, T(2024, 1, 4), "a"),   # back to a -> NEW segment, not merged
+            (2, T(2024, 1, 1), "x"),
+        ],
+        "user_id long, ts timestamp_ntz, event_type string",
+    )
+    out = temporal.scd2_segments(ev).collect()
+    u1 = sorted(
+        [r for r in out if r.key == 1], key=lambda r: r.valid_from
+    )
+    assert [(r.state, r.n_events, r.is_current) for r in u1] == [
+        ("a", 2, False), ("b", 1, False), ("a", 1, True)
+    ]
+    # half-open chaining: each valid_to equals the next valid_from
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from and u1[2].valid_to is None
+    u2 = [r for r in out if r.key == 2]
+    assert len(u2) == 1 and u2[0].is_current
+
+
+def test_asof_forward_tolerance_nulls_far_matches(spark):
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1), 10), (1, T(2024, 2, 1), 11)],
+        "k long, t timestamp_ntz, payload long",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 3), 5.0)], "k long, rt timestamp_ntz, state double"
+    )
+    out = temporal.asof_join(
+        left, right, key="k", left_time="t", right_time="rt",
+        direction="forward", tolerance_ms=5 * 86_400_000,
+    ).collect()
+    by = {r.payload: r for r in out}
+    assert by[10].state == 5.0          # 2 days ahead, inside tolerance
+    assert by[11].state is None         # next match is in the past -> none
+    assert len(out) == 2                # left rows all preserved

@@ -41,10 +41,16 @@ def tfidf_top_terms(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by rational-idf TF-IDF
-    score ``tf · (N+1)/(df+1)``; ties break lexicographically."""
-    idx = term_index(docs, id_col, text_col)
+    score ``tf · (N+1)/(df+1)``; ties break lexicographically.
+
+    ``idx`` optionally supplies a prebuilt :func:`term_index` so
+    several relevance measures share ONE (doc, term) shuffle — the
+    dominant cost of any scoring pass at corpus scale."""
+    if idx is None:
+        idx = term_index(docs, id_col, text_col)
     dfreq = idx.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
     scored = (
@@ -99,25 +105,41 @@ def bm25_scores(
     b: float = 0.75,
     id_col: str = "doc_id",
     text_col: str = "text",
+    idx: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 relevance of every matching document to a bag-of-terms
     query, log-free idf ``(N - df + 0.5)/(df + 0.5)`` (rank-equivalent
     to the standard form). Returns (doc_id, bm25) for docs containing
-    at least one query term."""
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        tx.token_count(F.col(text_col)).alias("dl"),
-    )
-    idx = term_index(base, "doc_id", "text").filter(F.col("term").isin(query_terms))
-    dfreq = idx.groupBy("term").agg(F.count("*").alias("df"))
-    scal = base.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-    )
+    at least one query term.
+
+    With a prebuilt ``idx`` (see :func:`term_index`), document length
+    is recovered as ``SUM(tf)`` — ``tokens`` is a plain split that
+    keeps empty strings, so the identity ``dl = Σ tf`` is exact and
+    the text is never re-tokenized."""
+    if idx is None:
+        base = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            tx.token_count(F.col(text_col)).alias("dl"),
+        )
+        full_idx = term_index(base, "doc_id", "text")
+        lens = base.select("doc_id", "dl")
+        scal = base.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+    else:
+        full_idx = idx
+        lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        scal = lens.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        )
+    fidx = full_idx.filter(F.col("term").isin(query_terms))
+    dfreq = fidx.groupBy("term").agg(F.count("*").alias("df"))
     return (
-        idx.join(dfreq, "term")
-        .join(base.select("doc_id", "dl"), "doc_id")
+        fidx.join(dfreq, "term")
+        .join(lens, "doc_id")
         .crossJoin(F.broadcast(scal))
         .select(
             "doc_id",

@@ -544,3 +544,108 @@ def neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# ------------------------------------------------- centroid classification
+
+
+def label_centroids(
+    vecs: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-label mean vector (centroid) as (label, centroid) with the
+    centroid an ``array<double>`` in dimension order.
+
+    Cross-engine exactness: a distributed SUM(double) over rows is
+    summation-order-dependent, so each component is quantized to
+    integer micro-units first — ``floor(v · scale)`` is one IEEE
+    multiply + floor (bit-identical everywhere), the BIGINT row sum is
+    exact in any order, and the final ``sum/scale/n`` is a single
+    double division. The quantization error (≤1e-6 per component) is
+    a *defined* part of the operator, not drift.
+
+    Shape: one narrow (label, dim) shuffle of integer cells —
+    mergeable across partitions/days like every sketch in
+    ``operators/sketches.py``."""
+    q = F.floor(F.col("v").cast("double") * F.lit(float(scale))).cast("long")
+    expl = vecs.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    cells = expl.select("label", "dim", q.alias("q"))
+    cent = cells.groupBy("label", "dim").agg(
+        F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    comp = cent.select(
+        "label",
+        "dim",
+        (F.col("s").cast("double") / F.lit(float(scale)) / F.col("n")).alias("c"),
+    )
+    return comp.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
+        ).alias("centroid")
+    )
+
+
+def classify_by_centroid(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine: every vector scored
+    against every (broadcast) centroid, top-1 kept with deterministic
+    tie-break on the centroid label. Output: (vec_id, label,
+    pred_label, cos_sim)."""
+    c = centroids.select(
+        F.col("label").alias("pred_label"),
+        F.col("centroid").alias("cvec"),
+        F.sqrt(_dsum_products(F.col("centroid"), F.col("centroid"))).alias("cnorm"),
+    )
+    v = vecs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("vvec"),
+        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("vnorm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "label",
+        "pred_label",
+        (
+            _dsum_products(F.col("vvec"), F.col("cvec"))
+            / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("pred_label").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "pred_label", "cos_sim")
+    )
+
+
+def sql_label_centroids(table: str = "embeddings", dim: int = 64, scale: int = 1_000_000) -> str:
+    """DuckDB twin of :func:`label_centroids` (+ classify scaffolding):
+    yields ``cents`` (label, centroid). 1-indexed dims — only the
+    order matters."""
+    return f"""
+cells AS (
+  SELECT label, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM {table}, unnest(generate_series(1, {dim})) AS t(i)
+),
+comp AS (
+  SELECT label, dim,
+         CAST(SUM(q) AS DOUBLE) / {scale} / COUNT(*) AS c
+  FROM cells GROUP BY label, dim
+),
+cents AS (
+  SELECT label, list(c ORDER BY dim) AS centroid FROM comp GROUP BY label
+)
+"""

@@ -43,11 +43,17 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row with the greatest
     ``right_time <= left_time`` (``direction="backward"``, inclusive)
     or the least ``right_time >= left_time`` (``"forward"``) within
     the same ``key`` group. Unmatched left rows keep nulls.
+
+    ``tolerance_ms`` bounds the match distance (pandas
+    ``merge_asof(tolerance=...)`` semantics): a match farther than the
+    tolerance is nulled out, the row is kept. Applied as a post-window
+    predicate — the single-shuffle union+window plan is unchanged.
 
     ``right`` must be unique per (key, right_time) — pre-aggregate it
     otherwise (ties would make any engine's pick arbitrary). Output:
@@ -89,6 +95,13 @@ def asof_join(
         .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
     )
+    if tolerance_ms is not None:
+        lt = F.unix_millis(F.col("_t").cast("timestamp"))
+        rt = F.unix_millis(F.col(f"_m.{right_time}").cast("timestamp"))
+        delta = (lt - rt) if direction == "backward" else (rt - lt)
+        matched = matched.withColumn(
+            "_m", F.when(delta <= F.lit(tolerance_ms), F.col("_m"))
+        )
     out_cols = [F.col(f"_l.{c}").alias(c) for c in left.columns] + [
         F.col(f"_m.{c}").alias(c) for c in r_payload
     ]
@@ -183,3 +196,99 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def scd2_segments(
+    rows: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build (gaps-and-islands): for
+    each key, collapse consecutive runs of the same ``state_col``
+    value (ordered by time) into validity segments.
+
+    Output: (key, state, valid_from, valid_to, n_events, is_current) —
+    ``valid_to`` is the next segment's start (NULL on the live
+    segment), the half-open convention every warehouse dimension
+    table uses.
+
+    Distributed shape: ONE shuffle on the key; the change-detection
+    lag, the running segment counter, and the post-aggregation lead
+    all share that partitioning (Catalyst plans zero additional
+    Exchanges — the groupBy keys are a superset of the window
+    partition key). ``tiebreak`` totally orders equal timestamps so
+    the run boundaries are engine-deterministic.
+    """
+    order = [F.col(time_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else [F.col(state_col).asc()]
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_state = F.lag(F.col(state_col)).over(w)
+    is_new = F.when(
+        prev_state.isNull() | (prev_state != F.col(state_col)), 1
+    ).otherwise(0)
+    seg = rows.select(
+        F.col(key_col).alias("key"),
+        F.col(time_col).alias("t"),
+        F.col(state_col).alias("state"),
+        F.sum(is_new).over(run).alias("seg_id"),
+    )
+    # state is constant within a run by construction; MIN is just the
+    # engine-agnostic way to pick it.
+    collapsed = seg.groupBy("key", "seg_id").agg(
+        F.min("state").alias("state"),
+        F.min("t").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wseg = Window.partitionBy("key").orderBy(F.col("seg_id").asc())
+    return collapsed.select(
+        "key",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wseg).alias("valid_to"),
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def sql_scd2_segments(
+    rows_cte: str,
+    key_expr: str = "user_id",
+    time_expr: str = "ts",
+    state_expr: str = "event_type",
+    tiebreak: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`scd2_segments` over a CTE with the same
+    column semantics; yields a ``scd2`` CTE."""
+    order_tail = tiebreak if tiebreak else state_expr
+    return f"""
+scd2_marks AS (
+  SELECT {key_expr} AS key, {time_expr} AS t, {state_expr} AS state,
+         {order_tail} AS ord2,
+         CASE WHEN LAG({state_expr}) OVER w IS NULL
+                OR LAG({state_expr}) OVER w <> {state_expr}
+              THEN 1 ELSE 0 END AS is_new
+  FROM {rows_cte}
+  WINDOW w AS (PARTITION BY {key_expr} ORDER BY {time_expr} ASC, {order_tail} ASC)
+),
+scd2_runs AS (
+  SELECT key, t, state,
+         SUM(is_new) OVER (PARTITION BY key ORDER BY t ASC, ord2 ASC
+                           ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM scd2_marks
+),
+scd2_grp AS (
+  SELECT key, seg_id, MIN(state) AS state, MIN(t) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM scd2_runs GROUP BY key, seg_id
+),
+scd2 AS (
+  SELECT key, state, valid_from,
+         LEAD(valid_from) OVER (PARTITION BY key ORDER BY seg_id ASC) AS valid_to,
+         n_events,
+         LEAD(valid_from) OVER (PARTITION BY key ORDER BY seg_id ASC) IS NULL AS is_current
+  FROM scd2_grp
+)
+"""

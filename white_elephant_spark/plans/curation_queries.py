@@ -155,8 +155,12 @@ def relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical; per-doc BM25 sums go through DECIMAL so summation
     order can't drift the hash."""
     docs = load_table(spark, sf_dir, "documents")
-    tf3 = relevance.tfidf_top_terms(docs, k=3)
-    bm = relevance.bm25_scores(docs, _BM25_TERMS)
+    # One (doc, term) shuffle feeds BOTH measures: the TF-IDF ranking
+    # and the BM25 pass share the cached term index, and BM25 recovers
+    # document length as SUM(tf) instead of re-tokenizing the corpus.
+    idx = relevance.term_index(docs).persist()
+    tf3 = relevance.tfidf_top_terms(docs, k=3, idx=idx)
+    bm = relevance.bm25_scores(docs, _BM25_TERMS, idx=idx)
     return tf3.join(bm, "doc_id", "left").select(
         "doc_id", "term", "rank", "score", "bm25"
     )

@@ -37,16 +37,27 @@ exact AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct FROM 
 evt AS (SELECT event_type FROM events),
 kt AS (SELECT DISTINCT event_type FROM events),
 {_CMS_CTES},
-cnts AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS exact FROM events GROUP BY 1)
+cnts AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS exact FROM events GROUP BY 1),
+bk AS (SELECT value FROM events ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 256),
+bkq AS (SELECT quantile_cont(value, 0.5) AS p50e, quantile_cont(value, 0.95) AS p95e FROM bk),
+fullq AS (SELECT quantile_cont(value, 0.5) AS p50x, quantile_cont(value, 0.95) AS p95x FROM events)
 SELECT 'hll_distinct_users' AS sketch, 'user_id' AS key,
-       hll_estimate AS estimate, exact_distinct AS exact,
+       hll_estimate AS estimate, CAST(exact_distinct AS DOUBLE) AS exact,
        (hll_estimate - exact_distinct) / exact_distinct AS rel_err
 FROM est CROSS JOIN exact
 UNION ALL
 SELECT 'cms_count' AS sketch, cmsq.key AS key,
-       CAST(est AS DOUBLE) AS estimate, cnts.exact AS exact,
+       CAST(est AS DOUBLE) AS estimate, CAST(cnts.exact AS DOUBLE) AS exact,
        (CAST(est AS DOUBLE) - cnts.exact) / cnts.exact AS rel_err
 FROM cmsq JOIN cnts ON cmsq.key = cnts.key
+UNION ALL
+SELECT 'bottomk_p50' AS sketch, 'value' AS key,
+       p50e AS estimate, p50x AS exact, (p50e - p50x) / p50x AS rel_err
+FROM bkq CROSS JOIN fullq
+UNION ALL
+SELECT 'bottomk_p95' AS sketch, 'value' AS key,
+       p95e AS estimate, p95x AS exact, (p95e - p95x) / p95x AS rel_err
+FROM bkq CROSS JOIN fullq
 """,
     tags=("sketch", "agg"),
 )
@@ -61,9 +72,14 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
       ≤2^p rows;
     - count-min (4×64 integer cells) frequency estimates for every
       distinct event type — overestimates only, by construction; the
-      d×w sketch merges by cell sum and broadcasts to the probe side.
+      d×w sketch merges by cell sum and broadcasts to the probe side;
+    - bottom-k (k=256, md5-ranked) quantile sketch for p50/p95 of the
+      event value — the mergeable KLL-style shape: per-partition
+      bottom-k then global bottom-k (Spark plans orderBy+limit as
+      TakeOrdered, never a global sort), a deterministic hash-uniform
+      sample whose quantiles estimate the population's.
 
-    Even the approximation *error* is hash-checked, because both
+    Even the approximation *error* is hash-checked, because all three
     sketches are exact deterministic functions of the input."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id")
@@ -73,7 +89,7 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("hll_distinct_users").alias("sketch"),
         F.lit("user_id").alias("key"),
         F.col("hll_estimate").alias("estimate"),
-        F.col("exact_distinct").alias("exact"),
+        F.col("exact_distinct").cast("double").alias("exact"),
         (
             (F.col("hll_estimate") - F.col("exact_distinct"))
             / F.col("exact_distinct")
@@ -87,10 +103,44 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cms_count").alias("sketch"),
         "key",
         F.col("est").cast("double").alias("estimate"),
-        "exact",
+        F.col("exact").cast("double").alias("exact"),
         ((F.col("est").cast("double") - F.col("exact")) / F.col("exact")).alias("rel_err"),
     )
-    return hll_rows.unionByName(cms_rows)
+    # Bottom-k quantile sketch: md5 of the unique event id is a
+    # uniform rank, so the 256 lowest-ranked rows are a deterministic
+    # uniform sample; orderBy+limit plans as per-partition TakeOrdered
+    # (no global sort), and two bottom-k samples merge by re-ranking —
+    # the property that makes this a sketch, not just a sample.
+    samp = (
+        ev.select("value", F.md5(F.col("event_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(256)
+    )
+    bkq = samp.agg(
+        F.expr("percentile(value, 0.5)").alias("p50e"),
+        F.expr("percentile(value, 0.95)").alias("p95e"),
+    )
+    fullq = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("p50x"),
+        F.expr("percentile(value, 0.95)").alias("p95x"),
+    )
+    both = bkq.crossJoin(F.broadcast(fullq))
+    bk_rows = both.select(
+        F.lit("bottomk_p50").alias("sketch"),
+        F.lit("value").alias("key"),
+        F.col("p50e").alias("estimate"),
+        F.col("p50x").alias("exact"),
+        ((F.col("p50e") - F.col("p50x")) / F.col("p50x")).alias("rel_err"),
+    ).unionByName(
+        both.select(
+            F.lit("bottomk_p95").alias("sketch"),
+            F.lit("value").alias("key"),
+            F.col("p95e").alias("estimate"),
+            F.col("p95x").alias("exact"),
+            ((F.col("p95e") - F.col("p95x")) / F.col("p95x")).alias("rel_err"),
+        )
+    )
+    return hll_rows.unionByName(cms_rows).unionByName(bk_rows)
 
 
 def _sql_bloom_pos(expr: str, j: int, m: int) -> str:

@@ -22,21 +22,42 @@ WITH od AS (
          max_by(o_totalprice, o_orderkey) AS o_totalprice
   FROM orders GROUP BY 1, 2
 ),
-ev AS (SELECT event_id, user_id, ts FROM events)
-SELECT e.event_id, e.user_id, e.ts,
-       o.o_orderdate, o.o_orderkey, o.o_totalprice
-FROM ev e ASOF LEFT JOIN od o
-  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+ev AS (SELECT event_id, user_id, ts FROM events),
+bwd AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         o.o_orderdate, o.o_orderkey, o.o_totalprice
+  FROM ev e ASOF LEFT JOIN od o
+    ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+),
+fwd AS (
+  SELECT e.event_id, o.o_orderdate AS next_orderdate,
+         o.o_orderkey AS next_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate ASC) AS rk
+  FROM ev e JOIN od o
+    ON e.user_id = o.user_id
+   AND o.o_orderdate >= e.ts
+   AND o.o_orderdate <= e.ts + INTERVAL 30 DAY
+)
+SELECT b.event_id, b.user_id, b.ts,
+       b.o_orderdate, b.o_orderkey, b.o_totalprice,
+       f.next_orderdate, f.next_orderkey
+FROM bwd b LEFT JOIN (SELECT * FROM fwd WHERE rk = 1) f USING (event_id)
 """,
     tags=("temporal", "join", "window"),
 )
 def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward as-of join: each event picks up the customer's most
-    recent order state at the event's timestamp (orders first deduped
-    to one row per (custkey, orderdate) via arg-max on orderkey, so
-    the match is well-defined). Union+window shape — one shuffle on
-    the key for both inputs; the oracle is DuckDB's native ASOF
-    JOIN."""
+    """Both as-of directions in one verified result: each event picks
+    up the customer's most recent order state at the event timestamp
+    (backward, unbounded — DuckDB's native ASOF JOIN is the oracle)
+    AND the next order within a 30-day tolerance window (forward —
+    pandas ``merge_asof(direction='forward', tolerance=...)``
+    semantics; the oracle emulates it with an inequality join +
+    row_number, since DuckDB ASOF is backward-only). Orders are first
+    deduped to one row per (custkey, orderdate) via arg-max on
+    orderkey so matches are well-defined. Each direction is the
+    union+window shape — one shuffle on the key; the two legs meet on
+    the unique event id."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     od = (
         load_table(spark, sf_dir, "orders")
@@ -49,9 +70,23 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
         )
     )
-    return temporal.asof_join(
+    back = temporal.asof_join(
         ev, od, key="user_id", left_time="ts", right_time="o_orderdate"
     )
+    fwd = temporal.asof_join(
+        ev,
+        od.select("user_id", "o_orderdate", "o_orderkey"),
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        direction="forward",
+        tolerance_ms=30 * 86_400_000,
+    ).select(
+        "event_id",
+        F.col("o_orderdate").alias("next_orderdate"),
+        F.col("o_orderkey").alias("next_orderkey"),
+    )
+    return back.join(fwd, "event_id")
 
 
 @register(
@@ -195,4 +230,35 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
+    )
+
+
+@register(
+    "scd2_user_segments",
+    oracle=f"""
+WITH ev AS (SELECT user_id, ts, event_type FROM events),
+{temporal.sql_scd2_segments('ev').strip()}
+SELECT key AS user_id, state AS event_type, valid_from, valid_to,
+       n_events, is_current
+FROM scd2
+""",
+    tags=("temporal", "window", "scd2"),
+)
+def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build (gaps-and-islands) over the event
+    stream: each user's consecutive runs of one event_type collapsed
+    to validity segments with half-open [valid_from, valid_to)
+    bounds, the live segment flagged ``is_current`` — the standard
+    warehouse SCD2 shape, built with ONE shuffle on the user key
+    (change-detection lag, running segment counter and the
+    post-aggregation lead all reuse the same partitioning)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    seg = temporal.scd2_segments(ev, "user_id", "ts", "event_type")
+    return seg.select(
+        F.col("key").alias("user_id"),
+        F.col("state").alias("event_type"),
+        "valid_from",
+        "valid_to",
+        "n_events",
+        "is_current",
     )

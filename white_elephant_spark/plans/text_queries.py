@@ -390,3 +390,36 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resized_digest", "frame_idx", "frame_str",
         )
     )
+
+
+@register(
+    "label_centroid_classify",
+    oracle=f"""
+WITH {similarity.sql_label_centroids('embeddings', dim=64).strip()},
+scored AS (
+  SELECT e.vec_id, e.label, c.label AS pred_label,
+         {similarity.sql_cosine('e.embedding', 'c.centroid')} AS cos_sim
+  FROM embeddings e CROSS JOIN cents c
+),
+best AS (
+  SELECT vec_id, label, pred_label, cos_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, pred_label ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, label, pred_label, cos_sim FROM best WHERE rk = 1
+""",
+    tags=("similarity", "embedding", "classify"),
+)
+def label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding aggregation + nearest-centroid classification: exact
+    per-label mean vectors (components quantized to integer
+    micro-units so the distributed sum is order-exact — see
+    :func:`white_elephant_spark.operators.similarity.label_centroids`),
+    then every vector assigned to its nearest centroid by strict-fold
+    cosine. The centroid table is broadcast; the scoring pass is one
+    map-side cross join — the canonical "mean-pool then classify"
+    embedding pipeline stage."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.label_centroids(emb)
+    return similarity.classify_by_centroid(emb, cents)
