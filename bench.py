@@ -53,6 +53,8 @@ HEADLINE = [
     "relevance_scores",
     "pack_sequences",
     "sketch_estimates",
+    "scd2_user_segments",
+    "label_centroid_classify",
 ]
 
 # Spark wall time above which a query runs once instead of twice (the

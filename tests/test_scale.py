@@ -121,3 +121,21 @@ def test_bloom_probe_is_map_side(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     # no hash-partition exchange of the probe side
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_scd2_single_shuffle(spark):
+    # change-lag, running segment counter, groupBy(key, seg) and the
+    # validity lead must ALL reuse one hash partitioning on the key.
+    import re
+
+    from white_elephant_spark.operators.temporal import scd2_segments
+
+    rows = spark.range(0, 2000).select(
+        (F.col("id") % 20).alias("user_id"),
+        F.timestamp_millis(F.col("id") * 60000).cast("timestamp_ntz").alias("ts"),
+        ((F.col("id") / 100).cast("long") % 3).cast("string").alias("event_type"),
+    )
+    out = scd2_segments(rows)
+    plan = _formatted_plan(out)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert out.count() > 0

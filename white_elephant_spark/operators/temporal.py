@@ -221,19 +221,27 @@ def scd2_segments(
     partition key). ``tiebreak`` totally orders equal timestamps so
     the run boundaries are engine-deterministic.
     """
-    order = [F.col(time_col).asc()] + (
-        [F.col(tiebreak).asc()] if tiebreak else [F.col(state_col).asc()]
-    )
-    w = Window.partitionBy(key_col).orderBy(*order)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_state = F.lag(F.col(state_col)).over(w)
-    is_new = F.when(
-        prev_state.isNull() | (prev_state != F.col(state_col)), 1
-    ).otherwise(0)
-    seg = rows.select(
+    # Alias BEFORE the window, not in the same projection: the
+    # groupBy below must reference the exact attribute the window
+    # partitioned on, or EnsureRequirements can't prove
+    # co-partitioning and inserts a second shuffle.
+    base = rows.select(
         F.col(key_col).alias("key"),
         F.col(time_col).alias("t"),
         F.col(state_col).alias("state"),
+        *([F.col(tiebreak).alias("ord2")] if tiebreak else []),
+    )
+    order = [F.col("t").asc(), (F.col("ord2") if tiebreak else F.col("state")).asc()]
+    w = Window.partitionBy("key").orderBy(*order)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_state = F.lag(F.col("state")).over(w)
+    is_new = F.when(
+        prev_state.isNull() | (prev_state != F.col("state")), 1
+    ).otherwise(0)
+    seg = base.select(
+        "key",
+        "t",
+        "state",
         F.sum(is_new).over(run).alias("seg_id"),
     )
     # state is constant within a run by construction; MIN is just the
