@@ -439,3 +439,20 @@ def test_classify_by_centroid_picks_nearest(spark):
     assert len(out) == 5                      # one prediction per vector
     assert out[1].pred_label == "a" and out[3].pred_label == "b"
     assert out[5].pred_label == "a" and out[5].label == "b"
+
+
+def test_dup_ngram_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # trigrams: aba bab aba bab -> 2 distinct / 4
+            (2, "w x y z"),          # all distinct -> 0.0
+            (3, "one two"),          # shorter than n -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.r
+        for r in df.select("doc_id", tx.dup_ngram_ratio(F.col("text")).alias("r")).collect()
+    }
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == 0.0 and out[3] == 0.0

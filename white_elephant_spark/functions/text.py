@@ -213,3 +213,27 @@ def sql_normalize_text(expr: str) -> str:
     return (
         f"trim(regexp_replace(lower({expr}), '[ \\t\\r\\n]+', ' ', 'g'))"
     )
+
+
+def dup_ngram_ratio(text: Column, n: int = 3) -> Column:
+    """Within-document repetition: fraction of word n-gram positions
+    whose n-gram also occurs elsewhere in the document
+    (``1 - distinct/total``), 0 for docs shorter than n tokens — the
+    Gopher-style repetition quality signal. Pure codegen expressions."""
+    t = tokens(text)
+    total = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    from white_elephant_spark.operators.dedup import word_ngrams
+
+    distinct = F.size(word_ngrams(text, n))
+    return F.when(total > 0, F.lit(1.0) - distinct / total).otherwise(F.lit(0.0))
+
+
+def sql_dup_ngram_ratio(expr: str, n: int = 3) -> str:
+    from white_elephant_spark.operators.dedup import sql_word_ngrams
+
+    w = f"string_split({expr}, ' ')"
+    total = f"greatest(len({w}) - {n - 1}, 0)"
+    return (
+        f"CASE WHEN {total} > 0 THEN 1.0 - len({sql_word_ngrams(expr, n)}) / {total} "
+        f"ELSE 0.0 END"
+    )

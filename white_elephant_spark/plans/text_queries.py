@@ -150,6 +150,7 @@ SELECT doc_id,
        {tx.sql_stopword_ratio('text')} AS stopword_ratio,
        {tx.sql_mean_word_len('text')} AS mean_word_len,
        {tx.sql_quality_score('text')} AS quality,
+       {tx.sql_dup_ngram_ratio('text')} AS dup_ngram_ratio,
        lang AS labeled_lang,
        {tx.sql_predict_lang('text')} AS predicted_lang,
        {tx.sql_fingerprint('text')} AS fingerprint
@@ -176,6 +177,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.stopword_ratio(t).alias("stopword_ratio"),
         tx.mean_word_len(t).alias("mean_word_len"),
         tx.quality_score(t).alias("quality"),
+        tx.dup_ngram_ratio(t).alias("dup_ngram_ratio"),
         F.col("lang").alias("labeled_lang"),
         tx.predict_lang(t).alias("predicted_lang"),
         tx.fingerprint(t).alias("fingerprint"),
