@@ -140,13 +140,13 @@ def main() -> None:
         shuffle_partitions=parts,
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
-            # Keep the session lean across 27 sequential queries: a
-            # 128 GB driver heap may never GC, so the ContextCleaner
-            # never reclaims shuffle files / broadcast blocks, and the
-            # status stores grow — later queries pay earlier queries'
-            # accumulated state (measured: usage_json_api 0.8s in a
-            # fresh session, 1.9s as bench query #7).
-            "spark.cleaner.periodicGC.interval": "15s",
+            # Bounded status stores keep the session lean across ~30
+            # sequential queries. Periodic forced GC
+            # (spark.cleaner.periodicGC.interval) was measured a net
+            # LOSS here: each System.gc() is a stop-the-world full
+            # collection that lands inside measured runs (+4s total at
+            # sf0.1); the normal G1 cycle on an 8g driver heap reclaims
+            # plenty on its own at this run length.
             "spark.sql.ui.retainedExecutions": "2",
             "spark.ui.retainedJobs": "20",
             "spark.ui.retainedStages": "50",

@@ -67,10 +67,17 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    if edges.count() <= local_threshold:
-        return _cc_local(spark, edges)
+    # Strategy probe and local-path collection in ONE job: pull at most
+    # threshold+1 edges; an under-threshold graph is thereby already
+    # collected (≤ 16 MB at the 1M default — broadcast-sized), and an
+    # over-threshold graph cost one truncated scan before taking the
+    # distributed loop. Separate count()-then-collect would pay two
+    # full jobs over the same edge plan.
+    sample = edges.limit(local_threshold + 1).toPandas()
+    if len(sample) <= local_threshold:
+        return _cc_local(spark, sample)
+    edges = edges.localCheckpoint(eager=True)
     _CONSTRAINTS = "spark.sql.constraintPropagation.enabled"
     prev_constraints = spark.conf.get(_CONSTRAINTS, "true")
     spark.conf.set(_CONSTRAINTS, "false")
@@ -80,8 +87,9 @@ def connected_components(
         spark.conf.set(_CONSTRAINTS, prev_constraints)
 
 
-def _cc_local(spark, edges: DataFrame) -> DataFrame:
-    """Driver union-find over a broadcast-sized edge list. Bounded by
+def _cc_local(spark, edges_pdf) -> DataFrame:
+    """Driver union-find over a broadcast-sized edge list (a pandas
+    frame, already collected by the strategy probe). Bounded by
     ``local_threshold`` edges by construction — never linear in the
     corpus."""
     parent: dict = {}
@@ -94,7 +102,7 @@ def _cc_local(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for src, dst in edges.toPandas().itertuples(index=False):
+    for src, dst in edges_pdf.itertuples(index=False):
         src, dst = int(src), int(dst)
         ra, rb = find(src), find(dst)
         if ra != rb:

@@ -255,41 +255,39 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     genuinely similar documents within the threshold.
 
     Distributed shape: explode (token × bit) → two-level aggregate.
-    Integer tallies make the result engine-exact."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("w"),
-    ).withColumn("h", F.md5(F.encode(F.col("w"), "UTF-8")))
+    Integer tallies make the result engine-exact.
+
+    Implementation note: the ~260 column expressions are built as SQL
+    strings (one ``selectExpr``/``F.expr`` py4j call per stage), not as
+    per-Column Python objects — building this plan Column-by-Column
+    costs ~1.3s of py4j round trips on the driver per invocation
+    (measured), 3× the plan's entire executor time at sf0.1."""
+    toks = df.selectExpr(
+        f"`{id_col}` AS id",
+        f"explode(array_distinct(split(`{text_col}`, ' '))) AS w",
+    ).selectExpr("id", "md5(encode(w, 'UTF-8')) AS h")
     # Decode each hex nibble ONCE (16 string ops/row), then derive the
     # 64 bit votes with pure integer arithmetic — versus extracting
     # the nibble again for every bit (64 substring+instr per row, the
     # dominant map-stage cost at corpus scale). Values are identical,
     # so the DuckDB oracle twin is unaffected.
-    nibbled = toks.select(
+    nibbled = toks.selectExpr(
         "id",
-        *[
-            (F.instr(F.lit(HEX), F.substring(F.col("h"), i + 1, 1)) - 1).alias(f"n{i}")
-            for i in range(16)
-        ],
+        *[f"(instr('{HEX}', substring(h, {i + 1}, 1)) - 1) AS n{i}" for i in range(16)],
     )
     # 64 vote columns per (id, token) — wide-not-tall keeps the row
     # count at |tokens| (not 64×|tokens|) and needs a single shuffle.
-    votes = nibbled.select(
+    votes = nibbled.selectExpr(
         "id",
-        *[
-            (F.shiftright(F.col(f"n{bit // 4}"), bit % 4) % 2 * 2 - 1).alias(f"v{bit}")
-            for bit in range(64)
-        ],
+        *[f"(shiftright(n{bit // 4}, {bit % 4}) % 2 * 2 - 1) AS v{bit}" for bit in range(64)],
     )
-    tally = votes.groupBy("id").agg(*[F.sum(f"v{bit}").alias(f"t{bit}") for bit in range(64)])
-    fp = sum(
-        [
-            F.when(F.col(f"t{bit}") > 0, F.lit(_bitval(bit))).otherwise(F.lit(0).cast("long"))
-            for bit in range(64)
-        ],
-        start=F.lit(0).cast("long"),
+    tally = votes.groupBy("id").agg(
+        *[F.expr(f"sum(v{bit}) AS t{bit}") for bit in range(64)]
     )
-    return tally.select("id", fp.cast("long").alias("simhash"))
+    fp = " + ".join(
+        f"(CASE WHEN t{bit} > 0 THEN {_bitval(bit)}L ELSE 0L END)" for bit in range(64)
+    )
+    return tally.selectExpr("id", f"CAST({fp} AS LONG) AS simhash")
 
 
 def simhash_neardup_pairs(

@@ -100,9 +100,31 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFra
     return df.repartition(cores)
 
 
+# DataFrame memo per (session, dir, table). A DataFrame is a logical
+# plan — immutable and reusable across queries — but building one costs
+# ~0.15s of driver work (parquet footer read for the schema + the
+# spread decision), paid by every query × every table it touches. The
+# memo makes that a once-per-session cost, exactly like a warehouse
+# catalog resolving a table name to a cached plan fragment. Keyed on
+# the JVM session object id so a stopped/recreated session never serves
+# stale plans.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Accepts a ``<name>.parquet`` file or a
-    partitioned directory of the same name."""
+    partitioned directory of the same name. Memoized per session —
+    callers get the same immutable plan fragment back."""
+    key = (id(spark._jsparkSession), os.path.abspath(sf_dir), name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit
+    df = _load_table_uncached(spark, sf_dir, name)
+    _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
