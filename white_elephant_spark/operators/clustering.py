@@ -252,10 +252,13 @@ def fingerprint_clusters(
     from white_elephant_spark.operators.dedup import simhash_neardup_pairs
 
     # fps is consumed twice (fingerprint collapse + the doc→label map
-    # in step 4); materialize once so the md5-per-word simhash scan —
-    # the dominant cost — runs a single time. (id, simhash) is 16
-    # bytes/row, so the checkpoint is tiny relative to the corpus.
-    fps = fps.localCheckpoint(eager=True)
+    # in step 4); persist (lazy) so the md5-per-word simhash scan —
+    # the dominant cost — runs a single time: the edge-collection job
+    # inside connected_components materializes the cache as a side
+    # effect, and the final labeling plan reuses it. An eager
+    # localCheckpoint would pay one extra dedicated job for the same
+    # reuse. (id, simhash) is 16 bytes/row — tiny vs the corpus.
+    fps = fps.persist()
     # groups re-derives from the checkpointed fps in both consumers —
     # a trivial groupBy over (id, simhash), not worth its own
     # materialization job.

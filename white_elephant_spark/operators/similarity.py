@@ -42,6 +42,26 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_expr(a: str, b: str, dim: int) -> Column:
+    """Explicit ``a[0]*b[0] + a[1]*b[1] + …`` sum for a known ``dim``.
+
+    Value-identical to :func:`_dsum_products` (left-associative double
+    adds in element order; the fold's 0.0 seed is additive identity),
+    but whole-stage-codegen-compiled instead of an interpreted
+    higher-order lambda — measured ~4× faster on the post-pruning
+    scoring joins, and with no Arrow transfer of the vectors to a
+    Python worker (the round-2 scoring path shipped both 64-float
+    arrays per candidate pair)."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)" for i in range(dim)
+    )
+    return F.expr(f"({terms})")
+
+
+def _norm_expr(v: str, dim: int) -> Column:
+    return F.sqrt(_dot_expr(v, v, dim))
+
+
 def pair_cosine_arrow():
     """Arrow-batched ``dot/(qnorm·nnorm)`` over candidate pairs — the
     vectorized twin of the ``_dsum_products`` expression form for the
@@ -89,21 +109,34 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (excluding self).
     ``queries`` is expected to be small → broadcast; ranking ties
-    break on corpus id for determinism."""
+    break on corpus id for determinism. Pass ``dim`` when known so the
+    dot products compile as explicit codegen sums (:func:`_dot_expr`)
+    instead of interpreted folds."""
     # Norms are computed once per row, not once per pair — at
     # |Q|×|corpus| pair counts that's the dominant saving.
+    norm = (
+        _norm_expr(vec_col, dim)
+        if dim is not None
+        else F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+        norm.alias("qnorm"),
     )
     c = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nvec"),
-        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
+        norm.alias("nnorm"),
+    )
+    dot = (
+        _dot_expr("qvec", "nvec", dim)
+        if dim is not None
+        else _dsum_products(F.col("qvec"), F.col("nvec"))
     )
     scored = (
         F.broadcast(q)
@@ -112,10 +145,7 @@ def cosine_topk(
         .select(
             "query_id",
             "nbr_id",
-            (
-                _dsum_products(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnorm") * F.col("nnorm"))
-            ).alias("cos_sim"),
+            (dot / (F.col("qnorm") * F.col("nnorm"))).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
@@ -298,18 +328,21 @@ def lsh_cosine_topk(
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("qnorm"),
+        _norm_expr(vec_col, dim).alias("qnorm"),
         bkts.alias("qb"),
     )
     cv = corpus.select(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nvec"),
-        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("nnorm"),
+        _norm_expr(vec_col, dim).alias("nnorm"),
         bkts.alias("cb"),
     )
-    cos = pair_cosine_arrow()(
-        F.col("qvec"), F.col("nvec"), F.col("qnorm"), F.col("nnorm")
-    ).alias("cos_sim")
+    # Candidate scoring: explicit codegen dot (no Arrow round trip of
+    # the candidate pairs' vectors — on the diffuse bench corpus the
+    # weakly-pruned candidate set shipped ~100 MB/run to Python).
+    cos = (_dot_expr("qvec", "nvec", dim) / (F.col("qnorm") * F.col("nnorm"))).alias(
+        "cos_sim"
+    )
     if strategy == "broadcast":
         scored = (
             F.broadcast(qv)
@@ -477,7 +510,7 @@ def ivf_cosine_topk(
       the corpus is; on the driver corpus the recall@10 ≥ 0.9 floor
       is asserted in tests against the exact baseline."""
     cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
-    norm = F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
+    norm = _norm_expr(vec_col, dim)
     ranked = centroid_ranking_arrow(cents, dim)
     cv = corpus.select(
         F.col(id_col).alias("nbr_id"),
@@ -498,9 +531,9 @@ def ivf_cosine_topk(
         .select(
             "query_id",
             "nbr_id",
-            pair_cosine_arrow()(
-                F.col("qvec"), F.col("nvec"), F.col("qnorm"), F.col("nnorm")
-            ).alias("cos_sim"),
+            (_dot_expr("qvec", "nvec", dim) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
@@ -517,13 +550,19 @@ def neardup_pairs(
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a blocking key
     (default: the label column; at scale: a hyperplane bucket)."""
+    norm = (
+        _norm_expr(vec_col, dim)
+        if dim is not None
+        else F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
+    )
     cols = [
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("norm"),
+        norm.alias("norm"),
     ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
@@ -532,15 +571,17 @@ def neardup_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if block_col:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    dot = (
+        _dot_expr("a.vec", "b.vec", dim)
+        if dim is not None
+        else _dsum_products(F.col("a.vec"), F.col("b.vec"))
+    )
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (
-                _dsum_products(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("cos_sim"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -595,30 +636,43 @@ def classify_by_centroid(
     id_col: str = "vec_id",
     label_col: str = "label",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment by cosine: every vector scored
     against every (broadcast) centroid, top-1 kept with deterministic
     tie-break on the centroid label. Output: (vec_id, label,
     pred_label, cos_sim)."""
+    cnorm = (
+        _norm_expr("centroid", dim)
+        if dim is not None
+        else F.sqrt(_dsum_products(F.col("centroid"), F.col("centroid")))
+    )
+    vnorm = (
+        _norm_expr(vec_col, dim)
+        if dim is not None
+        else F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
+    )
     c = centroids.select(
         F.col("label").alias("pred_label"),
         F.col("centroid").alias("cvec"),
-        F.sqrt(_dsum_products(F.col("centroid"), F.col("centroid"))).alias("cnorm"),
+        cnorm.alias("cnorm"),
     )
     v = vecs.select(
         F.col(id_col).alias("vec_id"),
         F.col(label_col).alias("label"),
         F.col(vec_col).alias("vvec"),
-        F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col))).alias("vnorm"),
+        vnorm.alias("vnorm"),
+    )
+    dot = (
+        _dot_expr("vvec", "cvec", dim)
+        if dim is not None
+        else _dsum_products(F.col("vvec"), F.col("cvec"))
     )
     scored = v.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "label",
         "pred_label",
-        (
-            _dsum_products(F.col("vvec"), F.col("cvec"))
-            / (F.col("vnorm") * F.col("cnorm"))
-        ).alias("cos_sim"),
+        (dot / (F.col("vnorm") * F.col("cnorm"))).alias("cos_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_sim").desc(), F.col("pred_label").asc()

@@ -123,42 +123,35 @@ def cms_table(
     values: DataFrame, value_col: str, weight: Column | None = None, d: int = 4, w: int = 64
 ) -> DataFrame:
     """The d×w count-min sketch as (row, bucket, cnt) cells —
-    mergeable by cell sum; one narrow shuffle."""
-    rows = []
-    for j in range(d):
-        b = (_hash64(F.col(value_col), salt=f"cms{j}") % w).cast("int")
-        rows.append(
-            values.select(
-                F.lit(j).alias("r"),
-                b.alias("bucket"),
-                (weight if weight is not None else F.lit(1)).cast("long").alias("n"),
-            )
-        )
-    union = rows[0]
-    for r in rows[1:]:
-        union = union.unionAll(r)
-    return union.groupBy("r", "bucket").agg(F.sum("n").alias("cnt"))
+    mergeable by cell sum; one narrow shuffle.
+
+    The d rows per value come from ONE scan (posexplode of the d
+    bucket hashes), not a d-way union of scans — at 100 TB the input
+    pass is the dominant cost and must not multiply with d."""
+    buckets = F.array(
+        *[(_hash64(F.col(value_col), salt=f"cms{j}") % w).cast("int") for j in range(d)]
+    )
+    cells = values.select(
+        F.posexplode(buckets).alias("r", "bucket"),
+        (weight if weight is not None else F.lit(1)).cast("long").alias("n"),
+    )
+    return cells.groupBy("r", "bucket").agg(F.sum("n").alias("cnt"))
 
 
 def cms_estimate(
     sketch: DataFrame, keys: DataFrame, key_col: str, d: int = 4, w: int = 64
 ) -> DataFrame:
     """(key, est) — min over the d cells each key hashes to. The
-    sketch is tiny (d×w rows): broadcast to the keys."""
-    probes = []
-    for j in range(d):
-        probes.append(
-            keys.select(
-                F.col(key_col).alias("key"),
-                F.lit(j).alias("r"),
-                (_hash64(F.col(key_col), salt=f"cms{j}") % w).cast("int").alias("bucket"),
-            )
-        )
-    union = probes[0]
-    for pr in probes[1:]:
-        union = union.unionAll(pr)
+    sketch is tiny (d×w rows): broadcast to the keys. One scan of the
+    key set (posexplode), matching :func:`cms_table`."""
+    buckets = F.array(
+        *[(_hash64(F.col(key_col), salt=f"cms{j}") % w).cast("int") for j in range(d)]
+    )
+    probes = keys.select(
+        F.col(key_col).alias("key"), F.posexplode(buckets).alias("r", "bucket")
+    )
     return (
-        union.join(F.broadcast(sketch), ["r", "bucket"], "left")
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .groupBy("key")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
@@ -193,18 +186,16 @@ GROUP BY key
 
 def bloom_bits(values: DataFrame, value_col: str, m: int = 1024, k: int = 3) -> DataFrame:
     """One row holding the sorted distinct bit positions the value set
-    lights up — the Bloom filter as a broadcastable array."""
-    pos = []
-    for j in range(k):
-        pos.append(
-            values.select(
-                (_hash64(F.col(value_col), salt=f"bloom{j}") % m).cast("int").alias("pos")
-            )
-        )
-    union = pos[0]
-    for pr in pos[1:]:
-        union = union.unionAll(pr)
-    return union.distinct().agg(F.array_sort(F.collect_list("pos")).alias("bits"))
+    lights up — the Bloom filter as a broadcastable array. One scan of
+    the build side (explode of the k positions), not k scans."""
+    positions = F.array(
+        *[(_hash64(F.col(value_col), salt=f"bloom{j}") % m).cast("int") for j in range(k)]
+    )
+    return (
+        values.select(F.explode(positions).alias("pos"))
+        .distinct()
+        .agg(F.array_sort(F.collect_list("pos")).alias("bits"))
+    )
 
 
 def bloom_probe(

@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from white_elephant_spark.functions import text as tx
-from white_elephant_spark.operators import clustering, dedup, packing, relevance, sampling
+from white_elephant_spark.operators import (
+    clustering,
+    contamination,
+    dedup,
+    packing,
+    relevance,
+    sampling,
+)
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.plans.text_queries import _DOCS_COPIES_SQL, _docs_with_copies
 from white_elephant_spark.sources.catalog import load_table
@@ -192,31 +199,40 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_curation",
     oracle=f"""
 WITH {_DOCS_COPIES_SQL.lstrip()},
+{contamination.sql_ngram_contamination('docs', 'doc_id % 101 = 0', n=5).strip()},
 scored AS (
-  SELECT doc_id,
-         {tx.sql_predict_lang('text')} AS lang_pred,
-         {tx.sql_quality_score('text')} AS quality,
-         MIN(doc_id) OVER (PARTITION BY md5(text)) = doc_id AS is_canonical,
-         {sampling.sql_stratified_sample_pred(tx.sql_predict_lang('text'), _SAMPLE_RATES, 10, 'doc_id')} AS sampled
-  FROM docs
+  SELECT d.doc_id,
+         {tx.sql_predict_lang('d.text')} AS lang_pred,
+         {tx.sql_quality_score('d.text')} AS quality,
+         MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) = d.doc_id AS is_canonical,
+         {sampling.sql_stratified_sample_pred(tx.sql_predict_lang('d.text'), _SAMPLE_RATES, 10, 'd.doc_id')} AS sampled,
+         d.doc_id % 101 = 0 AS is_eval,
+         COALESCE(c.contam_frac, 0.0) AS contam_frac
+  FROM docs d LEFT JOIN contam c ON d.doc_id = c.doc_id
 )
-SELECT doc_id, lang_pred, quality, is_canonical, sampled,
+SELECT doc_id, lang_pred, quality, is_canonical, sampled, is_eval, contam_frac,
+       NOT is_eval AND contam_frac >= 0.5 AS is_contaminated,
        is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep,
-       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AND sampled AS keep_sampled
+       is_canonical AND lang_pred = 'en' AND quality >= 0.5 AND sampled
+         AND NOT (NOT is_eval AND contam_frac >= 0.5) AS keep_sampled
 FROM scored
 """,
-    tags=("text", "curation", "dedup", "sampling"),
+    tags=("text", "curation", "dedup", "sampling", "contamination"),
 )
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed curation decision: exact-dup canonical flag
     (min-id per content digest), language-ID, quality score, the
     hash-bucket stratified sample verdict (60% of English, 20% of
     Chinese, 10% default — reproducible on any partitioning: content
-    hash, not RNG, applied as a map-side predicate), and the final
-    keep verdicts (canonical ∧ English ∧ quality ≥ 0.5, with and
-    without the sampling gate) — one pass, one window, all codegen
-    expressions."""
+    hash, not RNG, applied as a map-side predicate), benchmark
+    decontamination (5-gram overlap against the held-out eval slice
+    ``doc_id % 101 = 0`` — a doc sharing ≥ half its distinct 5-grams
+    with any eval doc is dropped, the GPT-3/PaLM-style gate), and the
+    final keep verdicts. One corpus pass plus one broadcast-side eval
+    gram set; all codegen expressions."""
     docs = _docs_with_copies(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % 101 == 0)
+    contam = contamination.ngram_contamination(docs, eval_docs, n=5)
     w = Window.partitionBy(F.md5(F.col("text")))
     lang_pred = tx.predict_lang(F.col("text"))
     bucket = sampling.hash_bucket(F.col("doc_id"), 100, "s1")
@@ -229,7 +245,11 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.quality_score(F.col("text")).alias("quality"),
         (F.min("doc_id").over(w) == F.col("doc_id")).alias("is_canonical"),
         (bucket < rate).alias("sampled"),
+        (F.col("doc_id") % 101 == 0).alias("is_eval"),
+    ).join(contam, "doc_id", "left").withColumn(
+        "contam_frac", F.coalesce(F.col("contam_frac"), F.lit(0.0))
     )
+    contaminated = ~F.col("is_eval") & (F.col("contam_frac") >= 0.5)
     keep = (
         F.col("is_canonical")
         & (F.col("lang_pred") == "en")
@@ -241,6 +261,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         "is_canonical",
         "sampled",
+        "is_eval",
+        "contam_frac",
+        contaminated.alias("is_contaminated"),
         keep.alias("keep"),
-        (keep & F.col("sampled")).alias("keep_sampled"),
+        (keep & F.col("sampled") & ~contaminated).alias("keep_sampled"),
     )

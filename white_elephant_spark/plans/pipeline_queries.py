@@ -415,7 +415,11 @@ def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns)."""
     from white_elephant_spark.plans import serving
 
-    rows = _fused_hour_rows(spark, sf_dir, "alpha")
+    # The hour-row pipeline feeds two consumers (the weekly series and
+    # the A10 clamp aggregate); persist so the events→attempts→explode
+    # chain — the expensive part — runs once, not once per consumer.
+    # Same dual-consumer shape a warehouse materializes as the cube.
+    rows = _fused_hour_rows(spark, sf_dir, "alpha").persist()
     series = (
         rows.groupBy(
             F.col("user").alias("userName"),

@@ -209,7 +209,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for every 100th vector as query."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.cosine_topk(emb, queries, k=10)
+    return similarity.cosine_topk(emb, queries, k=10, dim=64)
 
 
 _ANN_PLANES, _ANN_TABLES = 3, 12
@@ -334,7 +334,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
     )
     vecs = emb.select("vec_id", "embedding", "label").unionAll(copies)
-    return similarity.neardup_pairs(vecs, threshold=0.999, block_col="label")
+    return similarity.neardup_pairs(vecs, threshold=0.999, block_col="label", dim=64)
 
 
 # ------------------------------------------------------------- multimodal
@@ -424,4 +424,4 @@ def label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding pipeline stage."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.label_centroids(emb)
-    return similarity.classify_by_centroid(emb, cents)
+    return similarity.classify_by_centroid(emb, cents, dim=64)

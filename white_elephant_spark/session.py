@@ -41,6 +41,14 @@ _BASE_CONF: dict[str, str] = {
     # which Spark has no native type for; read them as epoch-nanos
     # longs and let the catalog convert (sources/catalog.py).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The default 100-entry whole-stage-codegen class cache thrashes
+    # under this engine's query surface (~50 registered queries × 3-6
+    # codegen units each): by the time a query re-runs, its generated
+    # classes have been evicted and janino recompiles them (~0.3-1s
+    # per plan). Sized to hold the whole surface; generated classes
+    # are tens of KB each, so the ceiling is a few hundred MB of
+    # driver metaspace at worst.
+    "spark.sql.codegen.cache.maxEntries": "4000",
     # Stable parquet committer behavior for overwrite-style refresh.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
     "spark.sql.parquet.compression.codec": "zstd",
