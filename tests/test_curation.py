@@ -112,3 +112,30 @@ def test_pack_linear_boundaries(spark):
     assert out[0] == (0, 0)
     assert out[8] == (0, 300)
     assert out[16] == (1, 600 - 512)
+
+
+# ------------------------------------------------- contamination
+
+
+def test_ngram_contamination_fractions(spark):
+    from white_elephant_spark.operators import contamination
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # eval doc
+            (2, "a b c d e f g h"),          # full copy → frac 1.0
+            (3, "a b c d e z z z z z z z"),  # shares 1 of its 5-grams? none except a b c d e
+            (4, "q r s t u v w x"),          # disjoint → 0.0
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") == 1)
+    out = {
+        r.doc_id: r.contam_frac
+        for r in contamination.ngram_contamination(docs, ev, n=5).collect()
+    }
+    assert out[1] == 1.0 and out[2] == 1.0
+    # doc 3: 12 tokens → 8 5-grams but only 6 DISTINCT (the z-runs
+    # collapse); only "a b c d e" hits the eval set → 1/6
+    assert abs(out[3] - 1.0 / 6.0) < 1e-12
+    assert out[4] == 0.0

@@ -456,3 +456,43 @@ def test_dup_ngram_ratio(spark):
     }
     assert out[1] == pytest.approx(0.5)
     assert out[2] == 0.0 and out[3] == 0.0
+
+
+# ------------------------------------------------- sq8 quantized ANN
+
+
+def test_sq8_quantize_values(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.5, 0.25, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = (
+        df.crossJoin(F.broadcast(similarity.sq8_scale(df)))
+        .select(similarity.sq8_quantize("embedding", 4).alias("q"))
+        .collect()[0]
+        .q
+    )
+    # scale = 0.5 → components quantize to 127, -126 (floor(-127+0.5)
+    # = -127? no: floor(-0.5*254/1 ... explicit: floor(-127 + 0.5) =
+    # floor(-126.5) = -127), 64 (floor(63.5+0.5)), 0
+    assert out == [127, -127, 64, 0]
+
+
+def test_sq8_topk_matches_exact_on_separated_corpus(spark):
+    # well-separated synthetic corpus: quantized prefilter with m=4k
+    # must recover the exact top-k
+    vecs = [
+        (i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6), float(i % 5 + 1)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id").isin(0, 30))
+    exact = similarity.cosine_topk(df, q, k=5, dim=3)
+    sq8 = similarity.sq8_cosine_topk(df, q, dim=3, k=5)
+    e = {(r.query_id, r.nbr_id) for r in exact.collect()}
+    s = {(r.query_id, r.nbr_id) for r in sq8.collect()}
+    assert len(e & s) / len(e) >= 0.9
+    # reported cosine on the sq8 path is the EXACT re-ranked value
+    ec = {(r.query_id, r.nbr_id): r.cos_sim for r in exact.collect()}
+    for r in sq8.collect():
+        if (r.query_id, r.nbr_id) in ec:
+            assert r.cos_sim == ec[(r.query_id, r.nbr_id)]

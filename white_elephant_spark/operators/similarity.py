@@ -703,3 +703,171 @@ cents AS (
   SELECT label, list(c ORDER BY dim) AS centroid FROM comp GROUP BY label
 )
 """
+
+
+# ------------------------------------------- int8 scalar quantization ANN
+
+
+def _qdot_expr(a: str, b: str, dim: int) -> Column:
+    """Explicit integer dot product of two quantized array<int>
+    columns — exact 64-bit integer arithmetic, order-independent."""
+    terms = " + ".join(
+        f"CAST({a}[{i}] AS BIGINT) * CAST({b}[{i}] AS BIGINT)" for i in range(dim)
+    )
+    return F.expr(f"({terms})")
+
+
+def sq8_scale(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """1-row (s) frame: the corpus-wide max |component| — the symmetric
+    scalar-quantization scale. Stays in-plan (broadcast cross join),
+    never collected; the DuckDB twin re-derives it identically."""
+    return vectors.agg(
+        F.max(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+            )
+        ).alias("s")
+    )
+
+
+def sq8_quantize(vec_col: str, dim: int, scale_col: str = "s") -> Column:
+    """array<int> of ``floor(v * 127 / s + 0.5)`` per component —
+    symmetric int8 scalar quantization (4× smaller than float32, 8×
+    smaller than the float64 scoring width). ``floor(x + 0.5)``
+    half-up rounding is written out explicitly because Spark's
+    ``round`` (HALF_UP) and DuckDB's (half-away-from-zero) differ on
+    negative halves."""
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / {scale_col}"
+        f" + 0.5) AS INT))"
+    )
+
+
+def sq8_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized ANN: int8 scalar quantization → exact *integer* dot
+    prefilter to the top ``m`` candidates per query → exact float
+    re-rank of those to the final top ``k``. Same output shape as
+    :func:`cosine_topk`.
+
+    The 100 TB rationale: the prefilter pass touches 1/4 the bytes of
+    a float32 scan (int8 components) and does integer multiply-adds;
+    only ``m`` full-precision vectors per query are ever re-read for
+    the re-rank. Quantization error shifts the *candidate ranking*
+    only — the reported cosine comes from the exact re-rank, and with
+    m ≥ 4k recall loss is negligible on real corpora. Everything is
+    deterministic: the scale is a corpus aggregate (broadcast, not
+    collected), integer dots are exact, and ties break on id — so the
+    DuckDB oracle reproduces the sketch *and* its error exactly."""
+    m = m or 4 * k
+    s = sq8_scale(corpus, vec_col)
+    q = queries.crossJoin(F.broadcast(s)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm_expr(vec_col, dim).alias("qnorm"),
+        sq8_quantize(vec_col, dim).alias("qq"),
+    )
+    c = corpus.crossJoin(F.broadcast(s)).select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm_expr(vec_col, dim).alias("nnorm"),
+        sq8_quantize(vec_col, dim).alias("nq"),
+    )
+    pre = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("nbr_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            "qvec",
+            "nvec",
+            "qnorm",
+            "nnorm",
+            _qdot_expr("qq", "nq", dim).alias("qdot"),
+        )
+    )
+    wpre = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("nbr_id").asc()
+    )
+    cand = pre.withColumn("prerank", F.row_number().over(wpre)).filter(
+        F.col("prerank") <= m
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        cand.select(
+            "query_id",
+            "nbr_id",
+            (_dot_expr("qvec", "nvec", dim) / (F.col("qnorm") * F.col("nnorm"))).alias(
+                "cos_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sql_sq8_quantize(expr: str, scale_expr: str) -> str:
+    return (
+        f"list_transform({expr}, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0"
+        f" / {scale_expr} + 0.5) AS INTEGER))"
+    )
+
+
+def sql_sq8_topk(
+    table: str, query_pred: str, k: int = 10, m: int | None = None
+) -> str:
+    """DuckDB twin of :func:`sq8_cosine_topk` over ``table``
+    (vec_id, embedding): SELECT ending CTE chain — embed under WITH."""
+    m = m or 4 * k
+    qd = (
+        "list_reduce(list_transform(list_zip(q.qq, c.nq),"
+        " p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)), (a, x) -> a + x)"
+    )
+    return f"""
+sc AS (
+  SELECT MAX(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (a, x) -> greatest(a, x))) AS s
+  FROM {table}
+),
+qz AS (
+  SELECT vec_id, embedding,
+         {sql_sq8_quantize('embedding', 's')} AS qq
+  FROM {table}, sc
+),
+pre AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+         q.embedding AS qvec, c.embedding AS nvec,
+         {qd} AS qdot
+  FROM (SELECT vec_id, embedding, qq FROM qz WHERE {query_pred}) q
+  JOIN (SELECT vec_id, embedding, qq AS nq FROM qz) c
+    ON c.vec_id <> q.vec_id
+),
+cand AS (
+  SELECT query_id, nbr_id, qvec, nvec
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY qdot DESC, nbr_id ASC) AS prerank
+        FROM pre)
+  WHERE prerank <= {m}
+)
+SELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
+FROM (SELECT query_id, nbr_id,
+             {sql_cosine('qvec', 'nvec')} AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {sql_cosine('qvec', 'nvec')} DESC, nbr_id ASC) AS rank
+      FROM cand)
+WHERE rank <= {k}
+"""

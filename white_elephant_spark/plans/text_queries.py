@@ -187,6 +187,15 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- similarity
 
 
+# sql_sq8_topk ends in a bare SELECT; rewrap it as a `sq8` CTE so the
+# union query below can read it alongside the exact-method branch.
+_SQ8_CTES = similarity.sql_sq8_topk("embeddings", "vec_id % 100 = 0", k=10).strip().replace(
+    "\nSELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank",
+    ",\nsq8 AS (SELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank",
+    1,
+) + ")"
+
+
 @register(
     "ann_cosine_topk",
     oracle=f"""
@@ -197,19 +206,39 @@ scored AS (
   SELECT query_id, e.vec_id AS nbr_id,
          {similarity.sql_cosine('qvec', 'e.embedding')} AS cos_sim
   FROM q, embeddings e WHERE e.vec_id <> q.query_id
-)
-SELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
+),
+{_SQ8_CTES}
+SELECT 'exact' AS method, query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
       FROM scored)
 WHERE rank <= 10
+UNION ALL
+SELECT 'sq8' AS method, query_id, nbr_id, cos_sim, rank FROM sq8
 """,
-    tags=("similarity", "topk"),
+    tags=("similarity", "topk", "quantization"),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-10 for every 100th vector as query."""
+    """Cosine top-10 for every 100th vector as query, by two methods
+    in one verified result (``method`` column):
+
+    - ``exact`` — brute-force float64 scoring, the recall baseline;
+    - ``sq8`` — int8 scalar quantization (corpus-max-abs symmetric
+      scale, kept in-plan as a broadcast aggregate), exact *integer*
+      dot prefilter to the top-40 candidates per query, then exact
+      re-rank to top-10. The compression path a 100 TB vector store
+      actually serves from: the prefilter reads 1/4 the bytes and the
+      full-precision vectors are only touched for ~4k candidates per
+      query. Deterministic end to end, so even its approximation
+      error is hash-verified against the oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.cosine_topk(emb, queries, k=10, dim=64)
+    exact = similarity.cosine_topk(emb, queries, k=10, dim=64).select(
+        F.lit("exact").alias("method"), "query_id", "nbr_id", "cos_sim", "rank"
+    )
+    sq8 = similarity.sq8_cosine_topk(emb, queries, dim=64, k=10).select(
+        F.lit("sq8").alias("method"), "query_id", "nbr_id", "cos_sim", "rank"
+    )
+    return exact.unionAll(sq8)
 
 
 _ANN_PLANES, _ANN_TABLES = 3, 12
