@@ -65,3 +65,60 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     got = spark.read.parquet(out).filter(F.hour("time") == 1).agg(F.sum("elapsedMs"))
     # hour-1 bucket still holds only a1's contribution
     assert got.first()[0] == HOUR
+
+
+# ------------------------------------------------- stream-stream join
+
+
+def test_windowed_stream_join_streaming_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream join must emit exactly the pairs
+    the same join yields on the at-rest data (batch twin), and run as
+    a genuine streaming query (append mode, bounded state)."""
+    import datetime as dt
+
+    from white_elephant_spark.streaming.join_stream import windowed_stream_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minute, uid, etype):
+        return (eid, t0 + dt.timedelta(minutes=minute), uid, etype)
+
+    rows = [
+        ev(1, 0, 1, "click"),
+        ev(2, 5, 1, "error"),    # within 10 min of click 1 → pair
+        ev(3, 20, 1, "error"),   # > 10 min after click 1 → no pair
+        ev(4, 18, 2, "click"),
+        ev(5, 19, 2, "error"),   # pairs with click 4
+        ev(6, 19, 3, "error"),   # no click for user 3
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    batch = spark.createDataFrame(rows, schema)
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    errors_b = batch.filter(F.col("event_type") == "error")
+    expected = sorted(
+        (r.l_event_id, r.r_event_id)
+        for r in windowed_stream_join(clicks_b, errors_b).collect()
+    )
+    assert expected == [(1, 2), (4, 5)]
+
+    src = str(tmp_path / "src")
+    batch.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    joined = windowed_stream_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "error"),
+    )
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.l_event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected
