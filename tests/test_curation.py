@@ -139,3 +139,21 @@ def test_ngram_contamination_fractions(spark):
     # collapse); only "a b c d e" hits the eval set → 1/6
     assert abs(out[3] - 1.0 / 6.0) < 1e-12
     assert out[4] == 0.0
+
+
+def test_unigram_surprisal_ranks_rare_heavy_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common rareword"),
+            (3, "rareword otherrare thirdrare common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.surprisal for r in relevance.unigram_surprisal(docs).collect()}
+    # corpus: common ×8, rareword ×2, otherrare ×1, thirdrare ×1 (N=12)
+    # doc1 = mean(12/8 ×4)            = 1.5
+    # doc3 = (12/2 + 12/1 + 12/1 + 12/8)/4 = 7.875
+    assert out[1] == 1.5
+    assert out[1] < out[2] < out[3]
+    assert abs(out[3] - 7.875) < 1e-9

@@ -139,3 +139,35 @@ def test_scd2_single_shuffle(spark):
     plan = _formatted_plan(out)
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert out.count() > 0
+
+
+def test_sq8_prefilter_plan_is_collect_free_and_broadcast(spark):
+    """sq8 ANN's scale contract: the quantization scale is an in-plan
+    broadcast aggregate (never a driver collect), and the prefilter
+    joins are broadcast — the corpus side streams."""
+    from white_elephant_spark.operators.similarity import sq8_cosine_topk
+
+    vecs = [(i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 50 == 0)
+    plan = _formatted_plan(sq8_cosine_topk(df, q, dim=2, k=3))
+    # scale + query side arrive by broadcast; corpus is never collected
+    assert "BroadcastExchange" in plan
+    # integer prefilter feeds a windowed top-m, then exact re-rank:
+    # exactly two Window operators (prerank + rank; the formatted tree
+    # names each node once as "Window (<id>)")
+    assert plan.count("Window (") == 2
+
+
+def test_contamination_eval_side_is_broadcast(spark):
+    """Decontamination's scale contract: the corpus side is never on
+    the build side — the (bounded) eval gram set broadcasts."""
+    from white_elephant_spark.operators.contamination import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(i, "w" + " w".join(str(j) for j in range(i % 7 + 6))) for i in range(100)],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") % 11 == 0)
+    plan = _formatted_plan(ngram_contamination(docs, ev, n=5))
+    assert "BroadcastHashJoin" in plan

@@ -197,3 +197,66 @@ FROM idx JOIN dfreq ON idx.term = dfreq.term
          CROSS JOIN scal
 GROUP BY doc_id
 """
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    idx: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, surprisal) — per-document mean inverse unigram
+    probability: ``(1/dl) · Σ_terms tf(w) · N/c(w)`` with N the corpus
+    token count and c(w) the term's corpus count.
+
+    The log-free twin of unigram-LM perplexity filtering (the KenLM
+    gate every large-scale curation pipeline runs): a doc of
+    corpus-typical words scores near the vocabulary-weighted mean,
+    rare-token-heavy docs (OCR noise, codes, mojibake) score high,
+    boilerplate scores low. Rational arithmetic instead of log-probs
+    so the score is bit-reproducible in any engine (ln() last-ulp
+    behavior is libm-specific); rank order equals that of perplexity
+    under a unigram model. Per-doc sums are DECIMAL-routed
+    (functions/compat.py) — order-independent, cluster-reproducible.
+
+    Shares the one (doc, term) shuffle with TF-IDF/BM25 via ``idx``.
+    """
+    if idx is None:
+        idx = term_index(docs, id_col, text_col)
+    tfreq = idx.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    tot = idx.agg(F.sum("tf").cast("long").alias("n_tok"))
+    per_term = (
+        idx.join(tfreq, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n_tok").cast("double") / F.col("ctf"))
+            ).alias("inv_p"),
+        )
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(dsum("inv_p").alias("s"))
+        .join(lens, "doc_id")
+        .select("doc_id", (F.col("s") / F.col("dl")).alias("surprisal"))
+    )
+
+
+def sql_unigram_surprisal(idx_cte: str = "idx") -> str:
+    """DuckDB twin over a term-index CTE (doc_id, term, tf): CTE chain
+    ending in ``sup`` (doc_id, surprisal)."""
+    return f"""
+u_tfreq AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM {idx_cte} GROUP BY 1),
+u_ntok AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_tok FROM {idx_cte}),
+u_sdoc AS (
+  SELECT doc_id,
+         {sql_dsum('CAST(tf AS DOUBLE) * (CAST(n_tok AS DOUBLE) / ctf)')} AS s
+  FROM {idx_cte} JOIN u_tfreq USING (term) CROSS JOIN u_ntok
+  GROUP BY doc_id
+),
+u_dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM {idx_cte} GROUP BY 1),
+sup AS (SELECT doc_id, s / dl AS surprisal FROM u_sdoc JOIN u_dl USING (doc_id))
+"""

@@ -145,11 +145,12 @@ bm AS (
              JOIN b_base USING (doc_id)
              CROSS JOIN b_scal
   GROUP BY doc_id
-)
-SELECT t.doc_id, t.term, t.rank, t.score, bm.bm25
-FROM tf3 t LEFT JOIN bm USING (doc_id)
+),
+{relevance.sql_unigram_surprisal('idx').strip()}
+SELECT t.doc_id, t.term, t.rank, t.score, bm.bm25, sup.surprisal
+FROM tf3 t LEFT JOIN bm USING (doc_id) JOIN sup USING (doc_id)
 """,
-    tags=("text", "relevance", "topk"),
+    tags=("text", "relevance", "topk", "lm"),
 )
 def relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The term-relevance surface in one verified result: top-3
@@ -158,9 +159,12 @@ def relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars attach by broadcast cross join), left-joined with each
     document's BM25 score (k1=1.2, b=0.75, log-free rank-equivalent
     idf) against a fixed bag-of-terms query — NULL where no query
-    term occurs. Log-free rational scoring keeps both engines
-    bit-identical; per-doc BM25 sums go through DECIMAL so summation
-    order can't drift the hash."""
+    term occurs, plus each document's unigram-surprisal score (mean
+    inverse unigram probability — the log-free, rank-preserving twin
+    of unigram-LM perplexity filtering). Log-free rational scoring
+    keeps both engines bit-identical; per-doc sums go through DECIMAL
+    so summation order can't drift the hash. All three measures share
+    ONE (doc, term) shuffle via the cached term index."""
     docs = load_table(spark, sf_dir, "documents")
     # One (doc, term) shuffle feeds BOTH measures: the TF-IDF ranking
     # and the BM25 pass share the cached term index, and BM25 recovers
@@ -168,8 +172,11 @@ def relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = relevance.term_index(docs).persist()
     tf3 = relevance.tfidf_top_terms(docs, k=3, idx=idx)
     bm = relevance.bm25_scores(docs, _BM25_TERMS, idx=idx)
-    return tf3.join(bm, "doc_id", "left").select(
-        "doc_id", "term", "rank", "score", "bm25"
+    sup = relevance.unigram_surprisal(docs, idx=idx)
+    return (
+        tf3.join(bm, "doc_id", "left")
+        .join(sup, "doc_id")
+        .select("doc_id", "term", "rank", "score", "bm25", "surprisal")
     )
 
 
