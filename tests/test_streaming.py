@@ -122,3 +122,55 @@ def test_windowed_stream_join_streaming_matches_batch(spark, tmp_path):
         (r.l_event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
     )
     assert got == expected
+
+
+def test_sliding_window_stream_counts_match_batch(spark, tmp_path):
+    """Sliding-window aggregation (1h window, 15m slide) under a
+    watermark: each event lands in 4 overlapping windows; streaming
+    totals must equal the batch twin of the same window spec."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=7 * i), i % 3, "e", float(i))
+        for i in range(40)
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    batch = spark.createDataFrame(rows, schema)
+    win = F.window("ts", "1 hour", "15 minutes")
+    expected = sorted(
+        (r.window.start, r.window.end, r.n)
+        for r in batch.groupBy(win).agg(F.count("*").alias("n")).collect()
+    )
+    # every event contributes to exactly 60/15 = 4 windows
+    assert sum(n for _, _, n in expected) == 4 * len(rows)
+
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(win)
+        .agg(F.count("*").alias("n"))
+        .select("window.start", "window.end", "n")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.start, r.end, r.n) for r in spark.read.parquet(out).collect()
+    )
+    # append mode only emits windows the watermark has closed; with
+    # availableNow the final watermark closes all but the last open
+    # windows — compare the emitted subset against the batch twin
+    exp_map = {(s, e): n for s, e, n in expected}
+    assert len(got) > 0
+    for s, e, n in got:
+        assert exp_map[(s, e)] == n

@@ -59,10 +59,21 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def run(sf_dir: str, only: list[str] | None = None) -> int:
-    from white_elephant_spark.plans.registry import all_queries
-    from white_elephant_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("selfcheck")
+    from white_elephant_spark.plans.registry import all_queries
+
+    # VANILLA session, like the external driver's — no engine session
+    # factory. Every semantics-bearing conf (nanos parquet, UTC,
+    # map-dedup policy) must be applied by the query path itself
+    # (sources/catalog.ensure_engine_confs), or this gate catches it.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.appName("selfcheck")
+        .master(f"local[{cpus}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
