@@ -496,3 +496,46 @@ def test_sq8_topk_matches_exact_on_separated_corpus(spark):
     for r in sq8.collect():
         if (r.query_id, r.nbr_id) in ec:
             assert r.cos_sim == ec[(r.query_id, r.nbr_id)]
+
+
+def test_ivf_refined_centroids_are_cell_means(spark):
+    # two tight 2-D clusters; one Lloyd step must land each centroid
+    # on (a micro-unit-quantized) cluster mean, partitioning-invariant
+    vecs = [(i, [10.0 + (i % 3) * 0.1, 0.0]) for i in range(12)] + [
+        (100 + i, [0.0, 5.0 + (i % 3) * 0.1]) for i in range(12)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    c1 = similarity.ivf_refined_centroids(df, ncentroids=2, dim=2, iters=1)
+    c2 = similarity.ivf_refined_centroids(
+        df.repartition(7), ncentroids=2, dim=2, iters=1
+    )
+    assert c1 == c2  # deterministic under any physical layout
+    assert len(c1) <= 2
+
+    # replicate the Lloyd step in Python: assign by (cosine DESC,
+    # cid ASC), then micro-unit-quantized cell means — must match
+    import math
+
+    import numpy as np
+
+    seeds = similarity.ivf_centroids(df, ncentroids=2)
+    # the column is array<float>: round-trip through float32 like the
+    # engine does before the double widening
+    data = {vid: [float(np.float32(x)) for x in vec] for vid, vec in vecs}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    cells: dict[int, list[list[float]]] = {}
+    for vid, v in data.items():
+        best = min(seeds, key=lambda c: (-cos(v, c[1]), c[0]))
+        cells.setdefault(best[0], []).append(v)
+    expected = {}
+    for cid, vs in cells.items():
+        expected[cid] = [
+            sum(math.floor(v[d] * 1_000_000) for v in vs) / 1_000_000 / len(vs)
+            for d in range(2)
+        ]
+    got = {cid: vec for cid, vec, _norm in c1}
+    assert got == expected

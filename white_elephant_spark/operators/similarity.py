@@ -481,6 +481,7 @@ def ivf_cosine_topk(
     k: int = 10,
     ncentroids: int = 32,
     nprobe: int = 4,
+    refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -507,9 +508,18 @@ def ivf_cosine_topk(
       exactly one cell and probe cids are distinct, so no dedup step
       is needed (unlike multi-table LSH).
     - scanned fraction ≈ nprobe/C with recall set by how clustered
-      the corpus is; on the driver corpus the recall@10 ≥ 0.9 floor
-      is asserted in tests against the exact baseline."""
-    cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
+      the corpus is: on a clustered corpus (IVF's contract — asserted
+      ≥ 0.9 recall@10 in tests while scanning ≤ nprobe/C of it) cell
+      locality finds neighbors; on a *diffuse* random corpus recall
+      degrades toward the scanned fraction — there, exact/sq8 or LSH
+      is the right tool. ``refine`` adds exact Lloyd iterations to
+      the quantizer (see :func:`ivf_refined_centroids`)."""
+    if refine > 0:
+        cents = ivf_refined_centroids(
+            corpus, ncentroids, dim, iters=refine, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
     norm = _norm_expr(vec_col, dim)
     ranked = centroid_ranking_arrow(cents, dim)
     cv = corpus.select(
@@ -871,3 +881,98 @@ FROM (SELECT query_id, nbr_id,
       FROM cand)
 WHERE rank <= {k}
 """
+
+
+def ivf_refined_centroids(
+    corpus: DataFrame,
+    ncentroids: int = 32,
+    dim: int = 64,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> list[tuple[int, list[float], float]]:
+    """Lloyd-refined IVF quantizer: hash-sampled seeds
+    (:func:`ivf_centroids`), then ``iters`` k-means iterations — each
+    one distributed assignment pass (Arrow-batched ranking against the
+    broadcast centroids) plus an exact per-cell mean in integer
+    micro-units (the :func:`label_centroids` convention, so the mean
+    is summation-order-independent and the DuckDB oracle reproduces
+    it bit-for-bit). Only C rows ever reach the driver per iteration —
+    the bounded model-fetch contract, independent of corpus size.
+
+    Refinement matters at 100 TB: hash-sampled seeds give cells with
+    ~N/C expected population but heavy variance; one Lloyd step moves
+    centroids to cell means, evening cell sizes and cutting the probe
+    set a query must scan. Cells that lose every member simply drop
+    out (their seed attracted nothing — standard k-means behavior,
+    deterministic here)."""
+    cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
+    for _ in range(iters):
+        ranked = centroid_ranking_arrow(cents, dim)
+        assigned = corpus.select(
+            F.element_at(ranked(F.col(vec_col)), 1).alias("cid"),
+            F.col(vec_col).alias("v"),
+        )
+        cells = assigned.select(
+            "cid",
+            F.posexplode(F.col("v")).alias("dim", "x"),
+        ).select(
+            "cid",
+            "dim",
+            F.floor(F.col("x").cast("double") * F.lit(float(scale))).cast("long").alias("q"),
+        )
+        comp = cells.groupBy("cid", "dim").agg(
+            F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        cent = (
+            comp.select(
+                "cid",
+                "dim",
+                (F.col("s").cast("double") / F.lit(float(scale)) / F.col("n")).alias("c"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
+                ).alias("cvec")
+            )
+        )
+        rows = sorted((r.cid, [float(x) for x in r.cvec]) for r in cent.collect())
+        cents = [(cid, vec, _py_norm(vec)) for cid, vec in rows]
+    return cents
+
+
+def sql_ivf_refined_centroids(
+    ncentroids: int = 32,
+    dim: int = 64,
+    iters: int = 1,
+    table: str = "embeddings",
+    scale: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`ivf_refined_centroids`: CTE chain ending
+    in ``cents`` (cid, cvec). Embed under WITH."""
+    prev = f"c0 AS ({sql_ivf_centroids(ncentroids, table)})"
+    chain = [prev]
+    name = "c0"
+    for i in range(1, iters + 1):
+        chain.append(f"""a{i} AS (
+  SELECT e.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM {table} e, {name} c
+),
+q{i} AS (
+  SELECT cid, i AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS q
+  FROM (SELECT embedding, cid FROM a{i} WHERE rn = 1),
+       unnest(generate_series(1, {dim})) AS t(i)
+),
+m{i} AS (
+  SELECT cid, dim, CAST(SUM(q) AS DOUBLE) / {scale} / COUNT(*) AS c
+  FROM q{i} GROUP BY cid, dim
+),
+c{i} AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m{i} GROUP BY cid)""")
+        name = f"c{i}"
+    chain.append(f"cents AS (SELECT cid, cvec FROM {name})")
+    return ",\n".join(chain)

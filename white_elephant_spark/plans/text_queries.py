@@ -287,9 +287,7 @@ _IVF_C, _IVF_NPROBE = 32, 4
 @register(
     "ann_ivf_topk",
     oracle=f"""
-WITH cents AS (
-  {similarity.sql_ivf_centroids(_IVF_C)}
-),
+WITH {similarity.sql_ivf_refined_centroids(_IVF_C, dim=64, iters=1).strip()},
 assign AS (
   SELECT e.vec_id, e.embedding, c.cid,
          ROW_NUMBER() OVER (
@@ -315,20 +313,21 @@ WHERE rank <= 10
     tags=("similarity", "topk", "ivf"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat ANN: corpus partitioned into inverted lists by nearest
-    centroid from a **fixed-budget** hash-order sample (C=32,
-    independent of corpus size — the round-2 every-50th-id quantizer
-    collected N/50 vectors, linear in N), each query probes its 4
-    closest lists. Complements ``ann_lsh_topk``: IVF prunes by *cell
-    locality* (strong on clustered corpora, the vector-search
-    workhorse), LSH by sign-sketch collision. Cell assignment is a
-    map-side Arrow-batched ranking against the broadcast centroid
-    matrix — one scan, zero shuffle before the cid-keyed candidate
-    join."""
+    """IVF-flat ANN with a **trained quantizer**: C=32 hash-order
+    seeds (fixed budget, independent of corpus size) refined by one
+    exact Lloyd iteration — distributed assignment pass, per-cell
+    means in integer micro-units so the trained centroids are
+    bit-reproducible in the oracle, C-row bounded collect (the
+    model-fetch contract). Each query probes its 4 closest lists.
+    Complements ``ann_lsh_topk``: IVF prunes by *cell locality*
+    (strong on clustered corpora, the vector-search workhorse), LSH by
+    sign-sketch collision. Cell assignment is a map-side Arrow-batched
+    ranking against the broadcast centroid matrix — one scan, zero
+    shuffle before the cid-keyed candidate join."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return similarity.ivf_cosine_topk(
-        emb, queries, dim=64, k=10, ncentroids=_IVF_C, nprobe=_IVF_NPROBE
+        emb, queries, dim=64, k=10, ncentroids=_IVF_C, nprobe=_IVF_NPROBE, refine=1
     )
 
 
