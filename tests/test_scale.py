@@ -171,3 +171,33 @@ def test_contamination_eval_side_is_broadcast(spark):
     ev = docs.filter(F.col("doc_id") % 11 == 0)
     plan = _formatted_plan(ngram_contamination(docs, ev, n=5))
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_edge_growth_is_subquadratic(spark):
+    """Round-2 regression guard: the simhash pair set grew ×98 for a
+    ×10 corpus (superlinear — quadratic in duplicate mass). With the
+    fingerprint collapse, edges must grow at most ~linearly with the
+    corpus."""
+    from white_elephant_spark.operators import dedup
+    from white_elephant_spark.sources.catalog import load_table
+
+    def edge_count(sf_dir: str) -> tuple[int, int]:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        copies = docs.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        docs = docs.unionAll(copies)
+        fps = dedup.simhash64(docs)
+        groups = (
+            fps.groupBy("simhash").agg(F.min("id").alias("fid"))
+            .select(F.col("fid").alias("id"), "simhash")
+        )
+        pairs = dedup.simhash_neardup_pairs(groups, max_hamming=3, bands=8)
+        return docs.count(), pairs.count()
+
+    n_small, e_small = edge_count("/root/testdata/sf0.001")
+    n_big, e_big = edge_count("/root/testdata/sf0.01")
+    doc_growth = n_big / n_small
+    edge_growth = (e_big + 1) / (e_small + 1)
+    # quadratic would be ~doc_growth²; allow generous linear headroom
+    assert edge_growth <= 3 * doc_growth, (n_small, e_small, n_big, e_big)
