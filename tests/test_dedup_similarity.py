@@ -539,3 +539,23 @@ def test_ivf_refined_centroids_are_cell_means(spark):
         ]
     got = {cid: vec for cid, vec, _norm in c1}
     assert got == expected
+
+
+def test_interdoc_repeated_ngrams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),            # trigrams: abc bcd cde — all shared with doc 2
+            (2, "a b c d e f"),          # abc bcd cde def — 3 of 4 shared
+            (3, "x y z w v"),            # unique trigrams
+            (4, "q r"),                  # too short: 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_grams, r.repeated_frac)
+        for r in dedup.interdoc_repeated_ngrams(docs, n=3).collect()
+    }
+    assert out[1] == (3, 1.0)
+    assert out[2][0] == 4 and abs(out[2][1] - 0.75) < 1e-12
+    assert out[3] == (3, 0.0)
+    assert out[4] == (0, 0.0)

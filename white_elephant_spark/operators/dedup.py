@@ -389,3 +389,83 @@ FROM (
 )
 GROUP BY id
 """
+
+
+# ------------------------------------- cross-document repeated n-grams
+
+
+def interdoc_repeated_ngrams(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of distinct word ``n``-grams that also
+    appear in at least ``min_docs - 1`` OTHER documents — the
+    cross-document twin of the within-document ``dup_ngram_ratio``
+    and the aggregate-level cousin of exact-substring dedup (Lee et
+    al.'s "Deduplicating Training Data Makes Language Models Better"
+    removes exactly these shared spans; here they are *measured* so a
+    curation pass can gate on the fraction).
+
+    Output: (doc_id, n_grams, repeated_frac) — docs with fewer than
+    ``n`` tokens have no grams and report 0 over 0 grams as 0.0.
+
+    100 TB shape: one corpus scan explodes distinct grams per doc as
+    md5 *digests* (16 bytes shuffled per gram, never the text); gram
+    document-frequency is one combiner-friendly aggregation; the
+    flag joins back on the digest. Gram-frequency skew ("the quick
+    brown…" boilerplate in millions of docs) concentrates a key, but
+    the payload per row is just the count — no pair materialization,
+    so the hot key costs one reducer's worth of adds, not O(docs²)
+    rows.
+    """
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    ).select("id", F.md5(F.col("g")).alias("g"))
+    gdf = grams.groupBy("g").agg(F.count_distinct("id").alias("gdf"))
+    flagged = grams.join(gdf, "g").select(
+        "id", (F.col("gdf") >= min_docs).cast("int").alias("rep")
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        (F.sum("rep").cast("double") / F.count(F.lit(1))).alias("repeated_frac"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("repeated_frac"), F.lit(0.0)).alias("repeated_frac"),
+        )
+    )
+
+
+def sql_interdoc_repeated_ngrams(docs_cte: str, n: int = 8, min_docs: int = 2) -> str:
+    """DuckDB twin: CTE chain ending in ``interdoc`` (doc_id, n_grams,
+    repeated_frac) over a CTE with (doc_id, text)."""
+    grams = sql_word_ngrams("text", n)
+    return f"""
+ig AS (
+  SELECT doc_id AS id, md5(g) AS g
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM {docs_cte})
+),
+igdf AS (SELECT g, COUNT(DISTINCT id) AS gdf FROM ig GROUP BY g),
+iflag AS (
+  SELECT id, CASE WHEN gdf >= {min_docs} THEN 1 ELSE 0 END AS rep
+  FROM ig JOIN igdf USING (g)
+),
+iper AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(rep) AS DOUBLE) / COUNT(*) AS repeated_frac
+  FROM iflag GROUP BY id
+),
+interdoc AS (
+  SELECT d.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+         COALESCE(p.repeated_frac, 0.0) AS repeated_frac
+  FROM {docs_cte} d LEFT JOIN iper p ON d.doc_id = p.id
+)
+"""

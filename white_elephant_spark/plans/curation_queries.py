@@ -207,6 +207,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH {_DOCS_COPIES_SQL.lstrip()},
 {contamination.sql_ngram_contamination('docs', 'doc_id % 101 = 0', n=5).strip()},
+{dedup.sql_interdoc_repeated_ngrams('docs', n=8).strip()},
 scored AS (
   SELECT d.doc_id,
          {tx.sql_predict_lang('d.text')} AS lang_pred,
@@ -214,10 +215,13 @@ scored AS (
          MIN(d.doc_id) OVER (PARTITION BY md5(d.text)) = d.doc_id AS is_canonical,
          {sampling.sql_stratified_sample_pred(tx.sql_predict_lang('d.text'), _SAMPLE_RATES, 10, 'd.doc_id')} AS sampled,
          d.doc_id % 101 = 0 AS is_eval,
-         COALESCE(c.contam_frac, 0.0) AS contam_frac
+         COALESCE(c.contam_frac, 0.0) AS contam_frac,
+         i.repeated_frac AS interdoc_repeated_frac
   FROM docs d LEFT JOIN contam c ON d.doc_id = c.doc_id
+              JOIN interdoc i ON d.doc_id = i.doc_id
 )
 SELECT doc_id, lang_pred, quality, is_canonical, sampled, is_eval, contam_frac,
+       interdoc_repeated_frac,
        NOT is_eval AND contam_frac >= 0.5 AS is_contaminated,
        is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep,
        is_canonical AND lang_pred = 'en' AND quality >= 0.5 AND sampled
@@ -234,12 +238,18 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, not RNG, applied as a map-side predicate), benchmark
     decontamination (5-gram overlap against the held-out eval slice
     ``doc_id % 101 = 0`` — a doc sharing ≥ half its distinct 5-grams
-    with any eval doc is dropped, the GPT-3/PaLM-style gate), and the
-    final keep verdicts. One corpus pass plus one broadcast-side eval
-    gram set; all codegen expressions."""
+    with any eval doc is dropped, the GPT-3/PaLM-style gate), the
+    cross-document repeated-8-gram fraction (the measured form of
+    exact-substring dedup à la Lee et al. — boilerplate spans shared
+    across docs), and the final keep verdicts. One corpus pass plus
+    one broadcast-side eval gram set plus one digest-keyed gram-df
+    aggregation; all codegen expressions."""
     docs = _docs_with_copies(spark, sf_dir)
     eval_docs = docs.filter(F.col("doc_id") % 101 == 0)
     contam = contamination.ngram_contamination(docs, eval_docs, n=5)
+    interdoc = dedup.interdoc_repeated_ngrams(docs, n=8).select(
+        "doc_id", F.col("repeated_frac").alias("interdoc_repeated_frac")
+    )
     w = Window.partitionBy(F.md5(F.col("text")))
     lang_pred = tx.predict_lang(F.col("text"))
     bucket = sampling.hash_bucket(F.col("doc_id"), 100, "s1")
@@ -255,7 +265,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 101 == 0).alias("is_eval"),
     ).join(contam, "doc_id", "left").withColumn(
         "contam_frac", F.coalesce(F.col("contam_frac"), F.lit(0.0))
-    )
+    ).join(interdoc, "doc_id")
     contaminated = ~F.col("is_eval") & (F.col("contam_frac") >= 0.5)
     keep = (
         F.col("is_canonical")
@@ -270,6 +280,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sampled",
         "is_eval",
         "contam_frac",
+        "interdoc_repeated_frac",
         contaminated.alias("is_contaminated"),
         keep.alias("keep"),
         (keep & F.col("sampled") & ~contaminated).alias("keep_sampled"),
