@@ -792,38 +792,44 @@ def sq8_cosine_topk(
         _norm_expr(vec_col, dim).alias("nnorm"),
         sq8_quantize(vec_col, dim).alias("nq"),
     )
+    # Prefilter ranks NARROW rows — (query_id, nbr_id, qdot), ~24
+    # bytes — through the per-query window; the full-precision vectors
+    # are re-attached only for the |Q|·m surviving candidates. At
+    # corpus scale the alternative (carrying both 64-float arrays
+    # through the top-m shuffle) ships the whole candidate set's
+    # vectors twice for nothing.
     pre = (
-        F.broadcast(q)
-        .crossJoin(c)
+        F.broadcast(q.drop("qvec", "qnorm"))
+        .crossJoin(c.drop("nvec", "nnorm"))
         .filter(F.col("query_id") != F.col("nbr_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            "qvec",
-            "nvec",
-            "qnorm",
-            "nnorm",
-            _qdot_expr("qq", "nq", dim).alias("qdot"),
-        )
+        .select("query_id", "nbr_id", _qdot_expr("qq", "nq", dim).alias("qdot"))
     )
     wpre = Window.partitionBy("query_id").orderBy(
         F.col("qdot").desc(), F.col("nbr_id").asc()
     )
-    cand = pre.withColumn("prerank", F.row_number().over(wpre)).filter(
-        F.col("prerank") <= m
+    cand = (
+        pre.withColumn("prerank", F.row_number().over(wpre))
+        .filter(F.col("prerank") <= m)
+        .select("query_id", "nbr_id")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("nbr_id").asc()
-    )
-    return (
-        cand.select(
+    # |Q|·m candidate ids — broadcast side of the vector re-attach.
+    rerank = (
+        F.broadcast(cand)
+        .join(c.select("nbr_id", "nvec", "nnorm"), "nbr_id")
+        .join(F.broadcast(q.select("query_id", "qvec", "qnorm")), "query_id")
+        .select(
             "query_id",
             "nbr_id",
             (_dot_expr("qvec", "nvec", dim) / (F.col("qnorm") * F.col("nnorm"))).alias(
                 "cos_sim"
             ),
         )
-        .withColumn("rank", F.row_number().over(w))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("nbr_id").asc()
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "nbr_id", "cos_sim", F.col("rank").cast("long").alias("rank"))
     )
