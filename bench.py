@@ -166,11 +166,20 @@ def main() -> None:
     times: dict[str, float] = {}
     import gc
 
+    # Extra steady-state run for cheap queries: run-to-run variance at
+    # sub-second scale (JIT state, GC timing) is a large fraction of
+    # the measurement; a third run costs little wall and tightens the
+    # recorded best. Expensive queries stay at 1-2 runs.
+    THIRD_RUN_BELOW = 3.0
     for name in names:
         t0 = time.time()
         qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = time.time() - t0
         if best <= SINGLE_RUN_ABOVE:
+            t0 = time.time()
+            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        if best <= THIRD_RUN_BELOW:
             t0 = time.time()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

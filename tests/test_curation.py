@@ -157,3 +157,26 @@ def test_unigram_surprisal_ranks_rare_heavy_docs(spark):
     assert out[1] == 1.5
     assert out[1] < out[2] < out[3]
     assert abs(out[3] - 7.875) < 1e-9
+
+
+def test_mixture_report_weights(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4", "s1", "en"),
+            (2, "w1 w2 w3 w4", "s1", "en"),   # exact dup of 1
+            (3, "a b c d e f g h", "s2", "en"),
+            (4, "x y", "s2", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    out = {
+        (r.source, r.lang): r for r in sampling.mixture_report(docs).collect()
+    }
+    s1, s2 = out[("s1", "en")], out[("s2", "en")]
+    assert (s1.n_docs, s1.n_tokens) == (2, 8)
+    assert (s2.n_docs, s2.n_tokens) == (2, 10)
+    assert s1.exact_dup_rate == 0.5 and s2.exact_dup_rate == 0.0
+    # weights normalize to 1 and favor the bigger group sublinearly
+    assert abs(s1.proposed_weight + s2.proposed_weight - 1.0) < 1e-12
+    assert s2.proposed_weight > s1.proposed_weight
+    assert s2.proposed_weight / s1.proposed_weight < 10 / 8  # tempered

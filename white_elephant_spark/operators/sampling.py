@@ -100,3 +100,54 @@ def sql_split_expr(cluster_expr: str, train_pct: int = 90, salt: str = "split1")
         f"CASE WHEN {sql_hash_bucket(cluster_expr, 100, salt)} < {train_pct}"
         f" THEN 'train' ELSE 'test' END"
     )
+
+
+def mixture_report(
+    docs,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    alpha: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-group corpus composition report + proposed sampling weights
+    — the "data mixture" stage of a training pipeline (how much of
+    each source/language goes into the training run).
+
+    Output per group: n_docs, n_tokens, mean_quality, exact_dup_rate
+    (fraction of docs whose content digest appeared before, i.e.
+    non-canonical), and ``proposed_weight`` ∝ n_tokens^alpha
+    normalized to sum 1 — the standard tempered-by-size heuristic
+    (alpha < 1 upweights small high-value groups, the multinomial
+    temperature used for multilingual corpora).
+
+    One pass + one tiny window over the group aggregates; the digest
+    window for dup detection is the only corpus-wide shuffle.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from white_elephant_spark.functions import text as tx
+
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    base = docs.select(
+        *group_cols,
+        tx.token_count(F.col(text_col)).alias("ntok"),
+        tx.quality_score(F.col(text_col)).alias("quality"),
+        (F.min(id_col).over(w) != F.col(id_col)).cast("int").alias("is_dup"),
+    )
+    grouped = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ntok").cast("long").alias("n_tokens"),
+        F.avg("quality").alias("mean_quality"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias("exact_dup_rate"),
+    )
+    tempered = F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    total = Window.partitionBy()
+    return grouped.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "mean_quality",
+        "exact_dup_rate",
+        (tempered / F.sum(tempered).over(total)).alias("proposed_weight"),
+    )
