@@ -813,10 +813,23 @@ def sq8_cosine_topk(
         .select("query_id", "nbr_id")
     )
     # |Q|·m candidate ids — broadcast side of the vector re-attach.
+    # Vectors/norms come straight from the inputs, NOT from q/c: those
+    # embed the scale cross join, and reusing them would recompute the
+    # corpus-wide scale aggregate two more times.
+    cv = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm_expr(vec_col, dim).alias("nnorm"),
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm_expr(vec_col, dim).alias("qnorm"),
+    )
     rerank = (
         F.broadcast(cand)
-        .join(c.select("nbr_id", "nvec", "nnorm"), "nbr_id")
-        .join(F.broadcast(q.select("query_id", "qvec", "qnorm")), "query_id")
+        .join(cv, "nbr_id")
+        .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",
             "nbr_id",
