@@ -11,7 +11,7 @@ Covered operators: P1/P2/P5 (parse_jobs_roundtrip), J2
 (reconstruct_jobs_merge), J4/J5+P8+A1-A3 (usage_cube_hourly — excess
 labeling and fragment merging run inside the cube build and the raw
 logfile pipeline), the A4 17-metric catalog (usage_metric_catalog),
-S1/P9/J3/J4/O1 (raw_logfile_pipeline), serving/incremental/streaming
+S1/S5/P9/J3/J4/O1 (raw_logfile_pipeline — incl. hidden-file poison the scan must exclude), serving/incremental/streaming
 (usage_csv_table_days, usage_json_api, incremental_cube_refresh,
 streaming_cube_refresh), S2/P6/J8 (conf_parse_join).
 
@@ -743,9 +743,12 @@ def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
     import shutil
 
     marker = os.path.join(root, "_FIXTURE_SF")
+    # version-tag the marker so fixture-layout changes (e.g. the S5
+    # hidden-file poison) force a re-render of stale scratch dirs
+    stamp = f"{sf_dir}|v2-hidden-poison"
     if os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read() == sf_dir:
+            if fh.read() == stamp:
                 return  # already rendered for this scale factor
     shutil.rmtree(root, ignore_errors=True)
 
@@ -826,8 +829,22 @@ def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
             for sec in ("task", "att", "dup", "f2"):
                 for line in sections[sec]:
                     fh.write(line + "\n")
+        # S5 hidden-file poison: files whose names start with '.' or
+        # '_' are writer temporaries/checksums and MUST be excluded by
+        # the scan (Hadoop's hidden-path filter, which spark.read.text
+        # applies regardless of the glob). Each carries a well-formed
+        # job line with corrupt values — if the filter ever regresses,
+        # these merge into the output and the oracle hash catches it.
+        poison = (
+            'Meta VERSION="1" .\n'
+            'Job JOBID="job_1_1" JOB_STATUS="FAILED" FINISH_TIME="999999999999999"'
+            ' TOTAL_MAPS="31337" .\n'
+        )
+        for bad in (".stale-part.log", "_tmp-attempt.log"):
+            with open(os.path.join(d, bad), "w") as fh:
+                fh.write(poison)
     with open(marker, "w") as fh:
-        fh.write(sf_dir)
+        fh.write(stamp)
 
 
 def _raw_log_entities(spark: SparkSession, sf_dir: str):
@@ -892,7 +909,10 @@ def raw_logfile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+P9 end to end, through the nested export — the reference's
     actual entry point (CombinedTextInputFormat.java:32-64 text
     splits; ParseJobsFromLogs.java:280-294 path attach): real log
-    *files* read with ``spark.read.text``, within-file line order
+    *files* read with ``spark.read.text`` — the fixture directories
+    also carry ``.``/``_``-prefixed poison files with corrupt job
+    lines that the scan's hidden-path filter (S5) must exclude, or
+    the oracle hash breaks — within-file line order
     reproduced as the ``(file_block_start, row-in-partition)`` seq
     struct with zero shuffle, cluster extracted from the directory
     layout, the full parse → J2/J3/J4 fragment-merge chain, then the
