@@ -9,9 +9,11 @@ Four families, each designed for the 100 TB regime:
 - **MinHash + LSH**: k-permutation signatures → banded bucket join.
   Candidate generation is |bands|·|docs| rows shuffled by (band,
   hash) — linear, with per-bucket skew bounded by banding width.
-- **SimHash**: per-token hashed bit votes → integer fingerprint;
-  near-dup = small Hamming distance on a 32-bit int (cheap radix
-  blocking at scale).
+- **SimHash**: per-token hashed bit votes → 64-bit integer
+  fingerprint; near-dup = small Hamming distance, found by radix
+  blocking (band-exact match by pigeonhole), never all-pairs.
+- **cross-document repeated n-grams**: gram-digest document
+  frequency — the measured form of exact-substring dedup.
 
 Everything is md5-based (deterministic, available in both Spark and
 DuckDB) so each operator has an exact SQL oracle. All expressions are

@@ -10,11 +10,13 @@ Two tiers, mirroring what a 100 TB vector corpus needs:
   sketches from deterministic md5-derived hyperplanes put similar
   vectors in the same bucket; search only touches matching buckets.
 
-Numeric convention: dot products and norms are accumulated in
-DECIMAL(38,12) from double-widened float elements, so distributed and
-single-threaded evaluation agree bit-for-bit (the oracle contract;
-see functions/compat.py). The widen-to-double is exact (float ⊂
-double); one final double division chain produces the cosine.
+Numeric convention: dot products and norms are strict left folds in
+double over element index order (explicit codegen sums when the dim
+is known, `_dsum_products` folds otherwise, Arrow loops in the same
+order) — per-row arithmetic with a fixed operation order is
+bit-reproducible across engines and partitionings without decimal
+routing. The float→double widen is exact; one final double division
+chain produces the cosine.
 """
 
 from __future__ import annotations
