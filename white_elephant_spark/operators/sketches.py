@@ -210,3 +210,68 @@ def bloom_probe(
         p = (_hash64(F.col(value_col), salt=f"bloom{j}") % m).cast("int")
         cond = cond & F.array_contains(F.col("bits"), p)
     return out.withColumn("might_contain", cond).drop("bits")
+
+
+def hll_estimate_by(
+    values: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """Per-group raw HLL estimate: (group, hll_estimate, n_registers).
+
+    The grouped form of :func:`hll_estimate` — registers key on
+    (group, register), so the sketch is one narrow shuffle of at most
+    |groups|·2^p rows and merges across datasets/days by MAX exactly
+    like the global one. The canonical "distinct users per dimension"
+    rollup at 100 TB, where exact COUNT(DISTINCT) per group would
+    shuffle every (group, user) pair."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = _hash64(F.col(value_col))
+    reg = (h % (1 << p)).cast("int")
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    regs = (
+        values.select(
+            F.col(group_col).alias("grp"),
+            reg.alias("register"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    return regs.groupBy("grp").agg(
+        (
+            F.lit(alpha * m * m) / F.sum(F.pow(F.lit(2.0), -F.col("max_rank")))
+        ).alias("hll_estimate"),
+        F.count("*").cast("long").alias("n_registers"),
+    )
+
+
+def sql_hll_estimate_by(
+    from_cte: str, group_expr: str, value_expr: str, p: int = 8
+) -> str:
+    """DuckDB twin of :func:`hll_estimate_by`: CTE chain ending in
+    ``hll_by`` (grp, hll_estimate, n_registers)."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    h = sql_hash64(value_expr)
+    return f"""
+bh AS (
+  SELECT {group_expr} AS grp,
+         CAST(({h}) % {m} AS INTEGER) AS register,
+         ({h}) // {m} AS w
+  FROM {from_cte}
+),
+bregs AS (
+  SELECT grp, register,
+         MAX(CASE WHEN w = 0 THEN {_HASH_BITS - p + 1}
+                  ELSE CAST(bit_count((w & -w) - 1) AS INTEGER) + 1 END) AS max_rank
+  FROM bh GROUP BY grp, register
+),
+hll_by AS (
+  SELECT grp, {alpha * m * m!r} / SUM(power(2.0, -max_rank)) AS hll_estimate,
+         CAST(COUNT(*) AS BIGINT) AS n_registers
+  FROM bregs GROUP BY grp
+)
+"""

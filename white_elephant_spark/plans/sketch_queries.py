@@ -40,7 +40,13 @@ kt AS (SELECT DISTINCT event_type FROM events),
 cnts AS (SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS exact FROM events GROUP BY 1),
 bk AS (SELECT value FROM events ORDER BY md5(CAST(event_id AS VARCHAR)) LIMIT 256),
 bkq AS (SELECT quantile_cont(value, 0.5) AS p50e, quantile_cont(value, 0.95) AS p95e FROM bk),
-fullq AS (SELECT quantile_cont(value, 0.5) AS p50x, quantile_cont(value, 0.95) AS p95x FROM events)
+fullq AS (SELECT quantile_cont(value, 0.5) AS p50x, quantile_cont(value, 0.95) AS p95x FROM events),
+evg AS (SELECT event_type, user_id FROM events),
+{sketches.sql_hll_estimate_by('evg', 'event_type', 'user_id', p=8).strip().lstrip()}
+, exact_by AS (
+  SELECT event_type AS grp, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_d
+  FROM events GROUP BY 1
+)
 SELECT 'hll_distinct_users' AS sketch, 'user_id' AS key,
        hll_estimate AS estimate, CAST(exact_distinct AS DOUBLE) AS exact,
        (hll_estimate - exact_distinct) / exact_distinct AS rel_err
@@ -58,6 +64,11 @@ UNION ALL
 SELECT 'bottomk_p95' AS sketch, 'value' AS key,
        p95e AS estimate, p95x AS exact, (p95e - p95x) / p95x AS rel_err
 FROM bkq CROSS JOIN fullq
+UNION ALL
+SELECT 'hll_users_by_type' AS sketch, hll_by.grp AS key,
+       hll_estimate AS estimate, CAST(exact_d AS DOUBLE) AS exact,
+       (hll_estimate - exact_d) / exact_d AS rel_err
+FROM hll_by JOIN exact_by ON hll_by.grp = exact_by.grp
 """,
     tags=("sketch", "agg"),
 )
@@ -140,7 +151,23 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("p95e") - F.col("p95x")) / F.col("p95x")).alias("rel_err"),
         )
     )
-    return hll_rows.unionByName(cms_rows).unionByName(bk_rows)
+    # Per-group HLL: distinct users per event type — the grouped
+    # sketch a 100 TB rollup uses where exact COUNT(DISTINCT) per
+    # dimension would shuffle every (group, user) pair.
+    by = sketches.hll_estimate_by(
+        ev.select("event_type", "user_id"), "event_type", "user_id", p=8
+    )
+    exact_by = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count_distinct("user_id").cast("long").alias("exact_d")
+    )
+    by_rows = by.join(exact_by, "grp").select(
+        F.lit("hll_users_by_type").alias("sketch"),
+        F.col("grp").alias("key"),
+        F.col("hll_estimate").alias("estimate"),
+        F.col("exact_d").cast("double").alias("exact"),
+        ((F.col("hll_estimate") - F.col("exact_d")) / F.col("exact_d")).alias("rel_err"),
+    )
+    return hll_rows.unionByName(cms_rows).unionByName(bk_rows).unionByName(by_rows)
 
 
 def _sql_bloom_pos(expr: str, j: int, m: int) -> str:
