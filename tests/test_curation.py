@@ -180,3 +180,44 @@ def test_mixture_report_weights(spark):
     assert abs(s1.proposed_weight + s2.proposed_weight - 1.0) < 1e-12
     assert s2.proposed_weight > s1.proposed_weight
     assert s2.proposed_weight / s1.proposed_weight < 10 / 8  # tempered
+
+
+def test_fuzzy_join_blocked_matches_brute_force(spark):
+    from white_elephant_spark.operators.fuzzy import fuzzy_join
+
+    names = [
+        (1, "jonathan smith"),
+        (2, "jonathon smith"),      # ed 1 from 1
+        (3, "j smith"),
+        (4, "totally different"),
+        (5, "abc"),                 # short-string path
+        (6, "abd"),                 # ed 1 from 5
+        (7, "abcdef"),              # boundary-length vs short
+        (8, "abcde"),               # ed 1 from 7
+    ]
+    left = spark.createDataFrame(names, "lid long, lname string")
+    right = spark.createDataFrame(
+        [(i + 100, n) for i, n in names], "rid long, rname string"
+    )
+    got = {
+        (r.lid, r.rid)
+        for r in fuzzy_join(left, right, "lname", "rname", max_dist=2, q=2).collect()
+    }
+    # brute-force truth
+    import itertools
+
+    def ed(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (lid, rid)
+        for (lid, ln), (ri, rn) in itertools.product(names, names)
+        for rid in [ri + 100]
+        if ed(ln, rn) <= 2
+    }
+    assert got == want
