@@ -733,13 +733,19 @@ def sq8_scale(vectors: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """1-row (s) frame: the corpus-wide max |component| — the symmetric
     scalar-quantization scale. Stays in-plan (broadcast cross join),
     never collected; the DuckDB twin re-derives it identically."""
+    # Floored at 1e-30 so a degenerate all-zero corpus quantizes to
+    # zeros instead of 0/0 (whose NULL/NaN handling differs between
+    # engines).
     return vectors.agg(
-        F.max(
-            F.aggregate(
-                F.col(vec_col),
-                F.lit(0.0),
-                lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-            )
+        F.greatest(
+            F.max(
+                F.aggregate(
+                    F.col(vec_col),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+                )
+            ),
+            F.lit(1e-30),
         ).alias("s")
     )
 
@@ -869,9 +875,9 @@ def sql_sq8_topk(
     )
     return f"""
 sc AS (
-  SELECT MAX(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+  SELECT greatest(MAX(list_reduce(list_prepend(CAST(0 AS DOUBLE),
            list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
-           (a, x) -> greatest(a, x))) AS s
+           (a, x) -> greatest(a, x))), 1e-30) AS s
   FROM {table}
 ),
 qz AS (
