@@ -42,7 +42,7 @@ HEADLINE = [
     "event_value_percentiles",
     "dedup_exact",
     "dedup_minhash_jaccard",
-    "dedup_simhash",
+    "fuzzy_doc_match",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

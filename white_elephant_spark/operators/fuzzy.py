@@ -2,24 +2,36 @@
 cartesian product — the entity-resolution step of a curation pipeline
 (matching near-identical titles, author names, URLs across sources).
 
-Spark-first shape:
+Spark-first shape (the Ed-Join prefix-filter design, Xiao et al.;
+q-gram count bounds from Gravano et al.):
 
-- **q-gram blocking**: explode each string's positional q-grams; a
-  candidate pair must share at least one q-gram AND have lengths
-  within ``max_dist``. By the q-gram count filter (Gravano et al.,
-  approximate string joins), any pair within edit distance d shares
-  ≥ max(|a|,|b|) - q + 1 - d·q grams — which is ≥ 1 whenever
-  max(|a|,|b|) ≥ q·(d + 1). The shared-gram join is therefore
-  COMPLETE for strings at least that long.
-- **short-string fallback**: strings below the completeness bound are
-  few and tiny; they join on a length-band key (complete because
-  |len(a) - len(b)| ≤ d is necessary for ed ≤ d).
-- **exact verify**: ``levenshtein`` (JVM codegen) on the candidate
-  set only.
+- **distinct-string skeleton**: matching is a property of the string
+  value, so the join runs over ``SELECT DISTINCT col`` of each side
+  and the verified pairs re-attach to full rows by string equality at
+  the end. Duplicate-heavy columns (catalog names, URLs) collapse
+  before any expensive work.
+- **prefix filter**: d edits destroy at most d·q of a string's
+  positional q-grams, so if both sides order their gram multisets by
+  one global total order, two strings within edit distance d must
+  share a gram among their first ``d·q + 1`` grams. Only that prefix
+  is indexed — candidate volume is per-string-constant, not
+  per-string-length. The global order used is ascending corpus
+  frequency (any consistent order is *correct*; rarest-first makes
+  prefix grams selective, which is the entire performance story on
+  low-entropy corpora where every string shares its common grams).
+- **length band**: |len(a) − len(b)| ≤ d is necessary, filtered
+  inside the candidate join.
+- **short-string fallback**: the count bound guarantees a shared
+  gram only when max(|a|,|b|) ≥ q·(d+1); pairs where BOTH sides are
+  below that length (few, tiny strings) join on a length band
+  instead (|Δlen| ≤ d is necessary for ed ≤ d).
+- **exact verify**: ``levenshtein`` (JVM codegen) once per surviving
+  *distinct* pair.
 
-The shuffle key is the gram (or the length band); candidate volume is
-bounded by gram selectivity, never |L|×|R|. Hot grams ("the ") behave
-like any hot join key — AQE skew splitting applies.
+The shuffle keys are the gram-frequency lookup, the per-string
+regroup, and the candidate pair set; volume is O(corpus grams) +
+O(candidates), never |L|×|R|. Hot grams are excluded from prefixes by
+construction wherever a rarer gram exists.
 """
 
 from __future__ import annotations
@@ -28,9 +40,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _qgrams(col, q: int):
+def _grams(col, q: int):
+    """array<string> of positional q-grams (may repeat; order = position)."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(col) - F.lit(q - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: col.substr(i, F.lit(q))))
+    return F.transform(idx, lambda i: col.substr(i, F.lit(q)))
+
+
+def _prefix_grams(df: DataFrame, scol: str, lcol: str, freq: DataFrame, q: int, k: int) -> DataFrame:
+    """Explode ``df[scol]`` to its ``k`` rarest grams (global
+    frequency order, gram text as tie-break): (scol, lcol, _gram)."""
+    g = df.select(scol, lcol, F.explode(_grams(F.col(scol), q)).alias("_gram"))
+    ranked = g.join(freq, "_gram")
+    # Regroup per string, order grams by (freq, gram), keep first k.
+    return (
+        ranked.groupBy(scol, lcol)
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct("_freq", "_gram"))), 1, k).alias("_pre"))
+        .select(scol, lcol, F.explode("_pre._gram").alias("_gram"))
+    )
+
+
+def _match_pairs(
+    left: DataFrame, right: DataFrame, left_col: str, right_col: str, max_dist: int, q: int
+) -> DataFrame:
+    """Distinct (left_col → _ls, right_col → _rs, edit_dist) value
+    pairs within edit distance ``max_dist``. Only the string columns
+    are shuffled."""
+    k = max_dist * q + 1
+
+    ls = left.select(F.col(left_col).alias("_ls")).distinct().withColumn("_ll", F.length("_ls"))
+    rs = right.select(F.col(right_col).alias("_rs")).distinct().withColumn("_rl", F.length("_rs"))
+
+    # One consistent global gram order for both sides: ascending
+    # frequency over the union of the two distinct-string corpora.
+    grams_union = ls.select(F.explode(_grams(F.col("_ls"), q)).alias("_gram")).unionAll(
+        rs.select(F.explode(_grams(F.col("_rs"), q)).alias("_gram"))
+    )
+    freq = grams_union.groupBy("_gram").agg(F.count(F.lit(1)).alias("_freq"))
+
+    lpre = _prefix_grams(ls, "_ls", "_ll", freq, q, k)
+    rpre = _prefix_grams(rs, "_rs", "_rl", freq, q, k)
+
+    cand = (
+        lpre.join(rpre, "_gram")
+        .filter(F.abs(F.col("_ll") - F.col("_rl")) <= max_dist)
+        .select("_ls", "_rs")
+    )
+
+    # Pairs with both sides shorter than q·(d+1) have no shared-gram
+    # guarantee (a single edit can rewrite every gram): length-band
+    # join over the two tiny short-string sets.
+    min_complete = q * (max_dist + 1)
+    short_cand = (
+        ls.filter(F.col("_ll") < min_complete)
+        .join(
+            rs.filter(F.col("_rl") < min_complete),
+            F.abs(F.col("_ll") - F.col("_rl")) <= max_dist,
+        )
+        .select("_ls", "_rs")
+    )
+
+    return (
+        cand.unionByName(short_cand)
+        .distinct()
+        .withColumn("edit_dist", F.levenshtein(F.col("_ls"), F.col("_rs")))
+        .filter(F.col("edit_dist") <= max_dist)
+    )
 
 
 def fuzzy_join(
@@ -44,47 +118,9 @@ def fuzzy_join(
     """Pairs (all left columns, all right columns, ``edit_dist``) with
     ``levenshtein(left_col, right_col) <= max_dist``. Inputs should
     carry disjoint column names (alias beforehand)."""
-    min_complete = q * (max_dist + 1)
-
-    def prep(df: DataFrame, col: str, side: str) -> DataFrame:
-        return df.withColumn(f"_len_{side}", F.length(F.col(col)))
-
-    l_ = prep(left, left_col, "l")
-    r_ = prep(right, right_col, "r")
-
-    # long-string path: shared-q-gram block. Complete when EITHER side
-    # reaches the bound (the count filter uses max(|a|,|b|)), so the
-    # right side only needs to be within max_dist below it — without
-    # the slack, a bound-length left and a bound-minus-one right would
-    # fall between the two paths.
-    lg = l_.filter(F.col("_len_l") >= min_complete).withColumn(
-        "_g", F.explode(_qgrams(F.col(left_col), q))
+    pairs = _match_pairs(left, right, left_col, right_col, max_dist, q)
+    return (
+        left.join(pairs, left[left_col] == pairs["_ls"])
+        .join(right, pairs["_rs"] == right[right_col])
+        .select(*left.columns, *right.columns, "edit_dist")
     )
-    rg = r_.filter(F.col("_len_r") >= min_complete - max_dist).withColumn(
-        "_g", F.explode(_qgrams(F.col(right_col), q))
-    )
-    long_cand = (
-        lg.join(rg, "_g")
-        .filter(F.abs(F.col("_len_l") - F.col("_len_r")) <= max_dist)
-        .drop("_g")
-        .dropDuplicates(left.columns + right.columns)
-    )
-
-    # short-string fallback: length-band block (|Δlen| ≤ d necessary)
-    ls = l_.filter(F.col("_len_l") < min_complete)
-    rs = r_.filter(F.col("_len_r") < min_complete + max_dist)
-    short_cand = ls.join(
-        rs, F.abs(F.col("_len_l") - F.col("_len_r")) <= max_dist
-    )
-
-    out = []
-    for cand in (long_cand, short_cand):
-        out.append(
-            cand.withColumn(
-                "edit_dist", F.levenshtein(F.col(left_col), F.col(right_col))
-            )
-            .filter(F.col("edit_dist") <= max_dist)
-            .drop("_len_l", "_len_r")
-        )
-    both = out[0].unionByName(out[1])
-    return both.dropDuplicates(left.columns + right.columns)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from white_elephant_spark.functions import text as tx
-from white_elephant_spark.operators import clustering, dedup, multimodal, similarity
+from white_elephant_spark.operators import clustering, dedup, fuzzy, multimodal, similarity
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.sources.catalog import load_table
 
@@ -126,14 +126,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.fingerprint_clusters(docs, fps, max_hamming=3, bands=8)
 
 
+# SimHash fingerprints themselves are oracle-verified through
+# ``dedup_clusters`` / ``leakage_safe_split`` (their oracles re-derive
+# the same 64-bit fingerprints from the base table via
+# ``dedup.sql_simhash64``); the registry slot goes to the fuzzy join.
+
+
+# Deterministic "dirty record" construction shared by both engines:
+# every 5th document's 40-char title gets one character deleted at a
+# doc_id-dependent position (a no-op for titles shorter than the
+# position — those probes match their source exactly).
+_FZ_TITLE = "substr(text, 1, 40)"
+
+
+def _fz_probe(name_sql: str, id_sql: str) -> str:
+    pos = f"({id_sql} % 36)"
+    return f"concat(substr({name_sql}, 1, {pos}), substr({name_sql}, {pos} + 2))"
+
+
 @register(
-    "dedup_simhash",
-    oracle=dedup.sql_simhash64("text", "doc_id"),
-    tags=("dedup",),
+    "fuzzy_doc_match",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_FZ_TITLE} AS title FROM documents),
+dirty AS (
+  SELECT doc_id AS probe_id, {_fz_probe('title', 'doc_id')} AS probe_title
+  FROM base WHERE doc_id % 5 = 0
+),
+pairs AS (
+  SELECT d.probe_title, b.title,
+         CAST(levenshtein(d.probe_title, b.title) AS BIGINT) AS edit_dist
+  FROM (SELECT DISTINCT probe_title FROM dirty) d,
+       (SELECT DISTINCT title FROM base) b
+  WHERE abs(strlen(d.probe_title) - strlen(b.title)) <= 2
+    AND levenshtein(d.probe_title, b.title) <= 2
 )
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints over the documents table."""
-    return dedup.simhash64(load_table(spark, sf_dir, "documents"))
+SELECT dd.probe_id, bb.doc_id AS match_id, p.edit_dist
+FROM pairs p
+JOIN dirty dd ON dd.probe_title = p.probe_title
+JOIN base bb ON bb.title = p.title
+""",
+    tags=("fuzzy", "join", "curation"),
+)
+def fuzzy_doc_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution without the cartesian product: every 5th
+    document title, corrupted by one deterministic character deletion,
+    is matched back against the clean title catalog under edit
+    distance ≤ 2 via the blocked fuzzy join (Ed-Join prefix filter
+    over rarest q-grams + length banding + JVM ``levenshtein``
+    verify — see ``operators/fuzzy.py``; q=5 sized to the corpus'
+    gram entropy). The oracle is the quadratic join over distinct
+    strings, so the result hash certifies the blocking loses no
+    pairs.
+
+    Reference tie-in: the reference's nearest analogue is exact-key
+    correlation only (jobId regexes, LineParsing.java:158-219); fuzzy
+    matching is part of the curation surface this engine adds."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.selectExpr("doc_id", f"{_FZ_TITLE} AS title")
+    dirty = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .selectExpr("doc_id AS probe_id", f"{_fz_probe('title', 'doc_id')} AS probe_title")
+    )
+    pairs = fuzzy.fuzzy_join(dirty, base, "probe_title", "title", max_dist=2, q=5)
+    return pairs.select(
+        "probe_id",
+        F.col("doc_id").alias("match_id"),
+        F.col("edit_dist").cast("long").alias("edit_dist"),
+    )
 
 
 # ----------------------------------------------------------- text analysis
