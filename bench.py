@@ -55,6 +55,8 @@ HEADLINE = [
     "sketch_estimates",
     "scd2_user_segments",
     "label_centroid_classify",
+    "leakage_safe_split",
+    "corpus_curation",
 ]
 
 # Spark wall time above which a query runs once instead of twice (the
