@@ -1,0 +1,198 @@
+"""Command-line front door: ``python -m white_elephant_spark ...``.
+
+The reference is driven by ``hadoop/bin/run.sh <job.properties>`` (batch)
+and the Sinatra routes ``/api/{clusters,users,usage,table}``
+(server/app.rb:32-157 in /root/reference). This CLI is the standalone
+equivalent over the registry: list the capability surface, run any
+registered query, print its oracle SQL or physical plan, and serve the
+reference's four API shapes from the materialized cube.
+
+Everything here is a thin shell over ``plans.registry`` /
+``plans.api`` — no query logic lives in the CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(cpus: str | None = None):
+    from white_elephant_spark.session import get_spark
+
+    return get_spark("white-elephant-cli")
+
+
+def cmd_list(args: argparse.Namespace) -> int:
+    from white_elephant_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    for name, qd in sorted(qs.items()):
+        tags = ",".join(qd.tags)
+        print(f"{name:32s} [{tags}]")
+    print(f"\n{len(qs)} queries; all oracle-checked (tools/selfcheck.py)")
+    return 0
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from white_elephant_spark.plans.registry import all_queries
+
+    qs = all_queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    df = qs[args.query].fn(_spark(), args.sf_dir)
+    if args.csv:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(args.csv)
+        print(f"wrote {args.csv}")
+    elif args.json:
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    else:
+        df.show(args.limit, truncate=not args.wide)
+    return 0
+
+
+def cmd_oracle(args: argparse.Namespace) -> int:
+    from white_elephant_spark.plans.registry import all_queries
+
+    qd = all_queries().get(args.query)
+    if qd is None:
+        print(f"unknown query {args.query!r}", file=sys.stderr)
+        return 2
+    print(qd.oracle.strip() if qd.oracle else "-- rows-only check (no SQL oracle)")
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    from white_elephant_spark.plans.registry import all_queries
+
+    qd = all_queries().get(args.query)
+    if qd is None:
+        print(f"unknown query {args.query!r}", file=sys.stderr)
+        return 2
+    qd.fn(_spark(), args.sf_dir).explain("formatted")
+    return 0
+
+
+def cmd_api(args: argparse.Namespace) -> int:
+    """Answer one reference API request shape from the cube
+    (server/app.rb:32-157): clusters | users | usage | table."""
+    from datetime import timezone
+
+    from pyspark.sql import functions as F
+
+    from white_elephant_spark.operators import reconstruct, usage
+    from white_elephant_spark.plans.api import UsageApi
+    from white_elephant_spark.plans.pipeline_queries import _attempts_from_events
+
+    spark = _spark()
+    # The serving cube uses the minutes-typed measures (A3); the
+    # integer-exact twin (aggregate_usage_exact) exists for oracle
+    # hashing, not the API layer.
+    cube = usage.build_usage_per_hour(
+        reconstruct.label_excess(_attempts_from_events(spark, args.sf_dir))
+    )
+    api = UsageApi(spark, cube)
+    if args.endpoint == "clusters":
+        out: object = api.clusters()
+        print(json.dumps(out))
+        return 0
+    cluster = args.cluster or api.clusters()[0]
+    if args.endpoint == "users":
+        print(json.dumps(api.users(cluster)))
+        return 0
+    users = args.users.split(",") if args.users else api.users(cluster)[:10]
+    # Default window = the cube's full range (the A10 clamp).
+    mm = (
+        api.cube.filter(F.col("cluster") == cluster)
+        .agg(F.min("time").alias("lo"), F.max("time").alias("hi"))
+        .collect()[0]
+    )
+    to_ms = lambda d: int(d.replace(tzinfo=timezone.utc).timestamp() * 1000)  # noqa: E731
+    start_ms = args.start_ms if args.start_ms is not None else to_ms(mm["lo"])
+    end_ms = args.end_ms if args.end_ms is not None else to_ms(mm["hi"])
+    if args.endpoint == "usage":
+        rest = [u for u in api.users(cluster) if u not in users]
+        print(
+            json.dumps(
+                api.usage(
+                    start_ms=start_ms,
+                    end_ms=end_ms,
+                    unit=args.unit,
+                    zone=args.zone,
+                    users=users,
+                    cluster=cluster,
+                    metric=args.metric,
+                    users_to_aggregate=rest,
+                ),
+                default=str,
+            )
+        )
+    else:
+        print(
+            api.table_csv(
+                start_ms=start_ms,
+                end_ms=end_ms,
+                unit=args.unit,
+                zone=args.zone,
+                users=users,
+                cluster=cluster,
+                metric=args.metric,
+            )
+        )
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m white_elephant_spark",
+        description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sf_default = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    sub.add_parser("list", help="list registered queries").set_defaults(fn=cmd_list)
+
+    pr = sub.add_parser("run", help="run a registered query")
+    pr.add_argument("query")
+    pr.add_argument("--sf-dir", default=sf_default)
+    pr.add_argument("--limit", type=int, default=20)
+    pr.add_argument("--csv", help="write full result as CSV to this dir")
+    pr.add_argument("--json", action="store_true", help="print rows as JSON lines")
+    pr.add_argument("--wide", action="store_true", help="don't truncate columns")
+    pr.set_defaults(fn=cmd_run)
+
+    po = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
+    po.add_argument("query")
+    po.set_defaults(fn=cmd_oracle)
+
+    pe = sub.add_parser("explain", help="print a query's physical plan")
+    pe.add_argument("query")
+    pe.add_argument("--sf-dir", default=sf_default)
+    pe.set_defaults(fn=cmd_explain)
+
+    pa = sub.add_parser("api", help="answer a reference /api/* request shape")
+    pa.add_argument("endpoint", choices=["clusters", "users", "usage", "table"])
+    pa.add_argument("--sf-dir", default=sf_default)
+    pa.add_argument("--cluster", default=None)
+    pa.add_argument("--unit", default="HOURS")
+    pa.add_argument("--zone", default="UTC")
+    pa.add_argument("--metric", default="minutesTotal")
+    pa.add_argument("--users", default="")
+    pa.add_argument("--start-ms", type=int, default=None)
+    pa.add_argument("--end-ms", type=int, default=None)
+    pa.set_defaults(fn=cmd_api)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
