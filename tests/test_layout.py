@@ -70,6 +70,8 @@ def _file_spans(path: str, cols: list[str]) -> list[dict[str, tuple]]:
 
 
 def test_zorder_tightens_footer_stats(spark, tmp_path):
+    # Two high-cardinality dimensions — the case z-ordering exists
+    # for (a low-cardinality dim belongs in partitionBy, not z-order).
     ev = (
         spark.read.parquet(os.path.join(SF, "events.parquet"))
         .select("event_id", "user_id", "value")
@@ -80,8 +82,8 @@ def test_zorder_tightens_footer_stats(spark, tmp_path):
     plain = str(tmp_path / "plain")
     zed = str(tmp_path / "zed")
     # Unclustered baseline: same file count, hash-random placement.
-    ev.repartition(8).write.mode("overwrite").parquet(plain)
-    write_zordered(ev, zed, ["user_id", "value_c"], bits=10, num_files=8)
+    ev.repartition(16).write.mode("overwrite").parquet(plain)
+    write_zordered(ev, zed, ["event_id", "value_c"], bits=8, num_files=16)
 
     zf = spark.read.parquet(zed)
     assert zf.count() == n
@@ -97,9 +99,10 @@ def test_zorder_tightens_footer_stats(spark, tmp_path):
 
     # The data-skipping claim: summed per-file [min,max] width shrinks
     # on BOTH dimensions at once. An unclustered layout leaves every
-    # file spanning nearly the full domain (sum ~ 8 x domain); the
+    # file spanning nearly the full domain (sum ~ 16 x domain); with
+    # 16 files the z-curve splits each of 2 dims ~4 ways, so the
     # z-order write must cut the total at least in half on each.
-    for col in ("user_id", "value_c"):
+    for col in ("event_id", "value_c"):
         assert total_span(zed, col) * 2 < total_span(plain, col), col
 
 

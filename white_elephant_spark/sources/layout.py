@@ -57,50 +57,67 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
     return out
 
 
-def _scaled_rank(c: Column, bits: int) -> Column:
-    """Percent-rank of ``c`` quantized to ``[0, 2**bits)``.
+def _bucket_tree(c: Column, cuts: list[float], lo: int, hi: int) -> Column:
+    """Balanced IF-tree assigning ``c`` its bucket in ``cuts``
+    (boundaries between buckets ``lo..hi``): evaluation cost is
+    O(log n_buckets) comparisons per row inside codegen, vs O(n) for
+    a flat CASE ladder."""
+    if lo == hi:
+        return F.lit(lo).cast("long")
+    mid = (lo + hi + 1) // 2  # c < cuts-boundary before bucket `mid`
+    return F.when(
+        c < F.lit(cuts[mid - 1]), _bucket_tree(c, cuts, lo, mid - 1)
+    ).otherwise(_bucket_tree(c, cuts, mid, hi))
 
-    Rank-based scaling (not min/max) keeps the z-curve resolution
+
+def _quantile_bucket(df: DataFrame, col: str, bits: int, rel_err: float = 0.001) -> Column:
+    """Quantile-bucket index of ``col`` in ``[0, 2**bits)``.
+
+    Quantile-based scaling (not min/max) keeps the z-curve resolution
     uniform under skewed value distributions — the same reason
     ``repartitionByRange`` samples quantiles rather than splitting the
-    min/max span.
+    min/max span. ``approxQuantile`` (Greenwald-Khanna) computes the
+    ``2**bits - 1`` interior breakpoints in one distributed pass with
+    a driver collect bounded by the breakpoint count — independent of
+    row count, so the layout write stays two jobs at any corpus size
+    (quantile probe + the write itself).
     """
-    from pyspark.sql import Window
-
-    pr = F.percent_rank().over(Window.orderBy(c))
-    return F.least(
-        F.floor(pr * (1 << bits)).cast("long"), F.lit((1 << bits) - 1).cast("long")
-    )
+    n = 1 << bits
+    probes = [i / n for i in range(1, n)]
+    cuts = df.approxQuantile(col, probes, rel_err)
+    return _bucket_tree(F.col(col).cast("double"), [float(x) for x in cuts], 0, n - 1)
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
     zorder_cols: list[str],
-    bits: int = 12,
+    bits: int = 8,
     num_files: int = 8,
     max_records_per_file: int | None = None,
 ) -> None:
     """Write ``df`` as parquet clustered on the z-curve of
     ``zorder_cols``.
 
-    Plan shape: rank-scale each key column → Morton-interleave →
+    Plan shape: one ``approxQuantile`` probe per key column (driver
+    cost bounded by ``2**bits`` breakpoints, not rows) → quantile-
+    bucket each key through a balanced IF-tree → Morton-interleave →
     ``repartitionByRange`` on the z-value (one range exchange, sampled
-    quantile bounds, so files get equal row counts even under skew) →
-    sort within partitions → write. The z-value itself is dropped
-    before writing; it exists only to drive the layout.
+    bounds, so files get equal row counts even under skew) → sort
+    within partitions → write. The z-value itself is dropped before
+    writing; it exists only to drive the layout. No global sort of the
+    data ever happens — the whole write is quantile probes plus a
+    single range exchange at any corpus size.
 
-    Scale note: ``percent_rank`` over an unpartitioned window is a
-    global sort of the *key columns only* — at 100 TB replace
-    ``_scaled_rank`` with a precomputed quantile lookup (e.g.
-    ``approxQuantile`` breakpoints broadcast as a ``CASE`` ladder) to
-    keep it one pass; the interleave and write below are unchanged.
-    ``num_files`` sizes the range exchange: pick ``table_size /
-    target_file_size`` (a few hundred MB per file).
+    ``bits=8`` gives 256 quantile ranks per dimension — far finer than
+    any realistic output file count, which is what bounds how tight
+    per-file min/max stats can get. ``num_files`` sizes the range
+    exchange: pick ``table_size / target_file_size`` (a few hundred MB
+    per file).
     """
     ranked = df.withColumn(
         "__z",
-        zvalue([_scaled_rank(F.col(c), bits) for c in zorder_cols], bits),
+        zvalue([_quantile_bucket(df, c, bits) for c in zorder_cols], bits),
     )
     w = (
         ranked.repartitionByRange(num_files, "__z")
