@@ -64,6 +64,30 @@ def test_events_corpus_expectations(spark):
     assert all(r["pass"] for r in rep.collect())
 
 
+def test_profile_one_pass(spark):
+    ev = _events(spark)
+    prof = {r["column"]: r for r in Q.profile(ev, ["event_id", "user_id", "event_type"]).collect()}
+    n = ev.count()
+    assert prof["event_id"]["total"] == n and prof["event_id"]["nulls"] == 0
+    # event_id is unique: approx distinct within HLL++ tolerance
+    assert abs(prof["event_id"]["approx_distinct"] - n) / n < 0.05
+    assert prof["user_id"]["min"] == 0.0 and prof["user_id"]["max"] == 14.0
+    # string column: numeric stats absent, distinct present
+    assert prof["event_type"]["mean"] is None
+    assert prof["event_type"]["approx_distinct"] >= 4
+
+
+def test_histogram_covers_domain(spark):
+    ev = _events(spark)
+    h = Q.histogram(ev, "value", nbins=8).collect()
+    assert len(h) == 8
+    assert [r["bucket"] for r in h] == list(range(8))
+    assert sum(r["cnt"] for r in h) == ev.filter(F.col("value").isNotNull()).count()
+    # bins tile [min, max] without gaps
+    for a, b in zip(h, h[1:]):
+        assert abs(a["hi"] - b["lo"]) < 1e-9
+
+
 def test_observed_counters_ride_the_action(spark):
     ev = _events(spark)
     usable = F.col("value") >= 0

@@ -44,6 +44,8 @@ __all__ = [
     "check_unique",
     "check_foreign_key",
     "check",
+    "profile",
+    "histogram",
     "observed",
 ]
 
@@ -159,6 +161,91 @@ def check(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column profiles — count/nulls/distinct-approx plus
+    min/max/mean/stddev for numerics — in ONE aggregation over one
+    scan, however many columns are profiled (the map-side partial agg
+    carries one sketch-sized state per column, so this is the same
+    single-pass shape Deequ-style profilers use).
+
+    Returns one row per column: (column, total, nulls, approx_distinct,
+    min, max, mean, stddev) — min/max/mean/stddev null for
+    non-numerics.
+    """
+    if cols is None:
+        cols = df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null{i}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__dist{i}"))
+        if c in numeric:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"__min{i}"),
+                F.max(F.col(c).cast("double")).alias(f"__max{i}"),
+                F.avg(F.col(c).cast("double")).alias(f"__avg{i}"),
+                F.stddev(F.col(c).cast("double")).alias(f"__std{i}"),
+            ]
+    row = df.agg(*aggs).collect()[0]
+    out = []
+    for i, c in enumerate(cols):
+        num = c in numeric
+        out.append(
+            (
+                c,
+                int(row["__n"]),
+                int(row[f"__null{i}"] or 0),
+                int(row[f"__dist{i}"]),
+                float(row[f"__min{i}"]) if num and row[f"__min{i}"] is not None else None,
+                float(row[f"__max{i}"]) if num and row[f"__max{i}"] is not None else None,
+                float(row[f"__avg{i}"]) if num and row[f"__avg{i}"] is not None else None,
+                float(row[f"__std{i}"]) if num and row[f"__std{i}"] is not None else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, total long, nulls long, approx_distinct long,"
+        " min double, max double, mean double, stddev double",
+    )
+
+
+def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
+    """Equi-width histogram of a numeric column: one min/max pass,
+    then one map-side bucket groupBy — two scans total, no sort.
+    Returns (bucket, lo, hi, cnt) with empty buckets filled."""
+    mm = df.agg(
+        F.min(F.col(col).cast("double")).alias("lo"),
+        F.max(F.col(col).cast("double")).alias("hi"),
+    ).collect()[0]
+    lo, hi = float(mm["lo"]), float(mm["hi"])
+    width = (hi - lo) / nbins or 1.0
+    bucket = F.least(
+        F.floor((F.col(col).cast("double") - F.lit(lo)) / F.lit(width)).cast("long"),
+        F.lit(nbins - 1).cast("long"),
+    )
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    axis = df.sparkSession.range(nbins).select(F.col("id").alias("bucket"))
+    return (
+        axis.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+            (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+        )
+        .orderBy("bucket")
+    )
 
 
 def observed(
