@@ -34,3 +34,16 @@ def test_run_and_api_clusters(spark, capsys):
     assert "sum_qty" in capsys.readouterr().out
     assert main(["api", "clusters", "--sf-dir", SF]) == 0
     assert json.loads(capsys.readouterr().out) == ["alpha", "beta"]
+
+
+def test_api_usage_and_table(spark, capsys):
+    assert main(["api", "usage", "--sf-dir", SF, "--unit", "DAYS", "--zone", "UTC"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["cluster"] == "alpha"
+    assert res["times"] and res["users"]
+    assert all(len(u["data"]) == len(res["times"]) for u in res["users"])
+
+    assert main(["api", "table", "--sf-dir", SF, "--unit", "WEEKS", "--users", "u1,u2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0] == "time,u1,u2"
+    assert len(out) > 1 and all(len(line.split(",")) == 3 for line in out[1:])
