@@ -1,0 +1,93 @@
+"""Ordered funnel analysis over an event stream.
+
+The reference's serving layer answers "how much did each user do per
+bucket" (server/app/usage_data.rb:525-645 in /root/reference); the
+natural next question over the same events table — "how many users did
+A, then B, then C, in order (within a horizon)?" — has no operator
+there. This is the classic funnel/sequence-match, built in the shape
+that scales:
+
+Step 1 is one hash aggregation (map-side combined) producing each
+user's earliest step-1 time. Each later step is a filter on its own
+event predicate joined to the (user, prev_ts) table — the probe side
+shrinks monotonically (only users still in the funnel), the join key
+is the user, and no per-user event array is ever collected. K steps =
+K aggregations + K-1 equi-joins; nothing is quadratic and no window
+sort over the full stream is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_times", "funnel_report"]
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_span: Column | None = None,
+) -> DataFrame:
+    """Per-user earliest completion time of each funnel step, in
+    order: row = (user, t1, t2, ..., tK) with tI null once the funnel
+    is left. ``steps`` are boolean predicates over the event row.
+    ``max_span`` (e.g. ``F.expr("INTERVAL 1 HOUR")``) bounds the whole
+    funnel relative to t1.
+    """
+    if not steps:
+        raise ValueError("at least one step")
+    u, t = F.col(user_col), F.col(ts_col)
+    out = (
+        events.filter(steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(t).alias("t1"))
+    )
+    for i, pred in enumerate(steps[1:], start=2):
+        cand = events.filter(pred).select(u.alias("user"), t.alias("__t"))
+        cond = F.col("__t") >= F.col(f"t{i - 1}")
+        if max_span is not None:
+            cond = cond & (F.col("__t") <= F.col("t1") + max_span)
+        nxt = (
+            cand.join(out.select("user", "t1", f"t{i - 1}"), "user")
+            .filter(cond)
+            .groupBy("user")
+            .agg(F.min("__t").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user", "left")
+    return out
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: dict[str, Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_span: Column | None = None,
+) -> DataFrame:
+    """Funnel conversion table: one row per step with
+    (step_idx, step, users, pct_of_first, pct_of_prev)."""
+    names = list(steps)
+    times = funnel_times(events, list(steps.values()), user_col, ts_col, max_span)
+    counts_row = times.agg(
+        *[F.count(F.col(f"t{i + 1}")).alias(f"c{i + 1}") for i in range(len(names))]
+    ).collect()[0]
+    counts = [int(counts_row[f"c{i + 1}"]) for i in range(len(names))]
+    rows = []
+    for i, name in enumerate(names):
+        first = counts[0] or 1
+        prev = counts[i - 1] if i else counts[0]
+        rows.append(
+            (
+                i + 1,
+                name,
+                counts[i],
+                counts[i] / first,
+                counts[i] / (prev or 1),
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        rows, "step_idx int, step string, users long, pct_of_first double, pct_of_prev double"
+    )
