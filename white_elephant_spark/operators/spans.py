@@ -1,0 +1,107 @@
+"""Exact-substring dedup, the rewriting form: remove cross-document
+repeated n-gram spans from every document except the span's owner.
+
+``dedup.interdoc_repeated_ngrams`` *measures* shared spans (a gate for
+curation); this module *removes* them — the operation Lee et al.'s
+"Deduplicating Training Data Makes Language Models Better" performs
+with a suffix array on a single machine. The distributed reformulation
+works at token granularity:
+
+1. one pass explodes positional n-gram digests (16-byte md5 per gram,
+   never the text);
+2. gram document-frequency + owner (= min doc id containing the gram)
+   is one combiner-friendly aggregation — the suffix array's "find
+   repeated substrings" step becomes a groupBy;
+3. a doc's token is covered iff some repeated gram owned by ANOTHER
+   doc starts within the previous n-1 positions — an explode of each
+   bad start into its n covered positions, deduped;
+4. the rewrite is a left-anti join of tokens against covered
+   positions and an in-order reassembly.
+
+Everything is linear in corpus tokens with constant factor n; the one
+skewed key (a boilerplate gram in millions of docs) carries only
+counts and the owner id through the aggregation — no pair
+materialization anywhere (the same argument as
+``interdoc_repeated_ngrams``, dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from white_elephant_spark.functions.text import tokens
+
+__all__ = ["remove_repeated_spans"]
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite ``text_col`` with cross-document repeated ``n``-gram
+    spans removed from every doc but the owner (min id keeps its
+    copy, so exactly one copy of each shared span survives the
+    corpus).
+
+    Returns (id, text, n_tokens, n_removed) — ``text`` is the
+    reassembled document, whitespace-normalized.
+    """
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+
+    # Positional grams: (id, start, digest). Positions are 1-based.
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0)))
+    gram = lambda i: F.md5(F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]))  # noqa: E731
+    grams = (
+        base.filter(F.size("toks") >= n)
+        .select("id", "toks", F.explode(starts).alias("s"))
+        .select("id", "s", gram(F.col("s")).alias("g"))
+    )
+
+    owners = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("gdf"), F.min("id").alias("owner"))
+        .filter(F.col("gdf") >= 2)
+        .select("g", "owner")
+    )
+
+    bad_starts = (
+        grams.join(owners, "g")
+        .filter(F.col("owner") != F.col("id"))
+        .select("id", "s")
+    )
+    covered = bad_starts.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("pos")
+    ).distinct()
+
+    toks = base.select("id", F.posexplode("toks").alias("pos0", "tok")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    kept = (
+        toks.join(covered, ["id", "pos"], "left_anti")
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        base.select("id", F.size("toks").alias("n_tokens"))
+        .join(kept, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
