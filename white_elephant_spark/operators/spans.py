@@ -32,7 +32,55 @@ from pyspark.sql import functions as F
 
 from white_elephant_spark.functions.text import tokens
 
-__all__ = ["remove_repeated_spans"]
+__all__ = ["remove_repeated_spans", "span_removed_counts", "sql_span_removed_counts"]
+
+
+def _covered_positions(base: DataFrame, n: int) -> DataFrame:
+    """(id, pos) pairs covered by a cross-doc repeated n-gram owned by
+    another doc. ``base`` carries (id, toks)."""
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0)))
+    gram = lambda i: F.md5(F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]))  # noqa: E731
+    grams = (
+        base.filter(F.size("toks") >= n)
+        .select("id", "toks", F.explode(starts).alias("s"))
+        .select("id", "s", gram(F.col("s")).alias("g"))
+    )
+    owners = (
+        grams.groupBy("g")
+        .agg(F.count_distinct("id").alias("gdf"), F.min("id").alias("owner"))
+        .filter(F.col("gdf") >= 2)
+        .select("g", "owner")
+    )
+    bad_starts = (
+        grams.join(owners, "g").filter(F.col("owner") != F.col("id")).select("id", "s")
+    )
+    return bad_starts.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("pos")
+    ).distinct()
+
+
+def span_removed_counts(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The accounting half of :func:`remove_repeated_spans` — (id,
+    n_tokens, n_removed) without rebuilding the text. Used where only
+    the gate/stat is needed (curation): skips the posexplode +
+    in-order reassembly, which is the expensive stage of the full
+    rewrite."""
+    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    counts = _covered_positions(base, n).groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return base.select("id", F.size("toks").alias("n_tokens")).join(
+        counts, "id", "left"
+    ).select(
+        "id",
+        "n_tokens",
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+    )
 
 
 def remove_repeated_spans(
@@ -50,32 +98,7 @@ def remove_repeated_spans(
     reassembled document, whitespace-normalized.
     """
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-
-    # Positional grams: (id, start, digest). Positions are 1-based.
-    starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0)))
-    gram = lambda i: F.md5(F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]))  # noqa: E731
-    grams = (
-        base.filter(F.size("toks") >= n)
-        .select("id", "toks", F.explode(starts).alias("s"))
-        .select("id", "s", gram(F.col("s")).alias("g"))
-    )
-
-    owners = (
-        grams.groupBy("g")
-        .agg(F.count_distinct("id").alias("gdf"), F.min("id").alias("owner"))
-        .filter(F.col("gdf") >= 2)
-        .select("g", "owner")
-    )
-
-    bad_starts = (
-        grams.join(owners, "g")
-        .filter(F.col("owner") != F.col("id"))
-        .select("id", "s")
-    )
-    covered = bad_starts.select(
-        "id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("pos")
-    ).distinct()
-
+    covered = _covered_positions(base, n)
     toks = base.select("id", F.posexplode("toks").alias("pos0", "tok")).select(
         "id", (F.col("pos0") + 1).alias("pos"), "tok"
     )
@@ -105,3 +128,38 @@ def remove_repeated_spans(
             .alias("n_removed"),
         )
     )
+
+
+def sql_span_removed_counts(
+    docs_cte: str, n: int = 8, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`remove_repeated_spans`'s (id, n_removed)
+    accounting: CTE chain ending in ``spanrm`` (doc_id, span_removed).
+    Embed under WITH; ``docs_cte`` must expose ``{id_expr},
+    {text_expr}``."""
+    return f"""
+sp_tk AS (
+  SELECT {id_expr} AS doc_id, string_split({text_expr}, ' ') AS w FROM {docs_cte}
+),
+sp_gr AS (
+  SELECT doc_id, i, md5(array_to_string(w[i:i+{n - 1}], ' ')) AS g
+  FROM sp_tk, unnest(generate_series(1, greatest(len(w) - {n - 1}, 0))) AS t(i)
+),
+sp_own AS (
+  SELECT g, MIN(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, g FROM sp_gr)
+  GROUP BY g HAVING COUNT(*) >= 2
+),
+sp_cov AS (
+  SELECT DISTINCT sp_gr.doc_id, sp_gr.i + u.j AS pos
+  FROM sp_gr JOIN sp_own USING (g), unnest(generate_series(0, {n - 1})) AS u(j)
+  WHERE sp_own.owner <> sp_gr.doc_id
+),
+spanrm AS (
+  SELECT tk.doc_id,
+         CAST(COALESCE(cv.n, 0) AS BIGINT) AS span_removed
+  FROM sp_tk tk LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n FROM sp_cov GROUP BY 1
+  ) cv USING (doc_id)
+)
+"""
