@@ -66,6 +66,32 @@ def test_funnel_max_span(tiny):
     assert times["u1"]["t2"] is None
 
 
+def test_cohort_retention(spark):
+    from white_elephant_spark.operators.funnel import cohort_retention
+
+    # Two weekly cohorts; u1/u2 join week 0 (u2 churns), u3 joins week 1.
+    w = 7 * 86400
+    rows = [
+        ("u1", 0), ("u1", w), ("u1", 2 * w),
+        ("u2", 3600),
+        ("u3", w + 60), ("u3", 2 * w + 60),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, e long").select(
+        "user_id", F.timestamp_seconds(F.col("e") + 4 * 86400).alias("ts")
+    )  # +4d aligns epoch (Thursday) to the Monday week boundary
+    got = {
+        (r["cohort"].isoformat(), r["period_offset"]): (r["active_users"], r["retention"])
+        for r in cohort_retention(ev, unit="week").collect()
+    }
+    cohorts = sorted({c for c, _ in got})
+    c0, c1 = cohorts[0], cohorts[1]
+    assert got[(c0, 0)] == (2, 1.0)
+    assert got[(c0, 1)][0] == 1 and got[(c0, 1)][1] == pytest.approx(0.5)
+    assert got[(c0, 2)][0] == 1
+    assert got[(c1, 0)] == (1, 1.0)
+    assert got[(c1, 1)] == (1, 1.0)
+
+
 def test_funnel_matches_duckdb_oracle(spark):
     from white_elephant_spark.sources.catalog import load_table
 

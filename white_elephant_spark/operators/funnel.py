@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_times", "funnel_report"]
+__all__ = ["funnel_times", "funnel_report", "cohort_retention"]
 
 
 def funnel_times(
@@ -58,6 +58,49 @@ def funnel_times(
         )
         out = out.join(nxt, "user", "left")
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity
+    period ("cohort"), tracked across subsequent periods.
+
+    Returns (cohort, period_offset, active_users, cohort_size,
+    retention) — ``period_offset`` 0 is the cohort period itself
+    (retention 1.0 by construction).
+
+    Shape: one aggregation for first-seen per user, one distinct
+    (user, period) projection, an equi-join on the user, and the final
+    group — every step map-side-combinable, nothing quadratic. The
+    same two-aggregation skeleton as the funnel's step 1.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+    per = lambda c: F.date_trunc(unit, c)  # noqa: E731
+    first = events.groupBy(u.alias("user")).agg(per(F.min(t)).alias("cohort"))
+    active = events.select(u.alias("user"), per(t).alias("period")).distinct()
+    span = F.months_between(F.col("period"), F.col("cohort")) if unit == "month" else (
+        F.col("period").cast("long") - F.col("cohort").cast("long")
+    ) / F.lit({"week": 604800, "day": 86400, "hour": 3600}.get(unit, 604800))
+    joined = active.join(first, "user").select(
+        "user", "cohort", F.round(span).cast("long").alias("period_offset")
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        joined.groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("user").alias("active_users"))
+        .join(sizes, "cohort")
+        .select(
+            "cohort",
+            "period_offset",
+            "active_users",
+            "cohort_size",
+            (F.col("active_users").cast("double") / F.col("cohort_size")).alias("retention"),
+        )
+    )
 
 
 def funnel_report(
