@@ -1,0 +1,69 @@
+"""Distributed PCA (operators/decomposition.py) against numpy ground
+truth on the embeddings corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from white_elephant_spark.operators.decomposition import fit_pca, project_pca
+from white_elephant_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+
+
+def _numpy_pca(x: np.ndarray, k: int):
+    mean = x.mean(axis=0)
+    cov = np.cov(x - mean, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    return mean, vals[order], vecs[:, order].T
+
+
+def test_components_match_numpy(spark, emb):
+    model = fit_pca(emb, K)
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+    mean, vals, comps = _numpy_pca(x, K)
+    assert np.allclose(model.mean, mean, atol=1e-9)
+    # Components match up to sign; model normalizes sign itself.
+    for i in range(K):
+        c = comps[i] if comps[i][np.argmax(np.abs(comps[i]))] > 0 else -comps[i]
+        assert np.allclose(model.components[i], c, atol=1e-6), i
+    # Orthonormal, variance-ordered
+    assert np.allclose(model.components @ model.components.T, np.eye(K), atol=1e-8)
+    assert all(a >= b - 1e-12 for a, b in zip(model.explained, model.explained[1:]))
+
+
+def test_projection_reduces_reconstruction_error(spark, emb):
+    model_small = fit_pca(emb, 2)
+    model_big = fit_pca(emb, 32)
+    x = np.array([r["embedding"] for r in emb.collect()], dtype=np.float64)
+
+    def recon_err(model):
+        red = model.transform_np(x)
+        back = red @ model.components + model.mean
+        return float(((x - back) ** 2).sum())
+
+    assert recon_err(model_big) < recon_err(model_small)
+
+    out = project_pca(emb, model_small).collect()
+    assert len(out) == len(x)
+    assert all(len(r["reduced"]) == 2 for r in out)
+    by_id = {r["vec_id"]: np.array(r["reduced"]) for r in out}
+    ids = [r["vec_id"] for r in emb.collect()]
+    expected = model_small.transform_np(x)
+    for vid, exp in zip(ids, expected):
+        assert np.allclose(by_id[vid], exp, atol=1e-9)
+
+
+def test_partitioning_invariance(spark, emb):
+    m1 = fit_pca(emb.repartition(1), K)
+    m8 = fit_pca(emb.repartition(8), K)
+    assert np.allclose(m1.mean, m8.mean, atol=1e-9)
+    assert np.allclose(np.abs(m1.components), np.abs(m8.components), atol=1e-6)

@@ -1,0 +1,120 @@
+"""Distributed PCA over an embedding column.
+
+Dimensionality reduction is the standard step between embedding
+generation and clustering/ANN at corpus scale (smaller vectors =
+cheaper LSH/IVF, less shuffle). The decomposition itself is tiny —
+d x d for d=64 — so the distributed work is exactly one pass:
+
+1. per-partition Arrow batches accumulate ``(n, sum_x, X^T X)``
+   partials (``mapInPandas`` + numpy — d*d floats per partition, the
+   canonical tree-aggregation shape);
+2. partials sum on the driver (bounded by partition count, not rows)
+   into the covariance matrix;
+3. ``numpy.linalg.eigh`` on the d x d matrix gives the components —
+   the same "collect a bounded model, broadcast it back" contract as
+   the IVF quantizer (similarity.py);
+4. projection is a broadcast matrix multiply back through
+   ``mapInPandas``.
+
+No step touches O(rows) driver memory and nothing shuffles the
+vectors; the only full-data passes are the two Arrow-batched maps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["fit_pca", "project_pca", "PCAModel"]
+
+
+class PCAModel:
+    """Mean vector + top-k components (rows of ``components``)."""
+
+    def __init__(self, mean: np.ndarray, components: np.ndarray, explained: np.ndarray):
+        self.mean = mean
+        self.components = components  # (k, d)
+        self.explained = explained  # (k,) fraction of total variance
+
+    def transform_np(self, x: np.ndarray) -> np.ndarray:
+        return (x - self.mean) @ self.components.T
+
+
+def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
+    """One-pass covariance accumulation + driver-side eigh."""
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n, s, xtx = 0, None, None
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            xtx = g if xtx is None else xtx + g
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]})
+
+    parts = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not parts:
+        raise ValueError("empty input")
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    # Deterministic driver combine: sort partials before summing.
+    for p in sorted(parts, key=lambda r: (r["n"], r["s"])):
+        s += np.array(p["s"])
+        xtx += np.array(p["xtx"]).reshape(d, d)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    # Sign convention: largest-|.| coordinate positive — makes the
+    # components reproducible across eigh implementations.
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    total = float(vals.sum()) or 1.0
+    return PCAModel(mean, comps, np.array([float(vals[o]) / total for o in order]))
+
+
+def project_pca(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    out_col: str = "reduced",
+) -> DataFrame:
+    """Broadcast the (k, d) model and project every vector —
+    Arrow-batched matrix multiply, schema-stable output."""
+    mean = model.mean.copy()
+    comps = model.components.copy()
+    out_fields = [f for f in df.schema.fields if f.name != vec_col]
+    schema = T.StructType(out_fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))])
+    names = [f.name for f in out_fields]
+
+    def proj(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            red = (x - mean) @ comps.T if x.size else np.zeros((0, comps.shape[0]))
+            out = pdf[names].copy()
+            out[out_col] = [row.tolist() for row in red]
+            yield out
+
+    return df.mapInPandas(proj, schema)
