@@ -50,8 +50,9 @@ def funnel_times(
         cond = F.col("__t") >= F.col(f"t{i - 1}")
         if max_span is not None:
             cond = cond & (F.col("__t") <= F.col("t1") + max_span)
+        prev_cols = ["user", "t1"] if i == 2 else ["user", "t1", f"t{i - 1}"]
         nxt = (
-            cand.join(out.select("user", "t1", f"t{i - 1}"), "user")
+            cand.join(out.select(*prev_cols), "user")
             .filter(cond)
             .groupBy("user")
             .agg(F.min("__t").alias(f"t{i}"))
