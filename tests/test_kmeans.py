@@ -1,0 +1,49 @@
+"""General k-means wrapper (operators/clustering_kmeans.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from white_elephant_spark.operators.clustering_kmeans import (
+    kmeans_fit,
+    kmeans_fit_predict,
+    kmeans_predict,
+)
+from white_elephant_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+K = 8
+
+
+def test_fit_predict_partition_and_cluster_properties(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    n = emb.count()
+    model = kmeans_fit(emb, K, iters=2)
+    assert 1 <= len(model) <= K
+    out = kmeans_predict(emb, model)
+    rows = out.collect()
+    assert len(rows) == n  # total partition: every vector assigned once
+    cids = {cid for cid, _, _ in model}
+    assert {r["cluster_id"] for r in rows} <= cids
+    assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_deterministic_across_runs_and_partitioning(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    a = sorted(map(tuple, kmeans_fit_predict(emb.repartition(1), K).collect()))
+    b = sorted(map(tuple, kmeans_fit_predict(emb.repartition(7), K).collect()))
+    assert a == b  # exact integer means -> bit-identical model + assignment
+
+
+def test_assignment_is_nearest_by_cosine(spark):
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding").limit(50)
+    model = kmeans_fit(emb, 4, iters=1)
+    got = {r["vec_id"]: (r["cluster_id"], r["cos_sim"]) for r in kmeans_predict(emb, model).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    for vid, v in vecs.items():
+        best = max(
+            ((cid, float(v @ np.array(c) / (np.linalg.norm(v) * np.linalg.norm(c)))) for cid, c, _ in model),
+            key=lambda t: (t[1], -t[0]),
+        )
+        assert got[vid][0] == best[0], vid
+        assert abs(got[vid][1] - best[1]) < 1e-6
