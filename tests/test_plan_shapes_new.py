@@ -1,0 +1,57 @@
+"""Plan-shape guards for the round-3 operators: the properties that
+matter at 100 TB, asserted on the physical plan."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from white_elephant_spark.operators.funnel import cohort_retention, funnel_times
+from white_elephant_spark.operators.spans import remove_repeated_spans, span_removed_counts
+from white_elephant_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _docs(spark):
+    return load_table(spark, SF, "documents").select("doc_id", "text")
+
+
+def test_span_removal_never_cartesian(spark):
+    for df in (
+        span_removed_counts(_docs(spark), n=8),
+        remove_repeated_spans(_docs(spark), n=8),
+    ):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # gram-frequency join is an equi-join on the digest
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_funnel_joins_are_equi_joins(spark):
+    ev = load_table(spark, SF, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts")
+    )
+    df = funnel_times(ev, [F.col("event_type") == s for s in ("view", "click", "purchase")])
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the event-type filters reach the scan
+    assert "PushedFilters" in plan
+
+
+def test_cohort_retention_two_aggregations_one_join(spark):
+    ev = load_table(spark, SF, "events").select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    plan = _plan(cohort_retention(ev, unit="week"))
+    assert "CartesianProduct" not in plan
+    # first-seen agg + distinct + final agg: partial aggregation
+    # (map-side combine) must appear before every exchange
+    assert len(re.findall(r"HashAggregate", plan)) >= 4
