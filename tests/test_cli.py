@@ -36,6 +36,13 @@ def test_run_and_api_clusters(spark, capsys):
     assert json.loads(capsys.readouterr().out) == ["alpha", "beta"]
 
 
+def test_profile_subcommand(spark, capsys):
+    assert main(["profile", "events", "--sf-dir", SF, "--columns", "event_id,value"]) == 0
+    out = capsys.readouterr().out
+    assert "event_id" in out and "value" in out and "approx_distinct" in out
+    assert main(["profile", "nope", "--sf-dir", SF]) == 2
+
+
 def test_api_usage_and_table(spark, capsys):
     assert main(["api", "usage", "--sf-dir", SF, "--unit", "DAYS", "--zone", "UTC"]) == 0
     res = json.loads(capsys.readouterr().out)

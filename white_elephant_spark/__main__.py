@@ -77,6 +77,20 @@ def cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """One-pass column profile of a corpus table (operators/quality)."""
+    from white_elephant_spark.operators.quality import profile
+    from white_elephant_spark.sources.catalog import TABLES, load_table
+
+    if args.table not in TABLES:
+        print(f"unknown table {args.table!r}; one of {', '.join(TABLES)}", file=sys.stderr)
+        return 2
+    df = load_table(_spark(), args.sf_dir, args.table)
+    cols = args.columns.split(",") if args.columns else None
+    profile(df, cols).show(100, truncate=False)
+    return 0
+
+
 def cmd_api(args: argparse.Namespace) -> int:
     """Answer one reference API request shape from the cube
     (server/app.rb:32-157): clusters | users | usage | table."""
@@ -174,6 +188,12 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("query")
     pe.add_argument("--sf-dir", default=sf_default)
     pe.set_defaults(fn=cmd_explain)
+
+    pp = sub.add_parser("profile", help="one-pass column profile of a corpus table")
+    pp.add_argument("table")
+    pp.add_argument("--sf-dir", default=sf_default)
+    pp.add_argument("--columns", default="", help="comma-separated subset")
+    pp.set_defaults(fn=cmd_profile)
 
     pa = sub.add_parser("api", help="answer a reference /api/* request shape")
     pa.add_argument("endpoint", choices=["clusters", "users", "usage", "table"])
