@@ -28,6 +28,10 @@ _CMS_CTES, _CMS_TAIL = _CMS_SQL.rsplit("\nSELECT", 1)
 _CMS_CTES = f"{_CMS_CTES},\ncmsq AS (SELECT{_CMS_TAIL})"
 
 
+def _sql_bloom_pos(expr: str, j: int, m: int) -> str:
+    return f"CAST(({sketches.sql_hash64(expr, f'bloom{j}')}) % {m} AS INTEGER)"
+
+
 @register(
     "sketch_estimates",
     oracle=f"""
@@ -46,6 +50,24 @@ evg AS (SELECT event_type, user_id FROM events),
 , exact_by AS (
   SELECT event_type AS grp, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_d
   FROM events GROUP BY 1
+),
+hv AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= 9000),
+bloombits AS (
+  SELECT DISTINCT pos FROM (
+    {' UNION ALL '.join(f"SELECT {_sql_bloom_pos('c_custkey', j, 1024)} AS pos FROM hv" for j in range(3))}
+  )
+),
+bloomprobe AS (
+  SELECT user_id,
+         {' AND '.join(f"({_sql_bloom_pos('user_id', j, 1024)}) IN (SELECT pos FROM bloombits)" for j in range(3))}
+           AS might_contain,
+         user_id IN (SELECT c_custkey FROM hv) AS actual
+  FROM events
+),
+bloomrow AS (
+  SELECT CAST(SUM(CASE WHEN might_contain THEN 1 ELSE 0 END) AS DOUBLE) AS n_maybe,
+         CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS DOUBLE) AS n_actual
+  FROM bloomprobe
 )
 SELECT 'hll_distinct_users' AS sketch, 'user_id' AS key,
        hll_estimate AS estimate, CAST(exact_distinct AS DOUBLE) AS exact,
@@ -69,6 +91,11 @@ SELECT 'hll_users_by_type' AS sketch, hll_by.grp AS key,
        hll_estimate AS estimate, CAST(exact_d AS DOUBLE) AS exact,
        (hll_estimate - exact_d) / exact_d AS rel_err
 FROM hll_by JOIN exact_by ON hll_by.grp = exact_by.grp
+UNION ALL
+SELECT 'bloom_prefilter' AS sketch, 'user_id' AS key,
+       n_maybe AS estimate, n_actual AS exact,
+       (n_maybe - n_actual) / greatest(n_actual, 1.0) AS rel_err
+FROM bloomrow
 """,
     tags=("sketch", "agg"),
 )
@@ -88,9 +115,12 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
       event value — the mergeable KLL-style shape: per-partition
       bottom-k then global bottom-k (Spark plans orderBy+limit as
       TakeOrdered, never a global sort), a deterministic hash-uniform
-      sample whose quantiles estimate the population's.
+      sample whose quantiles estimate the population's;
+    - Bloom-filter semi-join prefilter (3 hashes × 1024 bits) probing
+      events membership against the high-balance customer key set —
+      estimate/exact/rel_err expose the realized false-positive rate.
 
-    Even the approximation *error* is hash-checked, because all three
+    Even the approximation *error* is hash-checked, because all four
     sketches are exact deterministic functions of the input."""
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id")
@@ -167,46 +197,14 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_d").cast("double").alias("exact"),
         ((F.col("hll_estimate") - F.col("exact_d")) / F.col("exact_d")).alias("rel_err"),
     )
-    return hll_rows.unionByName(cms_rows).unionByName(bk_rows).unionByName(by_rows)
-
-
-def _sql_bloom_pos(expr: str, j: int, m: int) -> str:
-    return f"CAST(({sketches.sql_hash64(expr, f'bloom{j}')}) % {m} AS INTEGER)"
-
-
-@register(
-    "bloom_prefilter_events",
-    oracle=f"""
-WITH hv AS (SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal >= 9000),
-bits AS (
-  SELECT DISTINCT pos FROM (
-    {' UNION ALL '.join(f"SELECT {_sql_bloom_pos('c_custkey', j, 1024)} AS pos FROM hv" for j in range(3))}
-  )
-),
-probe AS (
-  SELECT user_id,
-         {' AND '.join(f"({_sql_bloom_pos('user_id', j, 1024)}) IN (SELECT pos FROM bits)" for j in range(3))}
-           AS might_contain,
-         user_id IN (SELECT c_custkey FROM hv) AS actual
-  FROM events
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
-       CAST(SUM(CASE WHEN might_contain THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
-       CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
-       CAST(SUM(CASE WHEN might_contain AND NOT actual THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_false_pos
-FROM probe
-""",
-    tags=("sketch", "join"),
-)
-def bloom_prefilter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-filter semi-join prefilter: the high-balance customer key
-    set lights 3×md5 bits in a 1024-bit filter; the big (events) side
-    is probed map-side via one broadcast row — no shuffle of the
-    probe side, the standard 100 TB prefilter before an expensive
-    join. Output counts include the realized false-positive tally,
-    which the oracle reproduces exactly because the hash family is
-    fixed."""
+    # Bloom-filter semi-join prefilter (folded in from the former
+    # bloom_prefilter_events slot): the high-balance customer key set
+    # lights 3×md5 bits in a 1024-bit filter; the big (events) side is
+    # probed map-side via one broadcast row — no shuffle of the probe
+    # side, the standard 100 TB prefilter before an expensive join.
+    # estimate = rows the filter lets through, exact = true members,
+    # rel_err = realized false-positive inflation — reproduced exactly
+    # by the oracle because the hash family is fixed.
     hv = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") >= 9000)
@@ -214,22 +212,30 @@ def bloom_prefilter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bits = sketches.bloom_bits(hv, "c_custkey", m=1024, k=3)
-    ev = load_table(spark, sf_dir, "events").select("user_id")
-    probed = sketches.bloom_probe(ev, bits, "user_id", m=1024, k=3)
-    actual = probed.join(
-        hv.select(F.col("c_custkey").alias("user_id")).withColumn(
-            "actual", F.lit(True)
-        ),
+    probed = sketches.bloom_probe(ev.select("user_id"), bits, "user_id", m=1024, k=3)
+    flagged = probed.join(
+        hv.select(F.col("c_custkey").alias("user_id")).withColumn("actual", F.lit(True)),
         "user_id",
         "left",
     ).withColumn("actual", F.coalesce(F.col("actual"), F.lit(False)))
-    return actual.agg(
-        F.count("*").cast("long").alias("n_probed"),
+    bloom_rows = flagged.agg(
         F.sum(F.when(F.col("might_contain"), 1).otherwise(0))
-        .cast("long")
+        .cast("double")
         .alias("n_maybe"),
-        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("long").alias("n_actual"),
-        F.sum(F.when(F.col("might_contain") & ~F.col("actual"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_false_pos"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("double").alias("n_actual"),
+    ).select(
+        F.lit("bloom_prefilter").alias("sketch"),
+        F.lit("user_id").alias("key"),
+        F.col("n_maybe").alias("estimate"),
+        F.col("n_actual").alias("exact"),
+        (
+            (F.col("n_maybe") - F.col("n_actual"))
+            / F.greatest(F.col("n_actual"), F.lit(1.0))
+        ).alias("rel_err"),
+    )
+    return (
+        hll_rows.unionByName(cms_rows)
+        .unionByName(bk_rows)
+        .unionByName(by_rows)
+        .unionByName(bloom_rows)
     )
