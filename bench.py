@@ -30,7 +30,6 @@ HEADLINE = [
     "q5_nation_revenue",
     "rollup_time_units_tz",
     "topk_users_other",
-    "dense_hour_axis_fill",
     "usage_cube_hourly",
     "usage_json_api",
     "q10_returned_revenue_topk",
@@ -156,8 +155,14 @@ def main() -> None:
     )
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
-    # JVM/codegen warmup on the smallest table, untimed.
+    # JVM/codegen warmup, untimed: the smallest table plus one real
+    # shuffle+window query — the first measured query otherwise pays
+    # phase-change costs (executor thread spin-up, first shuffle
+    # manager init) that best-of-N can't shed because both runs land
+    # in the cold phase (r3: topk_users_other 1.83s recorded vs 0.30s
+    # steady-state).
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Two runs per query, report the faster: the first run pays
     # one-time whole-stage-codegen compilation (~2-5s/plan), which

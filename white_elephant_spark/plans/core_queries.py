@@ -155,15 +155,18 @@ _ROLLUP_UNITS = [
 ]
 
 
-def _rollup_one(ev: DataFrame, unit: str, zone: str) -> DataFrame:
+def _rollup_one(partial: DataFrame, unit: str, zone: str) -> DataFrame:
+    """Re-bucket the 30-minute partial to (unit, zone) — the partial's
+    DECIMAL sums re-sum exactly, so the result is bit-identical to
+    aggregating the raw facts."""
     return (
-        ev.groupBy(
-            tu.bucket(F.col("ts"), unit, zone).alias("bucket"),
+        partial.groupBy(
+            tu.bucket(F.col("b30"), unit, zone).alias("bucket"),
             F.col("event_type"),
         )
         .agg(
-            dsum("value").alias("total_value"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+            F.sum("pn").alias("n_events"),
         )
         .select(
             F.lit(f"{unit}@{zone}").alias("unit"),
@@ -193,13 +196,36 @@ def rollup_time_units_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact bucketed at HOURS (UTC passthrough), DAYS and Sunday-start
     WEEKS in America/Los_Angeles (DST transitions), MONTHS (UTC), and
     QUARTERS in Asia/Kolkata (+05:30 half-hour offset), unioned with
-    a unit tag. Each branch shares one scan of the fact table
-    (Catalyst reuses the exchange); with no user dimension this is
-    also the A6 collapse_on shape — users summed away."""
+    a unit tag. With no user dimension this is also the A6 collapse_on
+    shape — users summed away.
+
+    Plan: the reference's own materialized-cube design (README.md:
+    99-101 — aggregate fine once, derive coarse units from the
+    partial). The fact table shuffles ONCE into a 30-minute-grain
+    DECIMAL partial — 30 minutes, not 60, because quarter boundaries
+    in a half-hour-offset zone (Asia/Kolkata, +05:30) fall mid-UTC-
+    hour; every supported zone offset is a multiple of 30 minutes, so
+    each partial cell maps to exactly one bucket of every (unit,
+    zone). The five branches then re-aggregate the ~|cells| partial —
+    Catalyst reuses the single wide exchange across all branches
+    (identical subplan), so the plan is 1 fact shuffle + 5 trivial
+    ones instead of 5 full-fact shuffles. DECIMAL partials re-sum
+    exactly, keeping the hash identical to the single-level rollup."""
     ev = load_table(spark, sf_dir, "events")
-    out = _rollup_one(ev, *_ROLLUP_UNITS[0])
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    partial = (
+        ev.groupBy(
+            F.timestamp_seconds(sec - sec % 1800).alias("b30"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum(dec("value")).alias("pv"),
+            F.count(F.lit(1)).alias("pn"),
+        )
+    )
+    out = _rollup_one(partial, *_ROLLUP_UNITS[0])
     for u, z in _ROLLUP_UNITS[1:]:
-        out = out.unionByName(_rollup_one(ev, u, z))
+        out = out.unionByName(_rollup_one(partial, u, z))
     return out
 
 
@@ -248,47 +274,13 @@ def topk_users_other(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Dense time axis + gap fill (W6/W7: usage_data.rb:291-440,82-86).
+# Dense time axis + gap fill (W6/W7: usage_data.rb:291-440,82-86):
+# attested through the serving-layer queries that exercise
+# plans/serving.dense_axis on real axes — usage_json_api (weekly) and
+# usage_csv_table_days (daily). The former standalone
+# dense_hour_axis_fill slot was folded away to stay inside the
+# driver's 50-query check budget.
 # --------------------------------------------------------------------------
-@register(
-    "dense_hour_axis_fill",
-    oracle="""
-WITH bounds AS (
-  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
-), axis AS (
-  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds
-), facts AS (
-  SELECT date_trunc('hour', ts) AS bucket,
-         SUM(CAST(value AS DECIMAL(27,4))) AS total
-  FROM events WHERE event_type = 'purchase' GROUP BY 1
-)
-SELECT axis.bucket AS bucket,
-       CAST(COALESCE(facts.total, 0) AS DOUBLE) AS total_value
-FROM axis LEFT JOIN facts ON axis.bucket = facts.bucket
-""",
-    tags=("timeunit", "densify", "join"),
-)
-def dense_hour_axis_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W6 dense axis: every hour between min and max event time gets a
-    row; hours with no 'purchase' events are zero-filled (W7).
-    ``sequence``+``explode`` stays fully distributed — no driver loop."""
-    ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
-        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
-    )
-    axis = bounds.select(
-        F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))).alias("bucket")
-    )
-    facts = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("bucket"))
-        .agg(F.sum(dec("value")).alias("total"))
-    )
-    return axis.join(facts, "bucket", "left").select(
-        F.col("bucket"),
-        F.coalesce(F.col("total"), F.lit(0)).cast("double").alias("total_value"),
-    )
 
 
 # --------------------------------------------------------------------------

@@ -317,27 +317,64 @@ scored AS (
   FROM b q JOIN b c
     ON len(list_intersect(q.buckets, c.buckets)) > 0 AND c.vec_id <> q.vec_id
   WHERE q.vec_id % 100 = 0
+),
+ndvecs AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT)) AS embedding,
+         label
+  FROM embeddings WHERE vec_id % 50 = 0
 )
-SELECT query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
+SELECT 'lsh' AS method, query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
       FROM scored)
 WHERE rank <= 10
+UNION ALL
+SELECT 'neardup' AS method, a.vec_id AS query_id, b.vec_id AS nbr_id,
+       {similarity.sql_cosine('a.embedding', 'b.embedding')} AS cos_sim,
+       CAST(0 AS BIGINT) AS rank
+FROM ndvecs a JOIN ndvecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {similarity.sql_cosine('a.embedding', 'b.embedding')} >= 0.999
 """,
-    tags=("similarity", "topk", "lsh"),
+    tags=("similarity", "topk", "lsh", "dedup"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: multi-table hyperplane LSH (12 tables × 3
-    sign bits) — a neighbor is a candidate if
-    it shares a bucket in ANY table, so one flipped sign bit can't
-    lose it; cosine is ranked over the deduped candidate set. Holds
-    recall@10 ≥ 0.9 vs the exact baseline on this corpus (asserted in
-    tests). At 100 TB the (table, bucket) pair is the shuffle key and
-    the candidate distinct runs on narrow id pairs only."""
+    """Two sign-sketch-family operators in one verified result
+    (``method`` column):
+
+    - ``lsh`` — scale-path ANN: multi-table hyperplane LSH (12 tables
+      × 3 sign bits) — a neighbor is a candidate if it shares a bucket
+      in ANY table, so one flipped sign bit can't lose it; cosine is
+      ranked over the deduped candidate set. Holds recall@10 ≥ 0.9 vs
+      the exact baseline on this corpus (asserted in tests). At 100 TB
+      the (table, bucket) pair is the shuffle key and the candidate
+      distinct runs on narrow id pairs only.
+    - ``neardup`` — embedding-cosine near-dup pairs (label-blocked,
+      ``rank`` pinned 0) over the corpus plus scaled copies of every
+      50th vector: scaling preserves cosine, so the planted copies are
+      guaranteed near-dups the threshold must recover."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.lsh_cosine_topk(
+    lsh = similarity.lsh_cosine_topk(
         emb, queries, dim=64, k=10, planes=_ANN_PLANES, tables=_ANN_TABLES
+    ).select(F.lit("lsh").alias("method"), "query_id", "nbr_id", "cos_sim", "rank")
+    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x.cast("double") * F.lit(1.25)).cast("float")
+        ).alias("embedding"),
+        "label",
     )
+    vecs = emb.select("vec_id", "embedding", "label").unionAll(copies)
+    nd = similarity.neardup_pairs(vecs, threshold=0.999, block_col="label", dim=64).select(
+        F.lit("neardup").alias("method"),
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("nbr_id"),
+        "cos_sim",
+        F.lit(0).cast("long").alias("rank"),
+    )
+    return lsh.unionAll(nd)
 
 
 _IVF_C, _IVF_NPROBE = 32, 4
@@ -390,38 +427,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_neardup",
-    oracle=f"""
-WITH vecs AS (
-  SELECT vec_id, embedding, label FROM embeddings
-  UNION ALL
-  SELECT vec_id + 1000000 AS vec_id,
-         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT)) AS embedding,
-         label
-  FROM embeddings WHERE vec_id % 50 = 0
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {similarity.sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
-FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {similarity.sql_cosine('a.embedding', 'b.embedding')} >= 0.999
-""",
-    tags=("similarity", "dedup"),
-)
-def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (label-blocked), over the
-    corpus plus scaled copies of every 50th vector (scaling preserves
-    cosine — guaranteed near-dups)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"), lambda x: (x.cast("double") * F.lit(1.25)).cast("float")
-        ).alias("embedding"),
-        "label",
-    )
-    vecs = emb.select("vec_id", "embedding", "label").unionAll(copies)
-    return similarity.neardup_pairs(vecs, threshold=0.999, block_col="label", dim=64)
+# embedding_neardup is folded into ann_lsh_topk (method='neardup')
+# to keep the registry inside the driver's 50-slot check budget.
 
 
 # ------------------------------------------------------------- multimodal
