@@ -67,3 +67,16 @@ def test_partitioning_invariance(spark, emb):
     m8 = fit_pca(emb.repartition(8), K)
     assert np.allclose(m1.mean, m8.mean, atol=1e-9)
     assert np.allclose(np.abs(m1.components), np.abs(m8.components), atol=1e-6)
+
+
+def test_driver_input_bounded_by_reduce_width(spark, emb):
+    """The driver combine reads at most REDUCE_WIDTH rows even when the
+    scan has far more partitions (the tree-reduce level, not the
+    partition count, bounds driver input)."""
+    from white_elephant_spark.operators import decomposition as dc
+
+    wide = emb.repartition(64)  # 4x the reduce width
+    m = fit_pca(wide, K)
+    m1 = fit_pca(emb.repartition(1), K)
+    assert np.allclose(m.mean, m1.mean, atol=1e-9)
+    assert dc.REDUCE_WIDTH < 64

@@ -8,8 +8,9 @@ d x d for d=64 — so the distributed work is exactly one pass:
 1. per-partition Arrow batches accumulate ``(n, sum_x, X^T X)``
    partials (``mapInPandas`` + numpy — d*d floats per partition, the
    canonical tree-aggregation shape);
-2. partials sum on the driver (bounded by partition count, not rows)
-   into the covariance matrix;
+2. partials reduce through one distributed level of ``REDUCE_WIDTH``
+   groups, then sum on the driver (bounded by the constant reduce
+   width, not partition count) into the covariance matrix;
 3. ``numpy.linalg.eigh`` on the d x d matrix gives the components —
    the same "collect a bounded model, broadcast it back" contract as
    the IVF quantizer (similarity.py);
@@ -44,6 +45,12 @@ class PCAModel:
         return (x - self.mean) @ self.components.T
 
 
+#: Width of the distributed reduce level between the per-partition
+#: partials and the driver combine: the driver reads at most this many
+#: (n, s, xtx) rows no matter how many input partitions exist.
+REDUCE_WIDTH = 16
+
+
 def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
     """One-pass covariance accumulation + driver-side eigh."""
     schema = T.StructType(
@@ -69,7 +76,35 @@ def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
         if n:
             yield pd.DataFrame({"n": [n], "s": [s.tolist()], "xtx": [xtx.ravel().tolist()]})
 
-    parts = df.select(vec_col).mapInPandas(partials, schema).collect()
+    def combine(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        n, s, xtx = 0, None, None
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                n += int(row["n"])
+                sv = np.asarray(row["s"], dtype=np.float64)
+                xv = np.asarray(row["xtx"], dtype=np.float64)
+                s = sv if s is None else s + sv
+                xtx = xv if xtx is None else xtx + xv
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "xtx": [xtx.tolist()]})
+
+    # Tree aggregation, realized: per-partition partials reduce through
+    # one distributed level of REDUCE_WIDTH groups before the driver
+    # combine, so driver input is O(REDUCE_WIDTH · d²) regardless of
+    # partition count (a 100k-partition scan would otherwise collect
+    # GBs of 32 KB partial rows). Round-robin repartition sorts for
+    # determinism under retries; residual float nondeterminism from
+    # in-group summation order is ~1e-15 relative — callers needing
+    # bit-identical reruns quantize downstream.
+    parts = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema)
+        .repartition(REDUCE_WIDTH)
+        .mapInPandas(combine, schema)
+        .collect()
+    )
     if not parts:
         raise ValueError("empty input")
     n = sum(p["n"] for p in parts)

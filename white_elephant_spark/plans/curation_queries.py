@@ -203,6 +203,70 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_linear(docs, token_col="ntok", budget=512, shards=8)
 
 
+# Chunking constants: docs in this corpus are <= ~100 tokens, so a
+# 32-token window with 8-token overlap (step 24) yields 1-4 chunks per
+# doc; chunks then pack into 128-token bins. cid = doc_id*1000 +
+# chunk_idx is collision-free (chunk_idx < 1000 at any plausible doc
+# length here).
+_CK_SIZE, _CK_OVERLAP, _CK_BUDGET = 32, 8, 128
+_CK_STEP = _CK_SIZE - _CK_OVERLAP
+
+
+@register(
+    "corpus_chunk_pack",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, tk, n, i AS chunk_idx,
+         least(i * {_CK_STEP} + 1, greatest(1, n - {_CK_SIZE} + 1)) AS s
+  FROM toks,
+       unnest(generate_series(0,
+         (greatest(1, n - {_CK_SIZE} + 1) - 1 + {_CK_STEP - 1}) // {_CK_STEP})) AS t(i)
+),
+chunks AS (
+  SELECT doc_id * 1000 + chunk_idx AS cid,
+         md5(array_to_string(list_slice(tk, s, s + {_CK_SIZE - 1}), ' ')) AS chunk_digest,
+         CAST(least(n - s + 1, {_CK_SIZE}) AS BIGINT) AS ntok
+  FROM starts
+),
+packed AS (
+  {packing.sql_pack_linear('chunks', 'ntok', budget=_CK_BUDGET, shards=8, id_expr='cid').strip()}
+)
+SELECT p.cid, p.shard, p.n_tokens, p.bin, p.bin_offset, c.chunk_digest
+FROM packed p JOIN chunks c USING (cid)
+""",
+    tags=("chunking", "packing", "window"),
+)
+def corpus_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunking → packing tail of the training-data pipeline in
+    one verified result: every document explodes into fixed-token
+    windows with overlap (:mod:`white_elephant_spark.operators.
+    chunking` — end-aligned final window, pure ``sequence`` +
+    ``explode`` + ``slice``, zero shuffle), then the chunks pack into
+    fixed token-budget training bins via sharded linear packing
+    (:mod:`~white_elephant_spark.operators.packing`). ``chunk_digest``
+    hash-verifies the exact chunk text; (shard, bin, bin_offset)
+    verify the packing assignment. Composition tested in
+    tests/test_chunk_pack_compose.py; this is its driver-checked
+    form."""
+    from white_elephant_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, size=_CK_SIZE, overlap=_CK_OVERLAP).select(
+        (F.col("id") * 1000 + F.col("chunk_idx")).alias("cid"),
+        F.md5(F.col("chunk_text")).alias("chunk_digest"),
+        "n_tokens",
+    )
+    packed = packing.pack_linear(
+        chunks, token_col="n_tokens", budget=_CK_BUDGET, shards=8, id_col="cid"
+    )
+    return packed.join(chunks.select("cid", "chunk_digest"), "cid")
+
+
 @register(
     "corpus_curation",
     oracle=f"""

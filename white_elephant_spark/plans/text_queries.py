@@ -431,6 +431,107 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to keep the registry inside the driver's 50-slot check budget.
 
 
+_KM_K = 8  # k-means cluster budget for the corpus map
+
+
+@register(
+    "embedding_cluster_map",
+    oracle=f"""
+WITH {similarity.sql_ivf_refined_centroids(_KM_K, dim=64, iters=1).strip()},
+assign AS (
+  SELECT e.vec_id, e.label, c.cid,
+         {similarity.sql_cosine('e.embedding', 'c.cvec')} AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {similarity.sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM embeddings e, cents c
+),
+best AS (
+  SELECT vec_id, label, cid AS cluster_id, cos_sim FROM assign WHERE rn = 1
+),
+sizes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM best GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM best),
+mu AS (
+  SELECT t.i AS i, AVG(CAST(embedding[t.i] AS DOUBLE)) AS m
+  FROM embeddings, unnest(generate_series(1, 64)) AS t(i) GROUP BY 1
+),
+cnorm AS (
+  SELECT e.vec_id,
+         CAST(floor(SUM((CAST(e.embedding[t.i] AS DOUBLE) - mu.m)
+                        * (CAST(e.embedding[t.i] AS DOUBLE) - mu.m)) * 10000) AS BIGINT)
+           AS red_norm_q
+  FROM embeddings e, unnest(generate_series(1, 64)) AS t(i)
+       JOIN mu ON mu.i = t.i
+  GROUP BY e.vec_id
+)
+SELECT b.vec_id, b.label, b.cluster_id, b.cos_sim,
+       s.cluster_size,
+       CAST(s.cluster_size AS DOUBLE) / tot.n AS cluster_frac,
+       c.red_norm_q
+FROM best b
+JOIN sizes s ON b.cluster_id = s.cluster_id
+CROSS JOIN tot
+JOIN cnorm c ON b.vec_id = c.vec_id
+""",
+    tags=("similarity", "clustering", "pca"),
+)
+def embedding_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus segmentation map: general k-means
+    (:mod:`~white_elephant_spark.operators.clustering_kmeans` — 8
+    hash-order seeds + 1 exact Lloyd iteration, only k rows ever on
+    the driver) assigns every embedding to a cluster; per-cluster
+    mixture columns (cluster_size, cluster_frac) report the corpus
+    composition; and distributed PCA
+    (:mod:`~white_elephant_spark.operators.decomposition`) projects
+    every vector through the full-rank eigenbasis of the one-pass
+    covariance. The PCA leg is hash-verified through the isometry
+    invariant: an orthonormal full-rank rotation preserves the
+    centered norm, so ``floor(‖project(x)‖² · 1e4)`` must equal the
+    oracle's ``floor(Σ(xᵢ-μᵢ)² · 1e4)`` — the projection itself (and
+    the k<d reduced path) is further covered in
+    tests/test_decomposition.py. FP margin: engines agree to ~1e-12
+    on a quantity of order 10-100, quantized at 1e-4."""
+    from white_elephant_spark.operators import clustering_kmeans as km
+    from white_elephant_spark.operators import decomposition as dc
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = km.kmeans_fit(emb, k=_KM_K, iters=1, dim=64)
+    assigned = km.kmeans_predict(emb, model, dim=64)  # vec_id, cluster_id, cos_sim
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    tot = assigned.agg(F.count(F.lit(1)).alias("n"))
+    pca = dc.fit_pca(emb, k=64)
+    red = dc.project_pca(emb.select("vec_id", "embedding"), pca)
+    rednorm = red.select(
+        "vec_id",
+        F.floor(
+            F.aggregate(
+                F.col("reduced"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+            * F.lit(10000.0)
+        )
+        .cast("long")
+        .alias("red_norm_q"),
+    )
+    return (
+        assigned.join(emb.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(sizes), "cluster_id")
+        .crossJoin(F.broadcast(tot))
+        .join(rednorm, "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "cluster_id",
+            "cos_sim",
+            "cluster_size",
+            (F.col("cluster_size").cast("double") / F.col("n")).alias("cluster_frac"),
+            "red_norm_q",
+        )
+    )
+
+
 # ------------------------------------------------------------- multimodal
 
 _RS_W, _RS_H = 16, 12  # resize target; digest verifies the truncation path
