@@ -36,6 +36,15 @@ def funnel_times(
     is left. ``steps`` are boolean predicates over the event row.
     ``max_span`` (e.g. ``F.expr("INTERVAL 1 HOUR")``) bounds the whole
     funnel relative to t1.
+
+    Anchoring semantic (deliberate): the funnel is anchored to each
+    user's **earliest** step-1 event — ``t1 = MIN(ts)`` — and, with
+    ``max_span``, the whole horizon is measured from that first entry.
+    A user whose first entry window expires but who re-enters later
+    and would have completed within a fresh horizon counts as NOT
+    converted. This is the standard "first-touch" funnel; an
+    any-qualifying-window (re-entrant) funnel needs per-window
+    matching and is a different, more expensive operator.
     """
     if not steps:
         raise ValueError("at least one step")
@@ -79,13 +88,19 @@ def cohort_retention(
     group — every step map-side-combinable, nothing quadratic. The
     same two-aggregation skeleton as the funnel's step 1.
     """
+    _UNIT_SECONDS = {"week": 604800, "day": 86400, "hour": 3600}
+    if unit != "month" and unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported unit {unit!r}; expected one of "
+            f"{sorted(_UNIT_SECONDS) + ['month']}"
+        )
     u, t = F.col(user_col), F.col(ts_col)
     per = lambda c: F.date_trunc(unit, c)  # noqa: E731
     first = events.groupBy(u.alias("user")).agg(per(F.min(t)).alias("cohort"))
     active = events.select(u.alias("user"), per(t).alias("period")).distinct()
     span = F.months_between(F.col("period"), F.col("cohort")) if unit == "month" else (
         F.col("period").cast("long") - F.col("cohort").cast("long")
-    ) / F.lit({"week": 604800, "day": 86400, "hour": 3600}.get(unit, 604800))
+    ) / F.lit(_UNIT_SECONDS[unit])
     joined = active.join(first, "user").select(
         "user", "cohort", F.round(span).cast("long").alias("period_offset")
     )

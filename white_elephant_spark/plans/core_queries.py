@@ -303,16 +303,34 @@ SELECT 'anti_no_finished' AS probe, c_mktsegment AS key, CAST(COUNT(*) AS BIGINT
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
 GROUP BY c_mktsegment
+UNION ALL
+SELECT 'setops_repeat_no_f' AS probe, CAST(c_custkey AS VARCHAR) AS key,
+       CAST(1 AS BIGINT) AS n
+FROM (
+  SELECT DISTINCT o_custkey AS c_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+)
 """,
-    tags=("join", "semi", "anti", "agg"),
+    tags=("join", "semi", "anti", "setops", "agg"),
 )
 def semi_anti_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J7 semi- and anti-join shapes in one verified result (TPC-H Q4
-    adapted): orders in a half-year window having at least one
-    returned lineitem counted by priority (``left_semi`` — the probe
-    side stays unduplicated, no distinct after the join), unioned
-    with customers having no finished order counted by segment
-    (``left_anti`` — the build side reduces to distinct custkeys)."""
+    """J7 semi-/anti-join shapes plus INTERSECT/EXCEPT set algebra in
+    one verified result (TPC-H Q4 adapted): orders in a half-year
+    window having at least one returned lineitem counted by priority
+    (``left_semi`` — the probe side stays unduplicated, no distinct
+    after the join), unioned with customers having no finished order
+    counted by segment (``left_anti`` — the build side reduces to
+    distinct custkeys), unioned with the exact membership of {ordered
+    in both 1995 and 1996} INTERSECT minus {any finalized order}
+    EXCEPT (``intersect``/``subtract`` — Spark plans set ops as
+    aggregate-style hash joins on the full row, the same shuffle
+    shape as a distinct). Set-op rows carry key = custkey, n = 1, so
+    the hash certifies exact membership, not just counts."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     window = o.filter(
@@ -346,7 +364,32 @@ def semi_anti_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    return semi.unionByName(anti)
+    y95 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    y96 = (
+        o.filter(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    # subtract = EXCEPT DISTINCT, matching the SQL EXCEPT above
+    # (exceptAll would be EXCEPT ALL — different on duplicate rows).
+    setops = (
+        y95.intersect(y96)
+        .subtract(fin.distinct())
+        .select(
+            F.lit("setops_repeat_no_f").alias("probe"),
+            F.col("c_custkey").cast("string").alias("key"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    return semi.unionByName(anti).unionByName(setops)
 
 
 @register(

@@ -584,6 +584,62 @@ def streaming_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_job_sessions",
+    oracle="""
+SELECT 'job_' || CAST(event_id // 40 AS VARCHAR) AS jobId,
+       MIN(epoch_ms(ts)) AS firstStart,
+       MAX(epoch_ms(ts) + 60000 + (event_id % 7200) * 1000) AS lastFinish,
+       CAST(COUNT(*) AS BIGINT) AS nAttempts,
+       FALSE AS final
+FROM events GROUP BY 1
+""",
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def streaming_job_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (SURVEY §2.7 I6):
+    ``applyInPandasWithState`` job sessionization over a one-batch
+    ``availableNow`` stream — per-job state (firstStart, lastFinish,
+    nAttempts) must equal the batch groupBy the oracle computes.
+    (The event-time-timeout closure path is exercised in
+    tests/test_stateful_streaming.py, where batch boundaries are
+    controlled.)"""
+    import shutil
+
+    from white_elephant_spark.streaming import stateful
+
+    root = os.path.join(_SCRATCH_ROOT, "job_sessions")
+    shutil.rmtree(root, ignore_errors=True)
+    inp, out, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    s = F.unix_millis(F.col("ts").cast("timestamp"))
+    att = ev.select(
+        F.concat(F.lit("job_"), (e / 40).cast("long").cast("string")).alias("jobId"),
+        s.alias("startTime"),
+        (s + 60000 + (e % 7200) * 1000).alias("finishTime"),
+    )
+    # one file → one micro-batch → no timeout firings: deterministic
+    att.coalesce(1).write.parquet(inp)
+
+    stream = spark.readStream.schema("jobId string, startTime long, finishTime long").parquet(inp)
+    q = (
+        stateful.sessionize_jobs(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The drain runs one extra empty batch whose watermark fires
+    # timeouts; which jobs close depends on Spark's watermark-compare
+    # edge, so the oracle pins only the running (final=False) rows —
+    # the closure path is asserted in tests/test_stateful_streaming.py.
+    return spark.read.parquet(out).filter(~F.col("final"))
+
+
 # --------------------------------------------------------------------------
 # Conf XML: whole-file scan (S2) → property-map parse (P6) → jobs⋈confs (J8)
 # --------------------------------------------------------------------------

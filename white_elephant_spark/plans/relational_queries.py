@@ -73,47 +73,10 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "repeat_customers_setops",
-    oracle="""
-SELECT c_custkey FROM (
-  SELECT DISTINCT o_custkey AS c_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
-  INTERSECT
-  SELECT DISTINCT o_custkey FROM orders
-  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
-  EXCEPT
-  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-)
-""",
-    tags=("setops",),
-)
-def repeat_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT / EXCEPT set algebra: customers ordering in both 1995
-    and 1996, minus any with a finalized order. Spark plans set ops as
-    aggregate-style hash joins on the full row — same shuffle shape as
-    a distinct, no special casing needed at scale."""
-    o = load_table(spark, sf_dir, "orders")
-    y95 = (
-        o.filter(
-            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
-        )
-        .select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
-    )
-    y96 = (
-        o.filter(
-            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
-        )
-        .select(F.col("o_custkey").alias("c_custkey"))
-        .distinct()
-    )
-    fin = o.filter(F.col("o_orderstatus") == "F").select(
-        F.col("o_custkey").alias("c_custkey")
-    ).distinct()
-    # subtract = EXCEPT DISTINCT, matching the SQL EXCEPT above
-    # (exceptAll would be EXCEPT ALL — different on duplicate rows).
-    return y95.intersect(y96).subtract(fin)
+# INTERSECT/EXCEPT set algebra is attested through
+# semi_anti_customer_join (probe='setops_repeat_no_f' rows — exact
+# membership, hash-verified); the standalone repeat_customers_setops
+# slot was folded away to stay inside the driver's 50-query budget.
 
 
 @register(

@@ -185,6 +185,116 @@ def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_funnel_cohorts",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t1 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s1 ON e.user_id = s1.user_id JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 AND e.ts <= s1.t1 + INTERVAL 7 DAY
+  GROUP BY 1
+),
+fun AS (
+  SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id
+),
+first_seen AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY 1
+),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events),
+j AS (
+  SELECT a.user_id, f.cohort,
+         CAST(round((epoch(a.period) - epoch(f.cohort)) / 604800.0) AS BIGINT)
+           AS period_offset
+  FROM act a JOIN first_seen f ON a.user_id = f.user_id
+),
+sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM first_seen GROUP BY 1
+),
+coh AS (
+  SELECT j.cohort, j.period_offset,
+         CAST(COUNT(DISTINCT j.user_id) AS BIGINT) AS active_users,
+         s.cohort_size
+  FROM j JOIN sizes s ON j.cohort = s.cohort
+  GROUP BY 1, 2, s.cohort_size
+)
+SELECT 'funnel' AS kind, user_id, t1, t2, t3,
+       CAST(NULL AS TIMESTAMP) AS cohort, CAST(NULL AS BIGINT) AS period_offset,
+       CAST(NULL AS BIGINT) AS active_users, CAST(NULL AS BIGINT) AS cohort_size,
+       CAST(NULL AS DOUBLE) AS retention
+FROM fun
+UNION ALL
+SELECT 'cohort' AS kind, CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS TIMESTAMP) AS t1, CAST(NULL AS TIMESTAMP) AS t2,
+       CAST(NULL AS TIMESTAMP) AS t3,
+       cohort, period_offset, active_users, cohort_size,
+       CAST(active_users AS DOUBLE) / cohort_size AS retention
+FROM coh
+""",
+    tags=("temporal", "funnel", "cohort"),
+)
+def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifecycle analytics over the event stream, both halves of
+    :mod:`white_elephant_spark.operators.funnel` in one verified
+    result (``kind`` column):
+
+    - ``funnel`` — per-user earliest completion times of the ordered
+      view → click → purchase funnel within a 7-day horizon from
+      first entry (first-touch anchoring; K aggregations + K-1
+      equi-joins, probe side shrinks monotonically, no window sort
+      over the full stream);
+    - ``cohort`` — weekly cohort retention matrix (users grouped by
+      first-activity week, tracked across subsequent weeks; two
+      map-side-combinable aggregations + one equi-join).
+    """
+    from white_elephant_spark.operators import funnel
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    steps = [
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    ft = funnel.funnel_times(ev, steps, max_span=F.expr("INTERVAL 7 DAYS"))
+    null_ts = F.lit(None).cast("timestamp_ntz")
+    null_long = F.lit(None).cast("long")
+    fun = ft.select(
+        F.lit("funnel").alias("kind"),
+        F.col("user").alias("user_id"),
+        "t1",
+        "t2",
+        "t3",
+        null_ts.alias("cohort"),
+        null_long.alias("period_offset"),
+        null_long.alias("active_users"),
+        null_long.alias("cohort_size"),
+        F.lit(None).cast("double").alias("retention"),
+    )
+    coh = funnel.cohort_retention(ev, unit="week").select(
+        F.lit("cohort").alias("kind"),
+        null_long.alias("user_id"),
+        null_ts.alias("t1"),
+        null_ts.alias("t2"),
+        null_ts.alias("t3"),
+        F.col("cohort").cast("timestamp_ntz").alias("cohort"),
+        "period_offset",
+        "active_users",
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        "retention",
+    )
+    return fun.unionByName(coh)
+
+
+@register(
     "streaming_dedup_events",
     oracle="""
 SELECT event_id, ts, user_id, event_type, value FROM events
