@@ -476,6 +476,44 @@ def centroid_ranking_arrow(cents: list[tuple[int, list[float], float]], dim: int
     return _rank
 
 
+def probe_lists_expr(
+    cents: list[tuple[int, list[float], float]], vec_col: str, nprobe: int
+) -> Column:
+    """Interpreted-expression centroid ranking for the (small,
+    broadcast-sized) query side: array of the ``nprobe`` nearest
+    centroid ids by (strict-fold cosine DESC, cid ASC). Values are
+    bit-identical to :func:`centroid_ranking_arrow` — same product
+    and fold order, same tie-break — but evaluated as higher-order
+    array expressions, so no Python worker spins up for a handful of
+    query rows. Not for the corpus side: interpreted per-row cost is
+    ~40× Arrow's vectorized cost, which matters when rows are many."""
+    # One expr-string parse instead of thousands of py4j Column calls
+    # (building C·dim F.lit() columns costs ~1ms of driver round-trip
+    # EACH — ~2s for 32×64, dwarfing the query itself).
+    def dlit(x: float) -> str:
+        return f"CAST({float(x)!r} AS DOUBLE)"
+
+    vnorm = (
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+    elems = []
+    for cid, cvec, cnorm in cents:
+        lit_arr = "array(" + ", ".join(dlit(x) for x in cvec) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {lit_arr},"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+        )
+        # negate: array_sort ascending on (−cos, cid) = cos DESC, cid ASC
+        elems.append(
+            f"named_struct('nc', -({dot} / ({vnorm} * {dlit(cnorm)})),"
+            f" 'cid', CAST({int(cid)} AS BIGINT))"
+        )
+    return F.expr(
+        f"slice(transform(array_sort(array({', '.join(elems)})), s -> s.cid), 1, {nprobe})"
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -494,10 +532,12 @@ def ivf_cosine_topk(
     The 100 TB shape, stage by stage:
 
     - **quantizer**: C = ``ncentroids`` centroids (fixed budget,
-      independent of corpus size), driver-collected once via a
-      distributed top-C (bounded, like shipping a trained k-means
-      model) and inlined as plan literals — executors assign cells in
-      a *map-side projection*, zero shuffle, one corpus scan.
+      independent of corpus size), trained on a bounded hash sample
+      via one distributed TakeOrdered (``refine>0`` adds driver-local
+      exact Lloyd steps over the sample — see
+      :func:`ivf_refined_centroids`) and inlined as plan literals —
+      executors assign cells in a *map-side projection*, zero
+      shuffle, one corpus scan.
     - **cell assignment**: Arrow-batched centroid ranking
       (:func:`centroid_ranking_arrow`) against the broadcast centroid
       matrix — ties break to the lowest cid, so assignment is
@@ -530,11 +570,17 @@ def ivf_cosine_topk(
         norm.alias("nnorm"),
         F.element_at(ranked(F.col(vec_col)), 1).alias("cid"),
     )
+    # The query side is broadcast-sized by contract (it IS broadcast
+    # into the candidate join below), so its probe lists use the
+    # interpreted literal-centroid ranking — same strict-fold values
+    # as the Arrow path, but no second Python stage for a handful of
+    # rows. The corpus side keeps the Arrow ranking: vectorized
+    # per-row cost is what matters on the big side.
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm.alias("qnorm"),
-        F.explode(F.slice(ranked(F.col(vec_col)), 1, nprobe)).alias("cid"),
+        F.explode(probe_lists_expr(cents, vec_col, nprobe)).alias("cid"),
     )
     scored = (
         F.broadcast(qv)
@@ -910,6 +956,12 @@ WHERE rank <= {k}
 """
 
 
+#: Default training-sample size per centroid for the refined
+#: quantizer — the faiss convention (tens-to-hundreds of vectors per
+#: centroid suffice to place cell means; more adds cost, not recall).
+TRAIN_PER_CENTROID = 64
+
+
 def ivf_refined_centroids(
     corpus: DataFrame,
     ncentroids: int = 32,
@@ -918,55 +970,70 @@ def ivf_refined_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1_000_000,
+    train_per_centroid: int = TRAIN_PER_CENTROID,
 ) -> list[tuple[int, list[float], float]]:
-    """Lloyd-refined IVF quantizer: hash-sampled seeds
-    (:func:`ivf_centroids`), then ``iters`` k-means iterations — each
-    one distributed assignment pass (Arrow-batched ranking against the
-    broadcast centroids) plus an exact per-cell mean in integer
-    micro-units (the :func:`label_centroids` convention, so the mean
-    is summation-order-independent and the DuckDB oracle reproduces
-    it bit-for-bit). Only C rows ever reach the driver per iteration —
-    the bounded model-fetch contract, independent of corpus size.
+    """Lloyd-refined IVF quantizer, trained on a **bounded hash
+    sample**: the ``S = ncentroids · train_per_centroid`` corpus
+    vectors whose ``md5('ivf:' || id)`` sorts lowest (one distributed
+    TakeOrdered — the only cluster job in training; S is a constant,
+    independent of corpus size). Seeds are the first ``ncentroids`` of
+    the sample in the same hash order — identical to
+    :func:`ivf_centroids` since the top-C prefix of the top-S set IS
+    the global top-C. The Lloyd iterations then run **driver-local**
+    over the S×dim sample matrix with the exact op sequence of the
+    distributed/oracle form: assignment by (strict-fold cosine DESC,
+    cid ASC), per-cell means in integer micro-units (the
+    :func:`label_centroids` convention — summation-order-independent,
+    so the DuckDB oracle reproduces the trained centroids
+    bit-for-bit).
 
-    Refinement matters at 100 TB: hash-sampled seeds give cells with
-    ~N/C expected population but heavy variance; one Lloyd step moves
-    centroids to cell means, evening cell sizes and cutting the probe
-    set a query must scan. Cells that lose every member simply drop
-    out (their seed attracted nothing — standard k-means behavior,
-    deterministic here)."""
-    cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
+    Sample training is the standard quantizer contract (faiss trains
+    IVF coarse quantizers on ~64-256 vectors per centroid): at 100 TB
+    a full-corpus Lloyd pass per iteration would be the dominant cost
+    of the whole query, while the sample pass is O(S·C·d) driver
+    arithmetic on a ~1 MB matrix. Corpora smaller than S train on
+    everything — identical to the full-corpus form. Cells that lose
+    every member drop out (their seed attracted nothing — standard
+    k-means behavior, deterministic here)."""
+    import numpy as np
+
+    n_sample = ncentroids * train_per_centroid
+    key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
+    rows = (
+        corpus.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tvec"), key.alias("hk"))
+        .orderBy("hk", "tid")
+        .limit(n_sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"no centroids: empty corpus ({id_col})")
+    seeds = sorted((r.tid, [float(x) for x in r.tvec]) for r in rows[:ncentroids])
+    cents = [(cid, vec, _py_norm(vec)) for cid, vec in seeds]
+    sample = np.array([[float(x) for x in r.tvec] for r in rows], dtype=np.float64)
     for _ in range(iters):
-        ranked = centroid_ranking_arrow(cents, dim)
-        assigned = corpus.select(
-            F.element_at(ranked(F.col(vec_col)), 1).alias("cid"),
-            F.col(vec_col).alias("v"),
-        )
-        cells = assigned.select(
-            "cid",
-            F.posexplode(F.col("v")).alias("dim", "x"),
-        ).select(
-            "cid",
-            "dim",
-            F.floor(F.col("x").cast("double") * F.lit(float(scale))).cast("long").alias("q"),
-        )
-        comp = cells.groupBy("cid", "dim").agg(
-            F.sum("q").alias("s"), F.count(F.lit(1)).alias("n")
-        )
-        cent = (
-            comp.select(
-                "cid",
-                "dim",
-                (F.col("s").cast("double") / F.lit(float(scale)) / F.col("n")).alias("c"),
-            )
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda x: x["c"]
-                ).alias("cvec")
-            )
-        )
-        rows = sorted((r.cid, [float(x) for x in r.cvec]) for r in cent.collect())
-        cents = [(cid, vec, _py_norm(vec)) for cid, vec in rows]
+        cids = np.array([c[0] for c in cents], dtype=np.int64)
+        cmat = np.array([c[1] for c in cents], dtype=np.float64).T  # (dim, C)
+        cnorms = np.array([c[2] for c in cents], dtype=np.float64)
+        n = sample.shape[0]
+        dots = np.zeros((n, cids.shape[0]), dtype=np.float64)
+        vv = np.zeros(n, dtype=np.float64)
+        for i in range(dim):  # strict left fold, element order — the
+            # exact op sequence of centroid_ranking_arrow / sql_cosine
+            col = sample[:, i]
+            dots += col[:, None] * cmat[i]
+            vv += col * col
+        cos = dots / (np.sqrt(vv)[:, None] * cnorms)
+        order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos))
+        top1 = cids[order[:, 0]]
+        q = np.floor(sample * scale).astype(np.int64)  # micro-units
+        new: list[tuple[int, list[float], float]] = []
+        for cid in sorted(set(top1.tolist())):
+            mask = top1 == cid
+            s = q[mask].sum(axis=0)
+            mean = (s.astype(np.float64) / scale) / int(mask.sum())
+            vec = [float(x) for x in mean]
+            new.append((int(cid), vec, _py_norm(vec)))
+        cents = new
     return cents
 
 
@@ -976,18 +1043,26 @@ def sql_ivf_refined_centroids(
     iters: int = 1,
     table: str = "embeddings",
     scale: int = 1_000_000,
+    train_per_centroid: int = TRAIN_PER_CENTROID,
 ) -> str:
     """DuckDB twin of :func:`ivf_refined_centroids`: CTE chain ending
-    in ``cents`` (cid, cvec). Embed under WITH."""
-    prev = f"c0 AS ({sql_ivf_centroids(ncentroids, table)})"
-    chain = [prev]
+    in ``cents`` (cid, cvec). Embed under WITH. The ``ivftrain`` CTE
+    is the bounded hash sample the Lloyd steps run over."""
+    n_sample = ncentroids * train_per_centroid
+    chain = [
+        f"""ivftrain AS (
+  SELECT vec_id, embedding FROM {table}
+  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_sample}
+)""",
+        f"c0 AS ({sql_ivf_centroids(ncentroids, 'ivftrain')})",
+    ]
     name = "c0"
     for i in range(1, iters + 1):
         chain.append(f"""a{i} AS (
   SELECT e.embedding, c.cid,
          ROW_NUMBER() OVER (PARTITION BY e.vec_id
            ORDER BY {sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
-  FROM {table} e, {name} c
+  FROM ivftrain e, {name} c
 ),
 q{i} AS (
   SELECT cid, i AS dim,
