@@ -194,6 +194,11 @@ def test_fuzzy_join_blocked_matches_brute_force(spark):
         (6, "abd"),                 # ed 1 from 5
         (7, "abcdef"),              # boundary-length vs short
         (8, "abcde"),               # ed 1 from 7
+        (9, "xbc"),                 # ed 1 from 5, FIRST char differs —
+                                    # breaks naive first-char blocking
+        (10, "ab"),                 # ultra-short (len <= d)
+        (11, "b"),                  # ultra-short, ed 1 from 10
+        (12, "zq"),                 # ultra-short, ed 2 from 10
     ]
     left = spark.createDataFrame(names, "lid long, lname string")
     right = spark.createDataFrame(

@@ -36,6 +36,20 @@ def test_span_removal_never_cartesian(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_fuzzy_join_has_no_nested_loop(spark):
+    """Every fuzzy-join stage — main Ed-Join pass, q=1 short-string
+    pass, exploded-length ultra-short pass — is an equi-join; no
+    length-band nested loop survives at any string length."""
+    from white_elephant_spark.operators.fuzzy import fuzzy_join
+
+    docs = _docs(spark)
+    left = docs.selectExpr("doc_id AS lid", "substr(text, 1, 12) AS lname")
+    right = docs.selectExpr("doc_id AS rid", "substr(text, 1, 12) AS rname")
+    plan = _plan(fuzzy_join(left, right, "lname", "rname", max_dist=2, q=5))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_funnel_joins_are_equi_joins(spark):
     ev = load_table(spark, SF, "events").select(
         "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts")

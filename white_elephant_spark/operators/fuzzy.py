@@ -59,17 +59,13 @@ def _prefix_grams(df: DataFrame, scol: str, lcol: str, freq: DataFrame, q: int, 
     )
 
 
-def _match_pairs(
-    left: DataFrame, right: DataFrame, left_col: str, right_col: str, max_dist: int, q: int
+def _prefix_candidates(
+    ls: DataFrame, rs: DataFrame, q: int, max_dist: int
 ) -> DataFrame:
-    """Distinct (left_col → _ls, right_col → _rs, edit_dist) value
-    pairs within edit distance ``max_dist``. Only the string columns
-    are shuffled."""
+    """Ed-Join candidate pairs at gram width ``q``: shared rarest-
+    prefix gram + length band. Complete for pairs whose longer side
+    has at least ``q·(max_dist+1)`` characters."""
     k = max_dist * q + 1
-
-    ls = left.select(F.col(left_col).alias("_ls")).distinct().withColumn("_ll", F.length("_ls"))
-    rs = right.select(F.col(right_col).alias("_rs")).distinct().withColumn("_rl", F.length("_rs"))
-
     # One consistent global gram order for both sides: ascending
     # frequency over the union of the two distinct-string corpora.
     grams_union = ls.select(F.explode(_grams(F.col("_ls"), q)).alias("_gram")).unionAll(
@@ -80,27 +76,59 @@ def _match_pairs(
     lpre = _prefix_grams(ls, "_ls", "_ll", freq, q, k)
     rpre = _prefix_grams(rs, "_rs", "_rl", freq, q, k)
 
-    cand = (
+    return (
         lpre.join(rpre, "_gram")
         .filter(F.abs(F.col("_ll") - F.col("_rl")) <= max_dist)
         .select("_ls", "_rs")
     )
 
+
+def _match_pairs(
+    left: DataFrame, right: DataFrame, left_col: str, right_col: str, max_dist: int, q: int
+) -> DataFrame:
+    """Distinct (left_col → _ls, right_col → _rs, edit_dist) value
+    pairs within edit distance ``max_dist``. Only the string columns
+    are shuffled, and every join is an equi-join — no nested-loop
+    band join at any length."""
+    ls = left.select(F.col(left_col).alias("_ls")).distinct().withColumn("_ll", F.length("_ls"))
+    rs = right.select(F.col(right_col).alias("_rs")).distinct().withColumn("_rl", F.length("_rs"))
+
+    cand = _prefix_candidates(ls, rs, q, max_dist)
+
     # Pairs with both sides shorter than q·(d+1) have no shared-gram
-    # guarantee (a single edit can rewrite every gram): length-band
-    # join over the two tiny short-string sets.
+    # guarantee at width q (a single edit can rewrite every q-gram).
+    # Recurse the same prefix filter at q=1: d edits alter at most d
+    # characters of the multiset, so short pairs whose longer side has
+    # ≥ d+1 characters must share a character among their d+1 rarest
+    # — an equi-join on the character, never all-pairs within the
+    # short set (a corpus of millions of short titles stays
+    # candidate-bounded by character selectivity).
     min_complete = q * (max_dist + 1)
-    short_cand = (
-        ls.filter(F.col("_ll") < min_complete)
-        .join(
-            rs.filter(F.col("_rl") < min_complete),
-            F.abs(F.col("_ll") - F.col("_rl")) <= max_dist,
-        )
-        .select("_ls", "_rs")
+    sl = ls.filter(F.col("_ll") < min_complete)
+    sr = rs.filter(F.col("_rl") < min_complete)
+    short_cand = _prefix_candidates(sl, sr, 1, max_dist)
+
+    # Ultra-short remainder: both sides ≤ d characters (d edits can
+    # rewrite the whole string — no shared-gram guarantee at any
+    # width). The length band becomes an equi-join by exploding each
+    # left length to its ≤ 2d+1 admissible partner lengths; the value
+    # universe at ≤ d chars is alphabet-bounded, so the per-length
+    # buckets cannot grow with the corpus.
+    ul = ls.filter(F.col("_ll") <= max_dist).select(
+        "_ls",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_ll") - max_dist, F.lit(0)),
+                F.col("_ll") + max_dist,
+            )
+        ).alias("_rl"),
     )
+    ur = rs.filter(F.col("_rl") <= max_dist)
+    ultra_cand = ul.join(ur, "_rl").select("_ls", "_rs")
 
     return (
         cand.unionByName(short_cand)
+        .unionByName(ultra_cand)
         .distinct()
         .withColumn("edit_dist", F.levenshtein(F.col("_ls"), F.col("_rs")))
         .filter(F.col("edit_dist") <= max_dist)
