@@ -32,7 +32,12 @@ from pyspark.sql import functions as F
 
 from white_elephant_spark.functions.text import tokens
 
-__all__ = ["remove_repeated_spans", "span_removed_counts", "sql_span_removed_counts"]
+__all__ = [
+    "remove_repeated_spans",
+    "span_removed_counts",
+    "sql_span_removed_counts",
+    "sql_span_rewrite",
+]
 
 
 def _covered_positions(base: DataFrame, n: int) -> DataFrame:
@@ -161,5 +166,30 @@ spanrm AS (
   FROM sp_tk tk LEFT JOIN (
     SELECT doc_id, COUNT(*) AS n FROM sp_cov GROUP BY 1
   ) cv USING (doc_id)
+)
+"""
+
+
+def sql_span_rewrite(
+    docs_cte: str, n: int = 8, id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """DuckDB twin of the full :func:`remove_repeated_spans` rewrite:
+    extends :func:`sql_span_removed_counts` with the in-order token
+    reassembly, ending in ``spanrw`` (doc_id, span_removed,
+    rewrite_digest) — the md5 of the rewritten, whitespace-normalized
+    document ('' when every token is covered)."""
+    return sql_span_removed_counts(docs_cte, n, id_expr, text_expr) + f""",
+sp_pos AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM sp_tk, unnest(generate_series(1, len(w))) AS t(i)
+),
+sp_new AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.pos) AS txt
+  FROM sp_pos p ANTI JOIN sp_cov c ON p.doc_id = c.doc_id AND p.pos = c.pos
+  GROUP BY p.doc_id
+),
+spanrw AS (
+  SELECT s.doc_id, s.span_removed, md5(COALESCE(nw.txt, '')) AS rewrite_digest
+  FROM spanrm s LEFT JOIN sp_new nw USING (doc_id)
 )
 """

@@ -273,7 +273,7 @@ def corpus_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_DOCS_COPIES_SQL.lstrip()},
 {contamination.sql_ngram_contamination('docs', 'doc_id % 101 = 0', n=5).strip()},
 {dedup.sql_interdoc_repeated_ngrams('docs', n=8).strip()},
-{spans.sql_span_removed_counts('docs', n=8).strip()},
+{spans.sql_span_rewrite('docs', n=8).strip()},
 scored AS (
   SELECT d.doc_id,
          {tx.sql_predict_lang('d.text')} AS lang_pred,
@@ -283,13 +283,13 @@ scored AS (
          d.doc_id % 101 = 0 AS is_eval,
          COALESCE(c.contam_frac, 0.0) AS contam_frac,
          i.repeated_frac AS interdoc_repeated_frac,
-         s.span_removed
+         s.span_removed, s.rewrite_digest
   FROM docs d LEFT JOIN contam c ON d.doc_id = c.doc_id
               JOIN interdoc i ON d.doc_id = i.doc_id
-              JOIN spanrm s ON d.doc_id = s.doc_id
+              JOIN spanrw s ON d.doc_id = s.doc_id
 )
 SELECT doc_id, lang_pred, quality, is_canonical, sampled, is_eval, contam_frac,
-       interdoc_repeated_frac, span_removed,
+       interdoc_repeated_frac, span_removed, rewrite_digest,
        NOT is_eval AND contam_frac >= 0.5 AS is_contaminated,
        is_canonical AND lang_pred = 'en' AND quality >= 0.5 AS keep,
        is_canonical AND lang_pred = 'en' AND quality >= 0.5 AND sampled
@@ -309,20 +309,23 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     with any eval doc is dropped, the GPT-3/PaLM-style gate), the
     cross-document repeated-8-gram fraction (the measured form of
     exact-substring dedup à la Lee et al. — boilerplate spans shared
-    across docs), the ``span_removed`` token count from the rewriting
-    form (:mod:`white_elephant_spark.operators.spans` — how many
-    tokens exact-substring dedup strips, owner keeps one copy), and
-    the final keep verdicts. One corpus pass plus
-    one broadcast-side eval gram set plus one digest-keyed gram-df
-    aggregation; all codegen expressions."""
+    across docs), the full span **rewrite**
+    (:mod:`white_elephant_spark.operators.spans` — cross-doc repeated
+    spans stripped from every doc but the owner; ``span_removed`` is
+    the token count stripped and ``rewrite_digest`` hash-verifies the
+    reassembled text itself), and the final keep verdicts. One corpus
+    pass plus one broadcast-side eval gram set plus one digest-keyed
+    gram-df aggregation; all codegen expressions."""
     docs = _docs_with_copies(spark, sf_dir)
     eval_docs = docs.filter(F.col("doc_id") % 101 == 0)
     contam = contamination.ngram_contamination(docs, eval_docs, n=5)
     interdoc = dedup.interdoc_repeated_ngrams(docs, n=8).select(
         "doc_id", F.col("repeated_frac").alias("interdoc_repeated_frac")
     )
-    spanrm = spans.span_removed_counts(docs, n=8).select(
-        F.col("id").alias("doc_id"), F.col("n_removed").alias("span_removed")
+    spanrw = spans.remove_repeated_spans(docs, n=8).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_removed").alias("span_removed"),
+        F.md5(F.col("text")).alias("rewrite_digest"),
     )
     w = Window.partitionBy(F.md5(F.col("text")))
     lang_pred = tx.predict_lang(F.col("text"))
@@ -339,7 +342,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 101 == 0).alias("is_eval"),
     ).join(contam, "doc_id", "left").withColumn(
         "contam_frac", F.coalesce(F.col("contam_frac"), F.lit(0.0))
-    ).join(interdoc, "doc_id").join(spanrm, "doc_id")
+    ).join(interdoc, "doc_id").join(spanrw, "doc_id")
     contaminated = ~F.col("is_eval") & (F.col("contam_frac") >= 0.5)
     keep = (
         F.col("is_canonical")
@@ -356,6 +359,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contam_frac",
         "interdoc_repeated_frac",
         "span_removed",
+        "rewrite_digest",
         contaminated.alias("is_contaminated"),
         keep.alias("keep"),
         (keep & F.col("sampled") & ~contaminated).alias("keep_sampled"),
