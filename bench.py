@@ -56,6 +56,9 @@ HEADLINE = [
     "label_centroid_classify",
     "leakage_safe_split",
     "corpus_curation",
+    "corpus_chunk_pack",
+    "embedding_cluster_map",
+    "event_funnel_cohorts",
 ]
 
 # Spark wall time above which a query runs once instead of twice (the

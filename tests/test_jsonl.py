@@ -21,6 +21,8 @@ LINES = [
     '{"unrelated": "shape"}',
     "",
     '{"id": 3, "text": "works", "score": 1.25}',
+    "[1, 2, 3]",  # well-formed JSON, wrong shape (array, not object)
+    '"just a string"',  # well-formed JSON scalar
 ]
 
 
@@ -43,13 +45,15 @@ def test_good_and_quarantine_split(spark, tmp_path):
     assert q == [
         ("malformed_json", "{broken json"),
         ("no_projected_fields", '{"unrelated": "shape"}'),
+        ("not_an_object", '"just a string"'),
+        ("not_an_object", "[1, 2, 3]"),
     ]
 
 
 def test_ingest_materializes_both(spark, tmp_path):
     src = _write(tmp_path)
     g, b = ingest_jsonl(spark, src, SCHEMA, str(tmp_path / "out"), str(tmp_path / "quar"))
-    assert (g, b) == (3, 2)
+    assert (g, b) == (3, 4)
     # idempotent re-run
     g2, b2 = ingest_jsonl(spark, src, SCHEMA, str(tmp_path / "out"), str(tmp_path / "quar"))
-    assert (g2, b2) == (3, 2)
+    assert (g2, b2) == (3, 4)

@@ -224,6 +224,8 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
         F.min(F.col(col).cast("double")).alias("lo"),
         F.max(F.col(col).cast("double")).alias("hi"),
     ).collect()[0]
+    if mm["lo"] is None:
+        raise ValueError(f"histogram({col!r}): no non-null values in column")
     lo, hi = float(mm["lo"]), float(mm["hi"])
     width = (hi - lo) / nbins or 1.0
     bucket = F.least(

@@ -645,6 +645,69 @@ def neardup_pairs(
     )
 
 
+def neardup_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.999,
+    dim: int | None = None,
+    planes: int = 8,
+    tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs blocked by multi-table
+    hyperplane sign sketches — the scale form of :func:`neardup_pairs`
+    (whose semantic blocking key is quadratic within a block: a few
+    labels over a 10× corpus is 100× the pairs; measured 35s at sf0.1
+    vs ~1s here).
+
+    A pair is a candidate iff its encoded bucket arrays overlap in ANY
+    table; exact strict-fold cosine ≥ ``threshold`` verifies. With 8
+    planes × 6 tables, a true pair at cosine 0.999 flips some sign in
+    all six tables with probability ~1e-6 (per-plane flip ≈
+    acos(0.999)/π ≈ 1.4%), and exact duplicates/scaled copies share
+    every bucket by construction. Blocking is a deterministic function
+    of the vector, so an oracle using the same hash family reproduces
+    the result exactly — the approximation itself is hash-checkable.
+    Candidate volume is Σ_buckets |bucket|², controlled by
+    ``planes``; ids-only until the final re-attach."""
+    enc = encoded_buckets_arrow(dim, planes, tables)
+    keyed = vectors.select(
+        F.col(id_col).alias("id"), F.explode(enc(F.col(vec_col))).alias("bk")
+    )
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    norm = (
+        _norm_expr(vec_col, dim)
+        if dim is not None
+        else F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
+    )
+    base = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm.alias("norm")
+    )
+    dot = (
+        _dot_expr("va", "vb", dim)
+        if dim is not None
+        else _dsum_products(F.col("va"), F.col("vb"))
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("norm").alias("na")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("norm").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 # ------------------------------------------------- centroid classification
 
 

@@ -301,6 +301,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_PLANES, _ANN_TABLES = 3, 12
+# Near-dup blocking uses finer buckets (16 planes) over fewer tables:
+# at the 0.999-cosine target a true pair keeps all 16 signs in a
+# table w.p. ~(1-0.0142)^16 ≈ 0.80, so four tables miss it w.p.
+# ~0.2%, while fine buckets keep Σ|bucket|² small even on a clustered
+# corpus (measured: 301 candidates vs 55k at 8 planes × 6 tables on
+# sf0.1 — same 40 verified pairs).
+_ND_PLANES, _ND_TABLES = 16, 4
 
 
 @register(
@@ -319,23 +326,32 @@ scored AS (
   WHERE q.vec_id % 100 = 0
 ),
 ndvecs AS (
-  SELECT vec_id, embedding, label FROM embeddings
+  SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id,
-         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT)) AS embedding,
-         label
+         list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 1.25 AS FLOAT)) AS embedding
   FROM embeddings WHERE vec_id % 50 = 0
+),
+ndk AS (
+  SELECT vec_id, unnest({similarity.sql_encoded_buckets('embedding', 64, _ND_PLANES, _ND_TABLES)}) AS bk
+  FROM ndvecs
+),
+ndc AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM ndk a JOIN ndk b ON a.bk = b.bk AND a.vec_id < b.vec_id
 )
 SELECT 'lsh' AS method, query_id, nbr_id, cos_sim, CAST(rank AS BIGINT) AS rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, nbr_id ASC) AS rank
       FROM scored)
 WHERE rank <= 10
 UNION ALL
-SELECT 'neardup' AS method, a.vec_id AS query_id, b.vec_id AS nbr_id,
-       {similarity.sql_cosine('a.embedding', 'b.embedding')} AS cos_sim,
+SELECT 'neardup' AS method, c.id_a AS query_id, c.id_b AS nbr_id,
+       {similarity.sql_cosine('va.embedding', 'vb.embedding')} AS cos_sim,
        CAST(0 AS BIGINT) AS rank
-FROM ndvecs a JOIN ndvecs b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE {similarity.sql_cosine('a.embedding', 'b.embedding')} >= 0.999
+FROM ndc c
+JOIN ndvecs va ON va.vec_id = c.id_a
+JOIN ndvecs vb ON vb.vec_id = c.id_b
+WHERE {similarity.sql_cosine('va.embedding', 'vb.embedding')} >= 0.999
 """,
     tags=("similarity", "topk", "lsh", "dedup"),
 )
@@ -350,10 +366,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       the exact baseline on this corpus (asserted in tests). At 100 TB
       the (table, bucket) pair is the shuffle key and the candidate
       distinct runs on narrow id pairs only.
-    - ``neardup`` — embedding-cosine near-dup pairs (label-blocked,
-      ``rank`` pinned 0) over the corpus plus scaled copies of every
-      50th vector: scaling preserves cosine, so the planted copies are
-      guaranteed near-dups the threshold must recover."""
+    - ``neardup`` — embedding-cosine near-dup pairs blocked by
+      8-plane × 6-table sign sketches (``rank`` pinned 0) over the
+      corpus plus scaled copies of every 50th vector: scaling
+      preserves both cosine AND every sign bucket, so the planted
+      copies are guaranteed candidates the threshold must recover.
+      The blocking is a deterministic hash of the vector, so the
+      oracle reproduces even the approximation exactly."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     lsh = similarity.lsh_cosine_topk(
@@ -364,10 +383,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.col("embedding"), lambda x: (x.cast("double") * F.lit(1.25)).cast("float")
         ).alias("embedding"),
-        "label",
     )
-    vecs = emb.select("vec_id", "embedding", "label").unionAll(copies)
-    nd = similarity.neardup_pairs(vecs, threshold=0.999, block_col="label", dim=64).select(
+    vecs = emb.select("vec_id", "embedding").unionAll(copies)
+    nd = similarity.neardup_pairs_lsh(
+        vecs, threshold=0.999, dim=64, planes=_ND_PLANES, tables=_ND_TABLES
+    ).select(
         F.lit("neardup").alias("method"),
         F.col("id_a").alias("query_id"),
         F.col("id_b").alias("nbr_id"),

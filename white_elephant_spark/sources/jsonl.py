@@ -51,22 +51,30 @@ def read_jsonl(
         .filter(F.length(F.trim(F.col("line"))) > 0)
     )
     # A PERMISSIVE struct parse yields an all-null row for malformed
-    # JSON (never a null struct), so malformed-ness is probed with a
-    # map-typed parse: from_json to a map is NULL exactly when the
-    # line is not valid JSON.
-    parsed = raw.withColumn(
-        "rec", F.from_json(F.col("line"), schema, {"mode": "PERMISSIVE"})
-    ).withColumn("valid_json", F.from_json(F.col("line"), "map<string,string>").isNotNull())
+    # JSON (never a null struct), so shape is probed separately:
+    # ``try_parse_json`` (variant) is NULL exactly when the bytes are
+    # not valid JSON at all, while the map-typed parse is NULL for
+    # anything that is not a JSON *object* (arrays/scalars included) —
+    # the two together split "malformed bytes" from "well-formed JSON
+    # of the wrong shape" in the quarantine reason.
+    parsed = (
+        raw.withColumn("rec", F.from_json(F.col("line"), schema, {"mode": "PERMISSIVE"}))
+        .withColumn("valid_json", F.expr("try_parse_json(line)").isNotNull())
+        .withColumn(
+            "is_object", F.from_json(F.col("line"), "map<string,string>").isNotNull()
+        )
+    )
     all_null = None
     for f in schema.fields:
         c = F.col("rec").getField(f.name).isNull()
         all_null = c if all_null is None else (all_null & c)
-    bad_shape = ~F.col("valid_json") | F.col("rec").isNull() | all_null
+    bad_shape = ~F.col("is_object") | F.col("rec").isNull() | all_null
     good = parsed.filter(~bad_shape).select("file", "rec.*")
     quarantine = parsed.filter(bad_shape).select(
         "file",
         "line",
         F.when(~F.col("valid_json"), F.lit("malformed_json"))
+        .when(~F.col("is_object"), F.lit("not_an_object"))
         .otherwise(F.lit("no_projected_fields"))
         .alias("reason"),
     )
