@@ -37,8 +37,8 @@ HEADLINE = [
     "priority_conditional_agg",
     "bucketed_colocated_join",
     "skew_salted_event_rollup",
-    "rolling_daily_window",
-    "event_value_percentiles",
+    "pivot_event_values",
+    "event_types_time_range",
     "dedup_exact",
     "dedup_minhash_jaccard",
     "fuzzy_doc_match",

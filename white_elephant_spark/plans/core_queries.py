@@ -118,15 +118,23 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_types_time_range",
     oracle="""
 SELECT event_type, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
-       CAST(COUNT(*) AS BIGINT) AS n
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(value, 0.5)  AS p50,
+       quantile_cont(value, 0.95) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """,
-    tags=("distinct", "agg"),
+    tags=("distinct", "agg", "percentile"),
 )
 def event_types_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A9 + A10 in one verified result: the sorted distinct dimension
     (dropdown population — the group keys) with each value's MIN/MAX
-    time range clamp and row count."""
+    time range clamp and row count — plus exact linear-interpolated
+    p50/p95 of the value per type (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``; the distribution metrics the reference's fixed
+    SUM-only measure set can't answer, usage_data.rb:584-588). At
+    100 TB the same shape swaps in ``approx_percentile`` — a one-word
+    change the oracle can't hash-match, so the exact form is
+    declared. One aggregation pass covers all of it."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -134,6 +142,8 @@ def event_types_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("min_ts"),
             F.max("ts").alias("max_ts"),
             F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
         )
         .orderBy("event_type")
     )
@@ -480,78 +490,14 @@ def priority_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Window frames: lag delta + 7-row rolling mean over the daily series
 # (SURVEY §2.5 notes the reference has no lead/lag/frame windows; the
 # dashboard's day-over-day reading is done by eye. Free in Spark.)
+# Folded into pivot_event_values (plans/relational_queries.py) — the
+# daily matrix pivots value, delta, and rolling7 per type — to stay
+# inside the driver's 50-query check budget.
 # --------------------------------------------------------------------------
-@register(
-    "rolling_daily_window",
-    oracle=f"""
-WITH daily AS (
-  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-         {sql_dsum('value')} AS day_value
-  FROM events GROUP BY 1, 2
-)
-SELECT day, event_type, day_value,
-       day_value - lag(day_value) OVER w AS delta,
-       CAST(SUM(CAST(day_value AS DECIMAL(27,4))) OVER w7 AS DOUBLE)
-         / COUNT(day_value) OVER w7 AS rolling7
-FROM daily
-WINDOW w  AS (PARTITION BY event_type ORDER BY day),
-       w7 AS (PARTITION BY event_type ORDER BY day
-              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
-""",
-    tags=("window", "frame", "timeunit"),
-)
-def rolling_daily_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily rollup, then day-over-day delta (lag) and a 7-day rolling
-    mean over an explicit row frame. The rolling mean divides a
-    DECIMAL frame-sum by the frame count so both engines agree bitwise
-    (functions/compat.py convention)."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = (
-        ev.groupBy(
-            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
-        )
-        .agg(dsum("value").alias("day_value"))
-    )
-    w = Window.partitionBy("event_type").orderBy("day")
-    w7 = w.rowsBetween(-6, 0)
-    return daily.select(
-        "day",
-        "event_type",
-        "day_value",
-        (F.col("day_value") - F.lag("day_value").over(w)).alias("delta"),
-        (
-            F.sum(dec("day_value")).over(w7).cast("double")
-            / F.count("day_value").over(w7)
-        ).alias("rolling7"),
-    )
 
 
-# --------------------------------------------------------------------------
-# Exact percentiles per group — distribution metrics the reference's
-# fixed SUM-only measure set can't answer (usage_data.rb:584-588).
-# --------------------------------------------------------------------------
-@register(
-    "event_value_percentiles",
-    oracle="""
-SELECT event_type,
-       quantile_cont(value, 0.5)  AS p50,
-       quantile_cont(value, 0.95) AS p95,
-       CAST(COUNT(*) AS BIGINT)   AS n
-FROM events
-GROUP BY event_type
-""",
-    tags=("agg", "percentile"),
-)
-def event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolated p50/p95 of event value per type
-    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``). At 100 TB the
-    same query shape swaps in ``approx_percentile`` — a one-word
-    change the oracle can't hash-match, so the exact form is declared."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.count(F.lit(1)).alias("n"),
-    )
+# Exact per-group percentiles are folded into event_types_time_range
+# (one aggregation pass attests A9 + A10 + the distribution metrics)
+# to stay inside the driver's 50-query check budget.
 
 

@@ -585,6 +585,161 @@ def streaming_cube_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jsonl_quality_ingest",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey % 13 AS m
+  FROM orders
+),
+good AS (
+  SELECT CASE WHEN m = 5 THEN 0 ELSE k END AS id,
+         CASE WHEN m = 6 THEN -1 ELSE o_custkey END AS custkey,
+         CASE WHEN m = 4 THEN 'X' ELSE o_orderstatus END AS status,
+         CASE WHEN m = 3 THEN -1 ELSE cents END AS cents
+  FROM base WHERE m NOT IN (0, 1, 2)
+)
+SELECT 'quarantine' AS kind, 'malformed_json' AS rule,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE m = 0) AS violations,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS total,
+       FALSE AS passed
+UNION ALL
+SELECT 'quarantine', 'not_an_object',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE m = 1),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base), FALSE
+UNION ALL
+SELECT 'quarantine', 'no_projected_fields',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base WHERE m = 2),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM base), FALSE
+UNION ALL
+SELECT 'expectation', 'not_null(status)',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good WHERE status IS NULL),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good),
+       (SELECT COUNT(*) FROM good WHERE status IS NULL) = 0
+UNION ALL
+SELECT 'expectation', 'in_range(cents,0,100000000)',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good
+        WHERE cents IS NULL OR cents < 0 OR cents > 100000000),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good),
+       (SELECT COUNT(*) FROM good
+        WHERE cents IS NULL OR cents < 0 OR cents > 100000000) = 0
+UNION ALL
+SELECT 'expectation', 'matches(status)',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good
+        WHERE status IS NULL OR NOT regexp_matches(status, '^[FOP]$')),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good),
+       (SELECT COUNT(*) FROM good
+        WHERE status IS NULL OR NOT regexp_matches(status, '^[FOP]$')) = 0
+UNION ALL
+SELECT 'expectation', 'unique(id)',
+       (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+        FROM (SELECT COUNT(*) AS n FROM good GROUP BY id HAVING COUNT(*) > 1)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good),
+       (SELECT COALESCE(SUM(n - 1), 0)
+        FROM (SELECT COUNT(*) AS n FROM good GROUP BY id HAVING COUNT(*) > 1)) = 0
+UNION ALL
+SELECT 'expectation', 'fk(custkey->c_custkey)',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good
+        WHERE custkey IS NOT NULL
+          AND custkey NOT IN (SELECT c_custkey FROM customer)),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good),
+       (SELECT COUNT(*) FROM good
+        WHERE custkey IS NOT NULL
+          AND custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+""",
+    tags=("jsonl", "quality", "ingest"),
+)
+def jsonl_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest + data-quality gate, end to end: the
+    orders table is rendered as a JSONL fixture with planted faults —
+    truncated JSON (malformed bytes), a JSON array (well-formed, wrong
+    shape), an unrelated object (no projected fields), a negative
+    amount, an invalid status code, duplicated ids, and an orphan
+    customer key. :func:`white_elephant_spark.sources.jsonl.read_jsonl`
+    splits the scan into typed rows + a quarantine with per-reason
+    labels (nothing silently dropped), and
+    :func:`white_elephant_spark.operators.quality.check` runs the
+    expectation suite over the good rows: three row rules in ONE
+    aggregation pass, key uniqueness (one shuffle), and referential
+    integrity against customer (left-anti join). Output: one row per
+    quarantine reason + one per expectation, all counts hash-verified
+    against the oracle's direct derivation from orders."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from white_elephant_spark.operators import quality
+    from white_elephant_spark.sources.jsonl import read_jsonl
+
+    root = os.path.join(_SCRATCH_ROOT, "jsonl_quality")
+    shutil.rmtree(root, ignore_errors=True)
+
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    m = k % 13
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    idv = F.when(m == 5, F.lit(0)).otherwise(k)
+    ck = F.when(m == 6, F.lit(-1)).otherwise(F.col("o_custkey"))
+    st = F.when(m == 4, F.lit("X")).otherwise(F.col("o_orderstatus"))
+    cents2 = F.when(m == 3, F.lit(-1)).otherwise(cents)
+    good_line = F.concat(
+        F.lit('{"id": '), idv,
+        F.lit(', "custkey": '), ck,
+        F.lit(', "status": "'), st,
+        F.lit('", "cents": '), cents2,
+        F.lit("}"),
+    )
+    line = (
+        F.when(m == 0, F.concat(F.lit('{"id": '), k))  # truncated JSON
+        .when(m == 1, F.lit("[1, 2]"))  # valid JSON, not an object
+        .when(m == 2, F.lit('{"unrelated": 1}'))  # no projected fields
+        .otherwise(good_line)
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(root)
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("custkey", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("cents", T.LongType()),
+        ]
+    )
+    good, quar = read_jsonl(spark, root, schema)
+    total_lines = o.count()
+    quarrows = (
+        quar.groupBy(F.col("reason").alias("rule"))
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.lit("quarantine").alias("kind"),
+            "rule",
+            "violations",
+            F.lit(total_lines).cast("long").alias("total"),
+            F.lit(False).alias("passed"),
+        )
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    rep = quality.check(
+        good,
+        rules=[
+            quality.not_null("status"),
+            quality.in_range("cents", 0, 100000000),
+            quality.matches("status", "^[FOP]$"),
+        ],
+        unique=[["id"]],
+        foreign_keys=[("custkey", customer, "c_custkey")],
+    ).select(
+        F.lit("expectation").alias("kind"),
+        "rule",
+        "violations",
+        "total",
+        F.col("pass").alias("passed"),
+    )
+    return quarrows.unionByName(rep)
+
+
+@register(
     "streaming_job_sessions",
     oracle="""
 SELECT 'job_' || CAST(event_id // 40 AS VARCHAR) AS jobId,
@@ -623,16 +778,26 @@ def streaming_job_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one file → one micro-batch → no timeout firings: deterministic
     att.coalesce(1).write.parquet(inp)
 
-    stream = spark.readStream.schema("jobId string, startTime long, finishTime long").parquet(inp)
-    q = (
-        stateful.sessionize_jobs(stream, gap="30 minutes", watermark="1 hour")
-        .writeStream.outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Size the stateful stage here — the fresh checkpoint pins it, and
+    # the session's 200-way batch default is pure task overhead at
+    # gate scale (see streaming_dedup_join for the cluster rationale).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stream = spark.readStream.schema(
+            "jobId string, startTime long, finishTime long"
+        ).parquet(inp)
+        q = (
+            stateful.sessionize_jobs(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     # The drain runs one extra empty batch whose watermark fires
     # timeouts; which jobs close depends on Spark's watermark-compare
     # edge, so the oracle pins only the running (final=False) rows —

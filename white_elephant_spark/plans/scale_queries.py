@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from white_elephant_spark.functions.compat import dec, sql_dsum
 from white_elephant_spark.operators.skew import salted_rollup
 from white_elephant_spark.plans.registry import register
+from white_elephant_spark.sources import layout
 from white_elephant_spark.sources.bucketing import bucketed_pair
 from white_elephant_spark.sources.catalog import load_table
 
@@ -88,4 +89,59 @@ def skew_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     return salted_rollup(
         ev, ["event_type"], dsum_cols=["value"], count_alias="n", n_salt=32
+    )
+
+
+_ZBITS = 4  # 16 quantile ranks per dimension
+_ZPROBES = [i / (1 << _ZBITS) for i in range(1, 1 << _ZBITS)]
+_ZPROBES_SQL = ", ".join(repr(p) for p in _ZPROBES)
+
+
+@register(
+    "zorder_layout_keys",
+    oracle=f"""
+WITH cuts AS (
+  SELECT quantile_cont(CAST(user_id AS DOUBLE), [{_ZPROBES_SQL}]) AS cu,
+         quantile_cont(CAST(value AS DOUBLE), [{_ZPROBES_SQL}]) AS cv
+  FROM events
+),
+bucketed AS (
+  SELECT event_id,
+         CAST({layout.sql_bucket_from_cuts('user_id', 'cu')} AS BIGINT) AS ub,
+         CAST({layout.sql_bucket_from_cuts('value', 'cv')} AS BIGINT) AS vb
+  FROM events, cuts
+)
+SELECT event_id, ub, vb,
+       CAST({layout.sql_zvalue(['ub', 'vb'], _ZBITS)} AS BIGINT) AS zval
+FROM bucketed
+""",
+    tags=("layout", "zorder", "scale"),
+)
+def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The z-order layout math, hash-verified per row: every event's
+    quantile-bucket rank on (user_id, value) and the Morton interleave
+    of the two ranks — the key :func:`white_elephant_spark.sources.
+    layout.write_zordered` range-partitions the write on, so parquet
+    footer min/max stats go tight on BOTH filter columns at once.
+
+    This registered form computes the 15 interior cuts per dimension
+    with *exact* percentiles (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``; one aggregation, driver collect bounded by
+    2^bits, never rows) so the oracle reproduces every bucket and
+    z-value bit-for-bit; the production write path uses
+    ``approxQuantile`` cuts — same IF-tree, same interleave, sketch
+    cuts (engine-private, covered by tests/test_layout.py's
+    footer-stat tightness assertions)."""
+    ev = load_table(spark, sf_dir, "events")
+    row = ev.agg(
+        F.expr(f"percentile(CAST(user_id AS DOUBLE), array({_ZPROBES_SQL}))").alias("cu"),
+        F.expr(f"percentile(CAST(value AS DOUBLE), array({_ZPROBES_SQL}))").alias("cv"),
+    ).collect()[0]
+    ub = layout.bucket_from_cuts(F.col("user_id"), list(row["cu"]))
+    vb = layout.bucket_from_cuts(F.col("value"), list(row["cv"]))
+    return ev.select(
+        "event_id",
+        ub.alias("ub"),
+        vb.alias("vb"),
+        layout.zvalue([ub, vb], bits=_ZBITS).alias("zval"),
     )

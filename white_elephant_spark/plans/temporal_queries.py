@@ -295,24 +295,45 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "streaming_dedup_events",
+    "streaming_dedup_join",
     oracle="""
-SELECT event_id, ts, user_id, event_type, value FROM events
+SELECT 'event' AS kind, event_id, ts, user_id, event_type, value,
+       CAST(NULL AS BIGINT) AS r_event_id, CAST(NULL AS TIMESTAMP) AS r_ts
+FROM events
+UNION ALL
+SELECT 'pair' AS kind, l.event_id, l.ts, l.user_id, l.event_type, l.value,
+       r.event_id AS r_event_id, r.ts AS r_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'error'
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
 """,
-    tags=("streaming", "dedup"),
+    tags=("streaming", "dedup", "join"),
 )
-def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming exactly-once dedup: the events table arrives as three
-    at-least-once deliveries (two copies, then a third in a later
-    ingestion cycle); keyed ``dropDuplicates`` state in the checkpoint
-    suppresses every re-delivery — within a batch, across batches, and
-    across ``availableNow`` restarts — so the sink holds exactly the
-    distinct source rows. Watermark bounds the seen-set to a 60-day
-    horizon (the state-size contract at scale)."""
+def streaming_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online ingest tail, two stateful streaming operators in one
+    verified result (``kind`` column):
+
+    - ``event`` rows — streaming exactly-once dedup: the events table
+      arrives as three at-least-once deliveries (two copies, then a
+      third in a later ingestion cycle); keyed ``dropDuplicates``
+      state in the checkpoint suppresses every re-delivery — within a
+      batch, across batches, and across ``availableNow`` restarts —
+      so the sink holds exactly the distinct source rows. Watermark
+      bounds the seen-set to a 60-day horizon (the state-size
+      contract at scale).
+    - ``pair`` rows — watermarked stream-stream join over the deduped
+      stream (:func:`white_elephant_spark.streaming.join_stream.
+      windowed_stream_join`): every ``error`` attributed to the same
+      user's preceding ``click`` within a 10-minute window; the
+      equality key co-locates both sides and the time-range predicate
+      bounds buffered state. The oracle is the batch inequality join
+      over the distinct events."""
     import os
     import shutil
 
     from white_elephant_spark.streaming import dedup_stream as ds
+    from white_elephant_spark.streaming import join_stream as js
 
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -320,7 +341,9 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streaming_dedup",
     )
     shutil.rmtree(root, ignore_errors=True)
-    inp, out, ckpt = (os.path.join(root, d) for d in ("in", "out", "ckpt"))
+    inp, out, jout, ckpt, jckpt = (
+        os.path.join(root, d) for d in ("in", "out", "jout", "ckpt", "jckpt")
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -329,18 +352,74 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    ev.unionAll(ev).write.mode("append").parquet(inp)
-    ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
-    ev.write.mode("append").parquet(inp)
-    ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
+    # Streaming state partitions are pinned at first checkpoint
+    # creation; these checkpoints are created fresh every run, so the
+    # stateful stages are sized here instead of inheriting the
+    # session's batch default (200-way state shuffles over a test
+    # corpus are pure task overhead — on a cluster this knob is the
+    # state-store parallelism plan and stays high).
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        ev.unionAll(ev).write.mode("append").parquet(inp)
+        ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
+        ev.write.mode("append").parquet(inp)
+        ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
 
-    return spark.read.parquet(out).select(
+        # Stream-stream join over the deduped stream: clicks ⋈ errors
+        # per user within 10 minutes (both legs are streaming filters
+        # of the same file stream — a genuine stream-stream self-join).
+        dd = spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, value double"
+        ).parquet(out)
+        joined = js.windowed_stream_join(
+            dd.filter(F.col("event_type") == "click"),
+            dd.filter(F.col("event_type") == "error"),
+            key="user_id",
+            window="10 minutes",
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .option("checkpointLocation", jckpt)
+            .foreachBatch(lambda df, _e: df.write.mode("append").parquet(jout))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+    events_out = spark.read.parquet(out).select(
+        F.lit("event").alias("kind"),
         "event_id",
         F.col("ts").cast("timestamp_ntz").alias("ts"),
         "user_id",
         "event_type",
         "value",
+        F.lit(None).cast("long").alias("r_event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
     )
+    join_schema = (
+        "l_event_id long, l_ts timestamp, l_user_id long, l_event_type string,"
+        " l_value double, r_event_id long, r_ts timestamp, r_user_id long,"
+        " r_event_type string, r_value double"
+    )
+    pairs_raw = (
+        spark.read.schema(join_schema).parquet(jout)
+        if os.path.isdir(jout)
+        else spark.createDataFrame([], join_schema)
+    )
+    pairs_out = pairs_raw.select(
+        F.lit("pair").alias("kind"),
+        F.col("l_event_id").alias("event_id"),
+        F.col("l_ts").cast("timestamp_ntz").alias("ts"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_event_type").alias("event_type"),
+        F.col("l_value").alias("value"),
+        F.col("r_event_id"),
+        F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
+    )
+    return events_out.unionByName(pairs_out)
 
 
 @register(

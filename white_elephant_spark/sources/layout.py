@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue", "write_zordered", "compact"]
+__all__ = [
+    "zvalue",
+    "sql_zvalue",
+    "bucket_from_cuts",
+    "sql_bucket_from_cuts",
+    "write_zordered",
+    "compact",
+]
 
 
 def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
@@ -55,6 +62,38 @@ def zvalue(cols: list[Column | str], bits: int = 16) -> Column:
                 F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * n + i)
             )
     return out
+
+
+def sql_zvalue(exprs: list[str], bits: int) -> str:
+    """DuckDB twin of :func:`zvalue` over already-bucketed integer
+    expressions: bit ``b`` of expression ``i`` lands at position
+    ``b·n + i``. Disjoint positions make OR equal to addition, so the
+    SQL form is a plain sum of shifted bits."""
+    n = len(exprs)
+    terms = [
+        f"(((({e}) >> {b}) & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, e in enumerate(exprs)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bucket_from_cuts(c: Column, cuts: list[float]) -> Column:
+    """Bucket index of ``c`` against explicit, already-computed cut
+    boundaries (= count of cuts ≤ c), via the balanced IF-tree. The
+    exact-percentile entry point for oracle-checked layout keys —
+    :func:`write_zordered` itself uses ``approxQuantile`` cuts, whose
+    Greenwald-Khanna sketch no other engine reproduces."""
+    return _bucket_tree(c.cast("double"), [float(x) for x in cuts], 0, len(cuts))
+
+
+def sql_bucket_from_cuts(expr: str, cuts_list_expr: str) -> str:
+    """DuckDB twin of :func:`bucket_from_cuts`: count of cuts ≤ value
+    (the IF-tree converges to the rightmost boundary on ties, which is
+    exactly this count)."""
+    return (
+        f"len(list_filter({cuts_list_expr}, x -> x <= CAST({expr} AS DOUBLE)))"
+    )
 
 
 def _bucket_tree(c: Column, cuts: list[float], lo: int, hi: int) -> Column:
