@@ -94,17 +94,17 @@ def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
     # one distributed level of REDUCE_WIDTH groups before the driver
     # combine, so driver input is O(REDUCE_WIDTH · d²) regardless of
     # partition count (a 100k-partition scan would otherwise collect
-    # GBs of 32 KB partial rows). Round-robin repartition sorts for
-    # determinism under retries; residual float nondeterminism from
-    # in-group summation order is ~1e-15 relative — callers needing
-    # bit-identical reruns quantize downstream.
-    parts = (
-        df.select(vec_col)
-        .mapInPandas(partials, schema)
-        .repartition(REDUCE_WIDTH)
-        .mapInPandas(combine, schema)
-        .collect()
-    )
+    # GBs of 32 KB partial rows). The level is skipped when the scan
+    # already has at most REDUCE_WIDTH partitions — the direct collect
+    # is within the same bound and saves a shuffle + Arrow stage.
+    # Round-robin repartition sorts for determinism under retries;
+    # residual float nondeterminism from in-group summation order is
+    # ~1e-15 relative — callers needing bit-identical reruns quantize
+    # downstream.
+    partials_df = df.select(vec_col).mapInPandas(partials, schema)
+    if partials_df.rdd.getNumPartitions() > REDUCE_WIDTH:
+        partials_df = partials_df.repartition(REDUCE_WIDTH).mapInPandas(combine, schema)
+    parts = partials_df.collect()
     if not parts:
         raise ValueError("empty input")
     n = sum(p["n"] for p in parts)
