@@ -36,6 +36,23 @@ def test_span_removal_never_cartesian(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_rollup_reuses_the_fact_exchange(spark):
+    """rollup_time_units_tz shuffles the fact table ONCE into the
+    30-minute partial; the five (unit, zone) branches reuse that
+    exchange instead of re-shuffling the facts (the round-3 plan did
+    five full-fact shuffles)."""
+    from white_elephant_spark.plans.registry import all_queries
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = all_queries()["rollup_time_units_tz"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert plan.count("ReusedExchange") >= 4
+
+
 def test_fuzzy_join_has_no_nested_loop(spark):
     """Every fuzzy-join stage — main Ed-Join pass, q=1 short-string
     pass, exploded-length ultra-short pass — is an equi-join; no

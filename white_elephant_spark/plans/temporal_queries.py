@@ -369,9 +369,18 @@ def streaming_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Stream-stream join over the deduped stream: clicks ⋈ errors
         # per user within 10 minutes (both legs are streaming filters
         # of the same file stream — a genuine stream-stream self-join).
-        dd = spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, event_type string, value double"
-        ).parquet(out)
+        # One micro-batch for the whole backlog: with the default
+        # 1000-file cap a huge backlog could split into several
+        # batches, letting the watermark advance between them and
+        # evict buffered rows mid-join — correct streaming behavior,
+        # but this query's oracle is the complete batch join.
+        dd = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", "1000000")
+            .parquet(out)
+        )
         joined = js.windowed_stream_join(
             dd.filter(F.col("event_type") == "click"),
             dd.filter(F.col("event_type") == "error"),
