@@ -201,3 +201,44 @@ def test_dedup_edge_growth_is_subquadratic(spark):
     edge_growth = (e_big + 1) / (e_small + 1)
     # quadratic would be ~doc_growth²; allow generous linear headroom
     assert edge_growth <= 3 * doc_growth, (n_small, e_small, n_big, e_big)
+
+
+def test_neardup_lsh_candidates_subquadratic(spark):
+    """Sign-sketch-blocked near-dup candidate volume grows ~with the
+    corpus, not quadratically (the label-blocked form was Σ|label|²:
+    100× pairs on 10× data). Also: the plan is equi-join only."""
+    from white_elephant_spark.operators import similarity
+    from white_elephant_spark.sources.catalog import load_table
+
+    def cand_count(sf_dir: str) -> tuple[int, int]:
+        emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        enc = similarity.encoded_buckets_arrow(64, 16, 4)
+        keyed = emb.select(
+            F.col("vec_id").alias("id"), F.explode(enc(F.col("embedding"))).alias("bk")
+        )
+        cand = (
+            keyed.alias("a")
+            .join(
+                keyed.alias("b"),
+                (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select("a.id", "b.id")
+            .distinct()
+        )
+        return emb.count(), cand.count()
+
+    n_small, c_small = cand_count("/root/testdata/sf0.001")
+    n_big, c_big = cand_count("/root/testdata/sf0.01")
+    growth = (c_big + 1) / (c_small + 1)
+    assert growth <= 3 * (n_big / n_small), (n_small, c_small, n_big, c_big)
+
+    from white_elephant_spark.operators.similarity import neardup_pairs_lsh
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    plan = neardup_pairs_lsh(emb, 0.999, dim=64)._jdf.queryExecution().explainString(
+        emb._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
