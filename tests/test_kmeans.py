@@ -47,3 +47,23 @@ def test_assignment_is_nearest_by_cosine(spark):
         )
         assert got[vid][0] == best[0], vid
         assert abs(got[vid][1] - best[1]) < 1e-6
+
+
+def test_kmeans_on_pca_reduced_vectors(spark):
+    """The literal pipeline composition: PCA-project the corpus to a
+    reduced space, then k-means the reduced vectors — the registered
+    embedding_cluster_map keeps k-means on raw vectors only because a
+    reduced-space Lloyd isn't oracle-expressible (the eigenbasis isn't
+    SQL-derivable); the composition itself must still work end to end
+    and produce a non-degenerate segmentation."""
+    from white_elephant_spark.operators.decomposition import fit_pca, project_pca
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    model = fit_pca(emb, k=16)
+    red = project_pca(emb, model).withColumnRenamed("reduced", "embedding")
+    out = kmeans_fit_predict(red, k=4, iters=1, dim=16)
+    rows = out.collect()
+    assert len(rows) == emb.count()  # every vector assigned
+    clusters = {r["cluster_id"] for r in rows}
+    assert 2 <= len(clusters) <= 4  # non-degenerate segmentation
+    assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
