@@ -72,6 +72,12 @@ SINGLE_RUN_ABOVE = 20.0
 # to a flagged -1.0, never hang the whole artifact (the round-2 bench
 # died rc=124 inside an unbounded recursive-CTE oracle).
 ORACLE_TIMEOUT = 60.0
+# Third steady-state run for cheap-to-midrange queries, applied to
+# BOTH engines: run-to-run variance at small scale (JIT state,
+# codegen warm-up of wide literal expressions, GC timing) is a large
+# fraction of the measurement; a third run costs little wall and
+# tightens the recorded best. Expensive queries stay at 1-2 runs.
+THIRD_RUN_BELOW = 8.0
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -98,10 +104,12 @@ def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
         if not sql:
             continue
         best = None
-        # Best-of-two, symmetric with the Spark side: both engines
+        # Symmetric with the Spark side's run policy: best-of-2, plus
+        # a third run for oracles under THIRD_RUN_BELOW — both engines
         # report steady-state, neither pays one-time compile/IO warmup
-        # in its recorded number.
-        for _ in range(2):
+        # in its recorded number, and neither gets an extra shot the
+        # other doesn't.
+        for attempt in range(3):
             timer = threading.Timer(ORACLE_TIMEOUT, con.interrupt)
             timer.start()
             t0 = time.time()
@@ -115,6 +123,8 @@ def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
             finally:
                 timer.cancel()
             if best > SINGLE_RUN_ABOVE:
+                break
+            if attempt >= 1 and best > THIRD_RUN_BELOW:
                 break
         out[name] = round(best, 3)
     return out
@@ -159,13 +169,26 @@ def main() -> None:
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
     # JVM/codegen warmup, untimed: the smallest table plus one real
-    # shuffle+window query — the first measured query otherwise pays
-    # phase-change costs (executor thread spin-up, first shuffle
-    # manager init) that best-of-N can't shed because both runs land
-    # in the cold phase (r3: topk_users_other 1.83s recorded vs 0.30s
-    # steady-state).
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    qs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # shuffle+window+noop-sink plan — the first measured query
+    # otherwise pays phase-change costs (executor thread spin-up,
+    # first shuffle manager init) that best-of-N can't shed because
+    # both runs land in the cold phase (r3: topk_users_other 1.83s
+    # recorded vs 0.30s steady-state). Deliberately NOT a headline
+    # plan: warming up with the first measured query's exact plan
+    # would hand it a hidden extra run the others (and DuckDB) don't
+    # get.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    warm = (
+        spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+        .groupBy("n_regionkey")
+        .agg(_F.count(_F.lit(1)).alias("c"))
+        .withColumn(
+            "rn", _F.row_number().over(_W.partitionBy("n_regionkey").orderBy("c"))
+        )
+    )
+    warm.write.format("noop").mode("overwrite").save()
 
     # Two runs per query, report the faster: the first run pays
     # one-time whole-stage-codegen compilation (~2-5s/plan), which
@@ -176,13 +199,6 @@ def main() -> None:
     times: dict[str, float] = {}
     import gc
 
-    # Extra steady-state run for cheap-to-midrange queries: run-to-run
-    # variance at small scale (JIT state, codegen warm-up of wide
-    # literal expressions, GC timing) is a large fraction of the
-    # measurement; a third run costs little wall and tightens the
-    # recorded best (ann_lsh_topk: 5.9s on run 2, 3.5s steady).
-    # Expensive queries stay at 1-2 runs.
-    THIRD_RUN_BELOW = 8.0
     for name in names:
         t0 = time.time()
         qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
