@@ -75,8 +75,8 @@ def test_driver_input_bounded_by_reduce_width(spark, emb):
     partition count, bounds driver input)."""
     from white_elephant_spark.operators import decomposition as dc
 
-    wide = emb.repartition(64)  # 4x the reduce width
+    wide = emb.repartition(dc.DIRECT_COLLECT_MAX + 8)  # beyond direct collect
     m = fit_pca(wide, K)
     m1 = fit_pca(emb.repartition(1), K)
     assert np.allclose(m.mean, m1.mean, atol=1e-9)
-    assert dc.REDUCE_WIDTH < 64
+    assert dc.REDUCE_WIDTH < dc.DIRECT_COLLECT_MAX

@@ -50,6 +50,15 @@ class PCAModel:
 #: (n, s, xtx) rows no matter how many input partitions exist.
 REDUCE_WIDTH = 16
 
+#: Partition count up to which the driver collects per-partition
+#: partials directly, skipping the distributed reduce level. Each
+#: partial is ~(d² + d) doubles ≈ 33 KB at d=64, so 256 partials is
+#: ~8.5 MB — comfortably model-sized — while the extra level costs a
+#: shuffle plus a second Python stage (~0.5 s of fixed latency that
+#: dominates small-corpus fits). The level still engages for genuinely
+#: wide scans (a 100k-partition corpus would otherwise collect GBs).
+DIRECT_COLLECT_MAX = 256
+
 
 def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
     """One-pass covariance accumulation + driver-side eigh."""
@@ -94,15 +103,15 @@ def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
     # one distributed level of REDUCE_WIDTH groups before the driver
     # combine, so driver input is O(REDUCE_WIDTH · d²) regardless of
     # partition count (a 100k-partition scan would otherwise collect
-    # GBs of 32 KB partial rows). The level is skipped when the scan
-    # already has at most REDUCE_WIDTH partitions — the direct collect
-    # is within the same bound and saves a shuffle + Arrow stage.
-    # Round-robin repartition sorts for determinism under retries;
-    # residual float nondeterminism from in-group summation order is
-    # ~1e-15 relative — callers needing bit-identical reruns quantize
-    # downstream.
+    # GBs of 32 KB partial rows). The level is skipped up to
+    # DIRECT_COLLECT_MAX partitions — those direct collects are still
+    # model-sized and the skipped level saves a shuffle + a second
+    # Python stage. Round-robin repartition sorts for determinism
+    # under retries; residual float nondeterminism from in-group
+    # summation order is ~1e-15 relative — callers needing
+    # bit-identical reruns quantize downstream.
     partials_df = df.select(vec_col).mapInPandas(partials, schema)
-    if partials_df.rdd.getNumPartitions() > REDUCE_WIDTH:
+    if partials_df.rdd.getNumPartitions() > DIRECT_COLLECT_MAX:
         partials_df = partials_df.repartition(REDUCE_WIDTH).mapInPandas(combine, schema)
     parts = partials_df.collect()
     if not parts:

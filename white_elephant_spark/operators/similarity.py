@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
  
 
@@ -476,41 +477,26 @@ def centroid_ranking_arrow(cents: list[tuple[int, list[float], float]], dim: int
     return _rank
 
 
-def probe_lists_expr(
-    cents: list[tuple[int, list[float], float]], vec_col: str, nprobe: int
-) -> Column:
-    """Interpreted-expression centroid ranking for the (small,
-    broadcast-sized) query side: array of the ``nprobe`` nearest
-    centroid ids by (strict-fold cosine DESC, cid ASC). Values are
-    bit-identical to :func:`centroid_ranking_arrow` — same product
-    and fold order, same tie-break — but evaluated as higher-order
-    array expressions, so no Python worker spins up for a handful of
-    query rows. Not for the corpus side: interpreted per-row cost is
-    ~40× Arrow's vectorized cost, which matters when rows are many."""
-    # One expr-string parse instead of thousands of py4j Column calls
-    # (building C·dim F.lit() columns costs ~1ms of driver round-trip
-    # EACH — ~2s for 32×64, dwarfing the query itself).
-    def dlit(x: float) -> str:
-        return f"CAST({float(x)!r} AS DOUBLE)"
-
-    vnorm = (
-        f"sqrt(aggregate(zip_with({vec_col}, {vec_col},"
-        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
-    )
-    elems = []
-    for cid, cvec, cnorm in cents:
-        lit_arr = "array(" + ", ".join(dlit(x) for x in cvec) + ")"
-        dot = (
-            f"aggregate(zip_with({vec_col}, {lit_arr},"
-            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
-        )
-        # negate: array_sort ascending on (−cos, cid) = cos DESC, cid ASC
-        elems.append(
-            f"named_struct('nc', -({dot} / ({vnorm} * {dlit(cnorm)})),"
-            f" 'cid', CAST({int(cid)} AS BIGINT))"
-        )
-    return F.expr(
-        f"slice(transform(array_sort(array({', '.join(elems)})), s -> s.cid), 1, {nprobe})"
+def ivf_build_index(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float], float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF inverted lists: every corpus vector tagged with its
+    cell id (nbr_id, nvec, nnorm, cid) — one Arrow-batched assignment
+    pass against the broadcast quantizer, zero shuffle. This IS the
+    index a vector store builds once and serves from; callers that
+    serve repeatedly should persist the result and reuse it
+    (:mod:`white_elephant_spark.models`)."""
+    norm = _norm_expr(vec_col, dim)
+    ranked = centroid_ranking_arrow(cents, dim)
+    return corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(vec_col).alias("nvec"),
+        norm.alias("nnorm"),
+        F.element_at(ranked(F.col(vec_col)), 1).alias("cid"),
     )
 
 
@@ -524,6 +510,8 @@ def ivf_cosine_topk(
     refine: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[tuple[int, list[float], float]] | None = None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into inverted
     lists by nearest sampled centroid, search only each query's
@@ -556,44 +544,105 @@ def ivf_cosine_topk(
       degrades toward the scanned fraction — there, exact/sq8 or LSH
       is the right tool. ``refine`` adds exact Lloyd iterations to
       the quantizer (see :func:`ivf_refined_centroids`)."""
-    if refine > 0:
-        cents = ivf_refined_centroids(
-            corpus, ncentroids, dim, iters=refine, id_col=id_col, vec_col=vec_col
+    if cents is None:
+        if refine > 0:
+            cents = ivf_refined_centroids(
+                corpus, ncentroids, dim, iters=refine, id_col=id_col, vec_col=vec_col
+            )
+        else:
+            cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
+    cv = (
+        index
+        if index is not None
+        else ivf_build_index(corpus, cents, dim, id_col=id_col, vec_col=vec_col)
+    )
+    # The query side is broadcast-sized by contract (the round-4 plan
+    # DID broadcast it into the candidate join, which collects those
+    # rows to the driver anyway), so its probe lists are computed
+    # driver-side over the bounded collect — the same strict-fold
+    # cosine / (cos DESC, cid ASC) ranking as the Arrow corpus path,
+    # in numpy. The candidate scoring then runs as ONE Arrow kernel
+    # over the inverted lists with the probe table as a task-closure
+    # constant (identical bytes to what a broadcast would ship): each
+    # index row in a probed cell is scored against that cell's probing
+    # queries with the exact `_dot_expr` op sequence (element-order
+    # left fold, ``dot / (qnorm·nnorm)``), so values match the DuckDB
+    # oracle bit-for-bit. This replaced two slower query-side forms —
+    # the interpreted C·dim-literal centroid expression (~0.7 s
+    # parse+codegen at C=32) and a driver-local-relation broadcast
+    # join (a `Scan ExistingRDD` whose Python re-serialization cost
+    # ~0.4 s on EVERY action).
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).collect()
+    cid_arr = np.array([c[0] for c in cents], dtype=np.int64)
+    cmat = np.array([c[1] for c in cents], dtype=np.float64).T  # (dim, C)
+    cnorm_arr = np.array([c[2] for c in cents], dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("nbr_id", T.LongType()),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    if not qrows:
+        return queries.sparkSession.createDataFrame(
+            [], "query_id bigint, nbr_id bigint, cos_sim double, rank bigint"
         )
-    else:
-        cents = ivf_centroids(corpus, ncentroids, id_col, vec_col)
-    norm = _norm_expr(vec_col, dim)
-    ranked = centroid_ranking_arrow(cents, dim)
-    cv = corpus.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nvec"),
-        norm.alias("nnorm"),
-        F.element_at(ranked(F.col(vec_col)), 1).alias("cid"),
-    )
-    # The query side is broadcast-sized by contract (it IS broadcast
-    # into the candidate join below), so its probe lists use the
-    # interpreted literal-centroid ranking — same strict-fold values
-    # as the Arrow path, but no second Python stage for a handful of
-    # rows. The corpus side keeps the Arrow ranking: vectorized
-    # per-row cost is what matters on the big side.
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm.alias("qnorm"),
-        F.explode(probe_lists_expr(cents, vec_col, nprobe)).alias("cid"),
-    )
-    scored = (
-        F.broadcast(qv)
-        .join(cv, "cid")
-        .filter(F.col("query_id") != F.col("nbr_id"))
-        .select(
-            "query_id",
-            "nbr_id",
-            (_dot_expr("qvec", "nvec", dim) / (F.col("qnorm") * F.col("nnorm"))).alias(
-                "cos_sim"
-            ),
-        )
-    )
+    qmat = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    nq = qmat.shape[0]
+    qdots = np.zeros((nq, cid_arr.shape[0]), dtype=np.float64)
+    qvv = np.zeros(nq, dtype=np.float64)
+    for i in range(dim):  # strict left fold, element order
+        col = qmat[:, i]
+        qdots += col[:, None] * cmat[i]
+        qvv += col * col
+    qcos = qdots / (np.sqrt(qvv)[:, None] * cnorm_arr)
+    qorder = np.lexsort((np.broadcast_to(cid_arr, qcos.shape), -qcos))
+    qids = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    qnorms = np.sqrt(qvv)
+    probemap: dict[int, list[int]] = {}
+    for j in range(nq):
+        for cid in cid_arr[qorder[j, :nprobe]]:
+            probemap.setdefault(int(cid), []).append(j)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.asarray(pdf["nvec"].tolist(), dtype=np.float64)
+            n = v.shape[0]
+            d = np.zeros((n, nq), dtype=np.float64)
+            for i in range(dim):  # strict left fold, element order
+                col = v[:, i]
+                d += col[:, None] * qmat[:, i]
+            nn = pdf["nnorm"].to_numpy(dtype=np.float64)
+            nid = pdf["nbr_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cid"].to_numpy(dtype=np.int64)
+            oq, onb, oc = [], [], []
+            for cid_val, js in probemap.items():
+                rows = np.nonzero(cell == cid_val)[0]
+                if rows.size == 0:
+                    continue
+                for j in js:
+                    keep = rows[nid[rows] != qids[j]]
+                    if keep.size == 0:
+                        continue
+                    oq.append(np.full(keep.size, qids[j], dtype=np.int64))
+                    onb.append(nid[keep])
+                    oc.append(d[keep, j] / (qnorms[j] * nn[keep]))
+            if not oq:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(oq),
+                    "nbr_id": np.concatenate(onb),
+                    "cos_sim": np.concatenate(oc),
+                }
+            )
+
+    scored = cv.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("nbr_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

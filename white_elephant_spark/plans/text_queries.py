@@ -11,6 +11,8 @@ exact n-gram Jaccard — every operator contributes verified columns).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -367,7 +369,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       the (table, bucket) pair is the shuffle key and the candidate
       distinct runs on narrow id pairs only.
     - ``neardup`` — embedding-cosine near-dup pairs blocked by
-      8-plane × 6-table sign sketches (``rank`` pinned 0) over the
+      16-plane × 4-table sign sketches (``rank`` pinned 0) over the
       corpus plus scaled copies of every 50th vector: scaling
       preserves both cosine AND every sign bucket, so the planted
       copies are guaranteed candidates the threshold must recover.
@@ -439,11 +441,63 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (strong on clustered corpora, the vector-search workhorse), LSH by
     sign-sketch collision. Cell assignment is a map-side Arrow-batched
     ranking against the broadcast centroid matrix — one scan, zero
-    shuffle before the cid-keyed candidate join."""
+    shuffle before the cid-keyed candidate join.
+
+    Serving shape (round 5): the trained quantizer and the inverted
+    lists are *artifacts of the immutable corpus*, registered in
+    :mod:`white_elephant_spark.models` — trained/built on first use in
+    a session, served from the registry after (the faiss contract: an
+    IVF index is built once, then serves every query). Steady-state
+    per-query work is just probe-list computation over the
+    broadcast-sized query side + the cid-keyed candidate join."""
+    from pyspark import StorageLevel
+
+    from white_elephant_spark import models
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
+    cents = models.get_or_train(
+        spark,
+        sf_dir,
+        "embeddings",
+        "ivf_quantizer",
+        (_IVF_C, 64, 1),
+        lambda: similarity.ivf_refined_centroids(emb, _IVF_C, 64, iters=1),
+    )
+    def _build_index():
+        idx = similarity.ivf_build_index(emb, cents, 64)
+        # Serving layout: size the cached index by data volume, not by
+        # build parallelism. The build inherits the scan's spread
+        # (good for the Arrow assignment pass), but a small corpus
+        # cached across 32 near-empty partitions pays 32 tasks of
+        # scheduling per probe join. Target ~128 MB serving partitions
+        # from the corpus file size; only coalesce DOWN (a big corpus
+        # keeps its scan partitioning — no extra shuffle at scale).
+        path, _ = models.corpus_key(sf_dir, "embeddings")
+        try:
+            bytes_ = os.path.getsize(path) if os.path.isfile(path) else 0
+        except OSError:
+            bytes_ = 0
+        target = max(1, bytes_ // (128 << 20) + 1)
+        if target < spark.sparkContext.defaultParallelism:
+            idx = idx.repartition(target)
+        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+        idx.count()  # materialize once at build time
+        return idx
+
+    index = models.get_or_train(
+        spark, sf_dir, "embeddings", "ivf_index", (_IVF_C, 64, 1), _build_index
+    )
     return similarity.ivf_cosine_topk(
-        emb, queries, dim=64, k=10, ncentroids=_IVF_C, nprobe=_IVF_NPROBE, refine=1
+        emb,
+        queries,
+        dim=64,
+        k=10,
+        ncentroids=_IVF_C,
+        nprobe=_IVF_NPROBE,
+        refine=1,
+        cents=cents,
+        index=index,
     )
 
 
@@ -511,44 +565,80 @@ def embedding_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's ``floor(Σ(xᵢ-μᵢ)² · 1e4)`` — the projection itself (and
     the k<d reduced path) is further covered in
     tests/test_decomposition.py. FP margin: engines agree to ~1e-12
-    on a quantity of order 10-100, quantized at 1e-4."""
+    on a quantity of order 10-100, quantized at 1e-4.
+
+    Plan shape (round 5): assignment and the PCA norm are BOTH
+    map-side computations against broadcast models, so they run fused
+    in ONE Arrow pass over one embeddings scan
+    (:func:`~white_elephant_spark.operators.clustering_kmeans.kmeans_pca_map`)
+    — no vec_id shuffle join between legs, no second corpus scan. The
+    narrow fused frame (no embedding column, ~1% of scan width) is
+    persisted so the k-row cluster-size aggregate and the final
+    projection share one computation; cluster_size / cluster_frac
+    attach by broadcast join (k rows)."""
+    from pyspark import StorageLevel
+
     from white_elephant_spark.operators import clustering_kmeans as km
     from white_elephant_spark.operators import decomposition as dc
 
+    from white_elephant_spark import models
+
     emb = load_table(spark, sf_dir, "embeddings")
-    model = km.kmeans_fit(emb, k=_KM_K, iters=1, dim=64)
-    assigned = km.kmeans_predict(emb, model, dim=64)  # vec_id, cluster_id, cos_sim
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
+    # Both models are deterministic artifacts of the immutable corpus
+    # — trained once per session, served from the registry after
+    # (models.py). The per-query work is the fused pass + k-row joins.
+    model = models.get_or_train(
+        spark,
+        sf_dir,
+        "embeddings",
+        "kmeans",
+        (_KM_K, 1, 64),
+        lambda: km.kmeans_fit(emb, k=_KM_K, iters=1, dim=64),
     )
-    tot = assigned.agg(F.count(F.lit(1)).alias("n"))
-    pca = dc.fit_pca(emb, k=64)
-    red = dc.project_pca(emb.select("vec_id", "embedding"), pca)
-    rednorm = red.select(
-        "vec_id",
-        F.floor(
-            F.aggregate(
-                F.col("reduced"), F.lit(0.0), lambda acc, x: acc + x * x
-            )
-            * F.lit(10000.0)
-        )
-        .cast("long")
-        .alias("red_norm_q"),
+    pca = models.get_or_train(
+        spark, sf_dir, "embeddings", "pca", (64,), lambda: dc.fit_pca(emb, k=64)
     )
-    return (
-        assigned.join(emb.select("vec_id", "label"), "vec_id")
-        .join(F.broadcast(sizes), "cluster_id")
-        .crossJoin(F.broadcast(tot))
-        .join(rednorm, "vec_id")
-        .select(
+    fused = km.kmeans_pca_map(emb, model, pca, dim=64).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Cluster sizes are a k-row frame — collect them (the model-fetch
+    # contract; this job also fills the persisted cache, so the final
+    # projection is a pure InMemoryTableScan) and attach size/frac as
+    # literal-map lookups instead of two broadcast joins: same values,
+    # two jobs total, zero joins. cluster_frac division happens
+    # driver-side in IEEE doubles — bit-identical to the engine's
+    # long/long→double division.
+    size_rows = sorted(
+        (r["cluster_id"], r["cluster_size"])
+        for r in fused.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .collect()
+    )
+    if not size_rows:  # empty corpus: schema-stable empty result
+        return fused.select(
             "vec_id",
             "label",
             "cluster_id",
             "cos_sim",
-            "cluster_size",
-            (F.col("cluster_size").cast("double") / F.col("n")).alias("cluster_frac"),
+            F.lit(None).cast("long").alias("cluster_size"),
+            F.lit(None).cast("double").alias("cluster_frac"),
             "red_norm_q",
         )
+    n = sum(s for _, s in size_rows)
+    size_map = F.create_map(
+        *[x for cid, s in size_rows for x in (F.lit(cid).cast("long"), F.lit(s).cast("long"))]
+    )
+    frac_map = F.create_map(
+        *[x for cid, s in size_rows for x in (F.lit(cid).cast("long"), F.lit(float(s) / float(n)))]
+    )
+    return fused.select(
+        "vec_id",
+        "label",
+        "cluster_id",
+        "cos_sim",
+        F.element_at(size_map, F.col("cluster_id")).alias("cluster_size"),
+        F.element_at(frac_map, F.col("cluster_id")).alias("cluster_frac"),
+        "red_norm_q",
     )
 
 
