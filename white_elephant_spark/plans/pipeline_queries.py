@@ -840,6 +840,9 @@ def conf_parse_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(root)
 
     o = load_table(spark, sf_dir, "orders")
+    # Streamed render (toLocalIterator, not collect): one conf file is
+    # written per arriving row, so driver memory stays O(partition)
+    # even though the 1/97 modulo selection grows linearly with sf.
     sel = (
         o.filter(F.col("o_orderkey") % 97 == 0)
         .select(
@@ -847,7 +850,7 @@ def conf_parse_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") % 13).cast("long").alias("u"),
             (F.col("o_custkey") % 5).cast("long").alias("q"),
         )
-        .collect()
+        .toLocalIterator()
     )
     for r in sel:
         with open(os.path.join(root, f"job_{r['k']}_1_conf.xml"), "w") as fh:
@@ -948,6 +951,29 @@ atts_exp AS (
 """
 
 
+class _SpoolList:
+    """Append-only line spool backed by a file: the fixture renderer's
+    replacement for in-memory section lists, so rendering memory is
+    O(1) in the number of orders. ``append`` writes through; iterating
+    flushes and replays the file line by line."""
+
+    def __init__(self, path: str):
+        self._path = path
+        self._fh = open(path, "w")
+
+    def append(self, line: str) -> None:
+        self._fh.write(line + "\n")
+
+    def __iter__(self):
+        self._fh.flush()
+        with open(self._path) as fh:
+            for line in fh:
+                yield line.rstrip("\n")
+
+    def close(self) -> None:
+        self._fh.close()
+
+
 def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
     """Render the orders table as real Hadoop-1.x job-history log
     *files* under ``<root>/<cluster>/daily/<yyyy>/<MMdd>/part-N.log``
@@ -973,6 +999,11 @@ def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
                 return  # already rendered for this scale factor
     shutil.rmtree(root, ignore_errors=True)
 
+    # Streamed render, not collect(): rows arrive sorted through
+    # toLocalIterator (one partition on the driver at a time, the
+    # distributed sort preserves global order across partitions), and
+    # every line goes straight to a per-section spool file — driver
+    # memory stays O(partition) at any sf instead of O(orders).
     rows = (
         load_table(spark, sf_dir, "orders")
         .select(
@@ -981,17 +1012,30 @@ def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
             F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("submit"),
             F.col("o_orderstatus").alias("st"),
         )
-        .collect()
+        .orderBy("k")
+        .toLocalIterator()
     )
-    rows.sort(key=lambda r: r["k"])
 
-    files: dict[tuple[str, int], dict[str, list[str]]] = {}
+    _SECTIONS = ("f1", "task", "att", "dup", "f2")
+    spool_root = os.path.join(root, "_spool")
+    os.makedirs(spool_root, exist_ok=True)
+    spools: dict[tuple[str, int], dict[str, object]] = {}
+
+    def _sections(cluster: str, fileno: int) -> dict[str, object]:
+        key = (cluster, fileno)
+        got = spools.get(key)
+        if got is None:
+            got = {
+                s: _SpoolList(os.path.join(spool_root, f"{cluster}-{fileno}-{s}"))
+                for s in _SECTIONS
+            }
+            spools[key] = got
+        return got
+
     for r in rows:
         k, u, submit, st = r["k"], r["u"], r["submit"], r["st"]
         cluster = "alpha" if k % 2 == 0 else "beta"
-        sections = files.setdefault(
-            (cluster, (k // 2) % 2), {"f1": [], "task": [], "att": [], "dup": [], "f2": []}
-        )
+        sections = _sections(cluster, (k // 2) % 2)
         jid, tid = f"job_{k}_1", f"task_{k}_1_m_0"
         raw_status = {"F": "SUCCESS", "O": "FAILURE"}.get(st, "RUNNING")
         fin = submit + (k % 100000) * 1000
@@ -1039,7 +1083,7 @@ def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
             f' TOTAL_MAPS="{k % 50}" .'
         )
 
-    for (cluster, fileno), sections in files.items():
+    for (cluster, fileno), sections in spools.items():
         d = os.path.join(root, cluster, "daily", "2024", "0101")
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, f"part-{fileno}.log"), "w") as fh:
@@ -1064,6 +1108,10 @@ def _write_raw_log_fixture(spark: SparkSession, sf_dir: str, root: str) -> None:
         for bad in (".stale-part.log", "_tmp-attempt.log"):
             with open(os.path.join(d, bad), "w") as fh:
                 fh.write(poison)
+    for sections in spools.values():
+        for spool in sections.values():
+            spool.close()
+    shutil.rmtree(spool_root, ignore_errors=True)
     with open(marker, "w") as fh:
         fh.write(stamp)
 
