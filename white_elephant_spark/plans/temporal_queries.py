@@ -307,6 +307,19 @@ FROM events l JOIN events r
   ON l.user_id = r.user_id
  AND l.event_type = 'click' AND r.event_type = 'error'
  AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+UNION ALL
+SELECT 'metrics' AS kind,
+       3 * (SELECT COUNT(*) FROM events) AS event_id,
+       CAST(NULL AS TIMESTAMP) AS ts,
+       (SELECT COUNT(*) FROM events) AS user_id,
+       'observe' AS event_type,
+       CAST(NULL AS DOUBLE) AS value,
+       (SELECT COUNT(*)
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'click' AND r.event_type = 'error'
+         AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE) AS r_event_id,
+       CAST(NULL AS TIMESTAMP) AS r_ts
 """,
     tags=("streaming", "dedup", "join"),
 )
@@ -328,12 +341,24 @@ def streaming_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       user's preceding ``click`` within a 10-minute window; the
       equality key co-locates both sides and the time-range predicate
       bounds buffered state. The oracle is the batch inequality join
-      over the distinct events."""
+      over the distinct events.
+    - one ``metrics`` row — the stream monitor, driver-attested:
+      ``observe()`` counters on the dedup cycles (rows seen before
+      the seen-set / rows emitted) and on the join output, collected
+      through :class:`~white_elephant_spark.streaming.monitor.
+      MetricsListener` and folded into the hashed result
+      (event_id = rows seen across all cycles = 3·|events|,
+      user_id = rows the dedup emitted = |events|,
+      r_event_id = pairs the stream-stream join emitted). The oracle
+      re-derives each total relationally, so a monitor that
+      over/under-counts breaks the hash."""
     import os
     import shutil
+    import time as _time
 
     from white_elephant_spark.streaming import dedup_stream as ds
     from white_elephant_spark.streaming import join_stream as js
+    from white_elephant_spark.streaming import monitor as mon
 
     root = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -360,11 +385,13 @@ def streaming_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state-store parallelism plan and stays high).
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    listener = mon.MetricsListener(maxlen=64)
+    spark.streams.addListener(listener)
     try:
         ev.unionAll(ev).write.mode("append").parquet(inp)
-        ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
+        ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days", observe_name="dedup1")
         ev.write.mode("append").parquet(inp)
-        ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days")
+        ds.run_dedup_cycle(spark, inp, out, ckpt, horizon="60 days", observe_name="dedup2")
 
         # Stream-stream join over the deduped stream: clicks ⋈ errors
         # per user within 10 minutes (both legs are streaming filters
@@ -387,6 +414,9 @@ def streaming_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             key="user_id",
             window="10 minutes",
         )
+        joined = mon.with_batch_metrics(
+            joined, "join_out", {"rows": F.count(F.lit(1))}
+        )
         q = (
             joined.writeStream.outputMode("append")
             .option("checkpointLocation", jckpt)
@@ -395,7 +425,30 @@ def streaming_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # The listener bus is async: progress events land moments
+        # after awaitTermination returns. Wait (bounded) until every
+        # observe group has reported, then read the totals. A timeout
+        # fails loudly — a silent zero would corrupt the hashed
+        # metrics row.
+        groups = ("dedup1_in", "dedup1_out", "dedup2_in", "dedup2_out", "join_out")
+        deadline = _time.time() + 60.0
+        while _time.time() < deadline:
+            seen = {g for e in listener.history for g in e["observed"]}
+            if all(g in seen for g in groups):
+                break
+            _time.sleep(0.05)
+        else:
+            missing = [g for g in groups if g not in seen]
+            raise RuntimeError(f"stream monitor missed observe groups: {missing}")
+        rows_seen = listener.observed_total(
+            "dedup1_in", "rows"
+        ) + listener.observed_total("dedup2_in", "rows")
+        rows_emitted = listener.observed_total(
+            "dedup1_out", "rows"
+        ) + listener.observed_total("dedup2_out", "rows")
+        pairs_emitted = listener.observed_total("join_out", "rows")
     finally:
+        spark.streams.removeListener(listener)
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
     events_out = spark.read.parquet(out).select(
@@ -428,7 +481,17 @@ def streaming_dedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_event_id"),
         F.col("r_ts").cast("timestamp_ntz").alias("r_ts"),
     )
-    return events_out.unionByName(pairs_out)
+    metrics_out = spark.range(1).select(
+        F.lit("metrics").alias("kind"),
+        F.lit(rows_seen).cast("long").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.lit(rows_emitted).cast("long").alias("user_id"),
+        F.lit("observe").alias("event_type"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(pairs_emitted).cast("long").alias("r_event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("r_ts"),
+    )
+    return events_out.unionByName(pairs_out).unionByName(metrics_out)
 
 
 @register(

@@ -41,16 +41,33 @@ def run_dedup_cycle(
     out_dir: str,
     checkpoint_dir: str,
     horizon: str = "30 days",
+    observe_name: str | None = None,
 ) -> None:
     """One ``availableNow`` ingestion cycle: drain all new files,
     emit only records whose key was never seen inside the watermark
     horizon, append to the parquet sink. State (seen keys + watermark)
-    lives in the checkpoint and carries to the next cycle."""
-    deduped = (
-        read_event_stream(spark, input_dir)
-        .withWatermark("ts", horizon)
-        .dropDuplicates(["event_id"])
-    )
+    lives in the checkpoint and carries to the next cycle.
+
+    ``observe_name`` attaches per-batch data-plane counters
+    (:func:`~white_elephant_spark.streaming.monitor.with_batch_metrics`)
+    around the dedup state: ``<name>_in.rows`` counts arrivals before
+    the seen-set, ``<name>_out.rows`` counts survivors — the
+    rows-seen / rows-deduped pair an ingestion dashboard plots, at
+    map-side-accumulator cost (no second pass over the batch)."""
+    from pyspark.sql import functions as F
+
+    from white_elephant_spark.streaming.monitor import with_batch_metrics
+
+    src = read_event_stream(spark, input_dir)
+    if observe_name:
+        src = with_batch_metrics(
+            src, f"{observe_name}_in", {"rows": F.count(F.lit(1))}
+        )
+    deduped = src.withWatermark("ts", horizon).dropDuplicates(["event_id"])
+    if observe_name:
+        deduped = with_batch_metrics(
+            deduped, f"{observe_name}_out", {"rows": F.count(F.lit(1))}
+        )
     q = (
         deduped.writeStream.format("parquet")
         .option("path", out_dir)
