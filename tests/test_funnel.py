@@ -122,3 +122,93 @@ def test_funnel_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == exp
+
+
+# ----------------------------------------- re-entrant (any-window) funnel
+
+
+def _brute_any_window(rows, step_names, span):
+    """Reference implementation: per user, try every step-1 anchor in
+    ts order with greedy-minimal chaining; first converting anchor
+    wins. rows = (user, type, ts)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for u, typ, ts in rows:
+        by_user[u].append((ts, typ))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        anchors = sorted(ts for ts, typ in evs if typ == step_names[0])
+        if not anchors:
+            continue
+        best = None
+        for a in anchors:
+            t = a
+            ok = True
+            for s in step_names[1:]:
+                nxt = [ts for ts, typ in evs if typ == s and ts >= t]
+                if not nxt:
+                    ok = False
+                    break
+                t = min(nxt)
+            if ok and (span is None or t <= a + span):
+                best = (a, t)
+                break
+        out[u] = best if best else (anchors[0], None)
+    return out
+
+
+def test_any_window_reenters_where_first_touch_expires(spark):
+    from white_elephant_spark.operators.funnel import funnel_times_any_window
+
+    rows = [
+        # first window expires (purchase at 200 > 10+50); re-entry at
+        # 300 converts within a fresh horizon
+        ("u1", "view", 10), ("u1", "click", 15), ("u1", "purchase", 200),
+        ("u1", "view", 300), ("u1", "click", 310), ("u1", "purchase", 320),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts long")
+    steps = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    ft = funnel_times(df, steps, max_span=F.lit(50)).collect()[0]
+    assert ft["t3"] is None  # first-touch: anchored at 10, expired
+    aw = funnel_times_any_window(df, steps, max_span=F.lit(50)).collect()[0]
+    assert (aw["t1"], aw["tk"]) == (300, 320)  # re-entrant: converts
+
+
+def test_any_window_matches_brute_force_random(spark):
+    import random
+
+    from white_elephant_spark.operators.funnel import funnel_times_any_window
+
+    rng = random.Random(77)
+    names = ("a", "b", "c")
+    for span in (None, 7, 25):
+        rows = [
+            (f"u{rng.randrange(12)}", rng.choice(names), rng.randrange(60))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts long"
+        )
+        steps = [F.col("event_type") == s for s in names]
+        got = {
+            r["user"]: (r["t1"], r["tk"])
+            for r in funnel_times_any_window(
+                df, steps, max_span=None if span is None else F.lit(span)
+            ).collect()
+        }
+        exp = _brute_any_window(rows, names, span)
+        assert got == exp, f"span={span}"
+
+
+def test_any_window_single_step_and_dupes(spark):
+    from white_elephant_spark.operators.funnel import funnel_times_any_window
+
+    rows = [("u1", "a", 5), ("u1", "a", 5), ("u2", "b", 1)]
+    df = spark.createDataFrame(rows, "user_id string, event_type string, ts long")
+    got = {
+        r["user"]: (r["t1"], r["tk"])
+        for r in funnel_times_any_window(df, [F.col("event_type") == "a"]).collect()
+    }
+    assert got == {"u1": (5, 5)}

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_times", "funnel_report", "cohort_retention"]
+__all__ = [
+    "funnel_times",
+    "funnel_times_any_window",
+    "funnel_report",
+    "cohort_retention",
+]
 
 
 def funnel_times(
@@ -68,6 +73,77 @@ def funnel_times(
         )
         out = out.join(nxt, "user", "left")
     return out
+
+
+def funnel_times_any_window(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_span: Column | None = None,
+) -> DataFrame:
+    """Re-entrant funnel — the any-qualifying-window semantic
+    :func:`funnel_times` deliberately does not have: a user converts
+    if ANY of their step-1 events anchors an ordered chain
+    ``t1 <= t2 <= ... <= tK`` with ``tK <= t1 + max_span`` — a user
+    whose first window expired but who re-entered later still counts.
+    Returns one row per user who ever did step 1:
+    ``(user, t1, tK)`` where ``t1`` is the earliest *converting*
+    anchor and ``tK`` its (greedy-minimal) completion time — both
+    null-tK rows mean the user entered but never converted from any
+    anchor.
+
+    Plan shape — linear, no per-anchor joins: each event explodes
+    into one row per step predicate it matches (a ≤K-wide
+    projection), then K-1 chained window passes over ONE
+    (user, ts-sorted) shuffle compute, backwards from step K,
+    ``h_i(e) = min over later step-(i+1) rows of h_{i+1}`` — the
+    earliest completion of steps i..K starting at ``e``. RANGE frames
+    (CURRENT ROW → UNBOUNDED FOLLOWING) make ties at equal ``ts``
+    visible in both directions, matching the first-touch form's
+    non-strict ``>=`` chaining. All windows share the same
+    partitioning and ordering, so Spark plans one Exchange + one Sort
+    for the whole chain; greedy-minimal chaining is exhaustive
+    because taking the earliest next step leaves maximal room for the
+    rest (exchange-argument optimality, asserted against brute force
+    in tests/test_funnel.py)."""
+    from pyspark.sql.window import Window
+
+    if not steps:
+        raise ValueError("at least one step")
+    k = len(steps)
+    u, t = F.col(user_col), F.col(ts_col)
+    tagged = None
+    for i, pred in enumerate(steps, start=1):
+        part = events.filter(pred).select(
+            u.alias("user"), t.alias("ts"), F.lit(i).alias("step")
+        )
+        tagged = part if tagged is None else tagged.unionAll(part)
+    w = (
+        Window.partitionBy("user")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    cur = tagged.withColumn("h", F.when(F.col("step") == k, F.col("ts")))
+    for i in range(k - 1, 0, -1):
+        nxt_h = F.min(F.when(F.col("step") == i + 1, F.col("h"))).over(w)
+        cur = cur.withColumn(
+            "h", F.when(F.col("step") == i, nxt_h).otherwise(F.col("h"))
+        )
+    anchors = cur.filter(F.col("step") == 1)
+    if max_span is not None:
+        ok = F.col("h") <= F.col("ts") + max_span
+    else:
+        ok = F.col("h").isNotNull()
+    return anchors.groupBy("user").agg(
+        F.min(F.when(ok, F.col("ts"))).alias("t1_any"),
+        F.min_by(F.col("h"), F.when(ok, F.col("ts"))).alias("tk_any"),
+        F.min("ts").alias("first_entry"),
+    ).select(
+        "user",
+        F.coalesce("t1_any", "first_entry").alias("t1"),
+        F.col("tk_any").alias("tk"),
+    )
 
 
 def cohort_retention(
