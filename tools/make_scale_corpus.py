@@ -1,0 +1,155 @@
+"""Deterministic corpus amplification for scale probing.
+
+The driver ships parquet up to sf0.1; the 100x-readiness story wants
+at least one more measured decade. This tool synthesizes an
+sf1-equivalent corpus by replicating sf0.1 ``copies`` times with
+coordinated key offsets — NOT as query input for correctness (the
+oracles always run on the driver's own testdata), purely as the big
+side of ``tools/scale_probe.py``.
+
+Replication rules (what makes the amplified corpus behave like
+genuinely bigger data rather than a degenerate pile of duplicates):
+
+- **Coordinated key shifts.** Every copy shifts each key family by
+  ``copy_idx * unit`` where ``unit`` is the smallest power of 10
+  above the key's max — foreign keys stay consistent (orders still
+  join their customers, lineitems their orders), and power-of-10
+  offsets preserve the ``key % 100`` query-selection patterns, so
+  query-side row counts scale exactly linearly.
+- **Dimension tables stay fixed.** region/nation are genuinely
+  dimension-sized at every sf; nationkey references are untouched.
+- **Copies are content-disjoint.** Texts get a copy-specific suffix
+  on every token (``word~3``) and embeddings a deterministic
+  per-(copy, dim) diagonal scale in [0.8, 1.2]: within one copy the
+  planted duplicate/near-duplicate structure is preserved exactly
+  (one shared transform), while across copies shingles are disjoint
+  and same-origin cosines drop to ~0.993 < the 0.999 near-dup
+  threshold. Without this, every dedup/ANN candidate set would grow
+  quadratically in ``copies`` — a data artifact real corpus growth
+  does not have, which would flag honest plans as superlinear.
+
+Usage: python tools/make_scale_corpus.py [src_dir out_dir copies]
+       (defaults: /root/testdata/sf0.1 <repo>/.scratch/sf1 10)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _unit(df, col: str) -> int:
+    mx = df.agg(F.max(col)).collect()[0][0] or 0
+    u = 100  # floor keeps `% 100` selection patterns intact
+    while u <= mx:
+        u *= 10
+    return u
+
+
+def _shift(df, cols: dict[str, int], c: int):
+    out = df
+    for col, unit in cols.items():
+        out = out.withColumn(col, (F.col(col) + F.lit(c * unit)).cast("long"))
+    return out
+
+
+def _emb_factors(c: int, dim: int) -> list[float]:
+    """Per-(copy, dim) diagonal in [0.8, 1.2] from md5 — reproducible
+    everywhere, no RNG state."""
+    vals = []
+    for i in range(dim):
+        h = hashlib.md5(f"scale:{c}:{i}".encode()).hexdigest()
+        vals.append(0.8 + 0.4 * (int(h[:8], 16) / 0xFFFFFFFF))
+    return vals
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    src = args[0] if args else "/root/testdata/sf0.1"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_root = args[1] if len(args) > 1 else os.path.join(repo, ".scratch", "sf1")
+    copies = int(args[2]) if len(args) > 2 else 10
+
+    from white_elephant_spark.session import get_spark
+
+    spark = get_spark("make-scale-corpus", shuffle_partitions=32)
+    os.makedirs(out_root, exist_ok=True)
+
+    def read(t):
+        return spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+
+    def write(df, t):
+        df.write.mode("overwrite").parquet(os.path.join(out_root, f"{t}.parquet"))
+        print(f"{t}: wrote {df.count()} rows")
+
+    # dimension tables: fixed
+    for t in ("region", "nation"):
+        write(read(t), t)
+
+    cust, supp, part = read("customer"), read("supplier"), read("part")
+    orders, lineitem = read("orders"), read("lineitem")
+    events, docs, emb = read("events"), read("documents"), read("embeddings")
+
+    u_c, u_s, u_p = _unit(cust, "c_custkey"), _unit(supp, "s_suppkey"), _unit(part, "p_partkey")
+    u_o = _unit(orders, "o_orderkey")
+    u_e, u_u = _unit(events, "event_id"), _unit(events, "user_id")
+    u_d, u_v = _unit(docs, "doc_id"), _unit(emb, "vec_id")
+    dim = len(emb.select("embedding").first()[0])
+
+    def amplified(df, keyshift: dict[str, int], per_copy=None):
+        parts = []
+        for c in range(copies):
+            d = _shift(df, keyshift, c)
+            if per_copy is not None:
+                d = per_copy(d, c)
+            parts.append(d)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionAll(d)
+        return out
+
+    write(amplified(cust, {"c_custkey": u_c}), "customer")
+    write(amplified(supp, {"s_suppkey": u_s}), "supplier")
+    write(amplified(part, {"p_partkey": u_p}), "part")
+    write(amplified(orders, {"o_orderkey": u_o, "o_custkey": u_c}), "orders")
+    write(
+        amplified(
+            lineitem, {"l_orderkey": u_o, "l_partkey": u_p, "l_suppkey": u_s}
+        ),
+        "lineitem",
+    )
+    write(amplified(events, {"event_id": u_e, "user_id": u_u}), "events")
+
+    def doc_copy(d, c: int):
+        if c == 0:
+            return d
+        txt = F.regexp_replace(F.col("text"), r"(\S+)", f"$1~{c}")
+        return d.withColumn("text", txt).withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+
+    write(amplified(docs, {"doc_id": u_d}, doc_copy), "documents")
+
+    def emb_copy(d, c: int):
+        if c == 0:
+            return d
+        lits = ", ".join(f"CAST({f!r} AS DOUBLE)" for f in _emb_factors(c, dim))
+        return d.withColumn(
+            "embedding",
+            F.expr(
+                f"zip_with(embedding, array({lits}),"
+                " (x, f) -> CAST(CAST(x AS DOUBLE) * f AS FLOAT))"
+            ),
+        )
+
+    write(amplified(emb, {"vec_id": u_v}, emb_copy), "embeddings")
+    print(f"amplified {src} x{copies} -> {out_root}")
+
+
+if __name__ == "__main__":
+    main()
