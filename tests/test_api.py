@@ -91,3 +91,30 @@ def test_table_csv(api):
     assert [ln.split(",")[0] for ln in lines[1:]] == ["2024-05-01", "2024-05-02"]
     # u1: 90 minutes = 1.5 h on 05-01
     assert lines[1] == "2024-05-01,1.5,0.166667"
+
+
+def test_api_cache_hit_rate_user_filter_independent(api):
+    """cache_builder.rb:15-49 parity at the API level: the memo key is
+    the request shape MINUS the user list (usage_data.rb:442-454), so
+    N requests over any user selections against one (cluster, unit,
+    zone, metric) shape cost exactly one roll-up build — hit rate
+    (N-1)/N — and /api/table reuses the same entry as /api/usage.
+    A shape change misses; a data load invalidates."""
+    win = dict(start_ms=DAY1 - 86_400_000, end_ms=DAY1 + 3 * 86_400_000)
+    shape = dict(unit="HOURS", zone="UTC", cluster="c1")
+    api.usage(users=["u1"], **win, **shape)
+    assert (api.cache.misses, api.cache.hits) == (1, 0)
+    api.usage(users=["u2", "u3"], **win, **shape)
+    api.usage(users=["u0", "u1", "u2"], users_to_aggregate=["u3"], **win, **shape)
+    assert (api.cache.misses, api.cache.hits) == (1, 2)
+    # /api/table with yet another selection: same cached roll-up
+    api.table_csv(users=["u3"], **win, **shape)
+    assert (api.cache.misses, api.cache.hits) == (1, 3)
+    # shape change (unit) is a different key -> miss
+    api.usage(users=["u1"], **win, unit="DAYS", zone="UTC", cluster="c1")
+    assert (api.cache.misses, api.cache.hits) == (2, 3)
+    # data load invalidates: same shape rebuilds once, then hits again
+    api.on_data_loaded()
+    api.usage(users=["u1"], **win, **shape)
+    api.usage(users=["u2"], **win, **shape)
+    assert (api.cache.misses, api.cache.hits) == (3, 4)
