@@ -18,15 +18,20 @@ genuinely bigger data rather than a degenerate pile of duplicates):
   query-side row counts scale exactly linearly.
 - **Dimension tables stay fixed.** region/nation are genuinely
   dimension-sized at every sf; nationkey references are untouched.
-- **Copies are content-disjoint.** Texts get a copy-specific suffix
-  on every token (``word~3``) and embeddings a deterministic
-  per-(copy, dim) diagonal scale in [0.8, 1.2]: within one copy the
-  planted duplicate/near-duplicate structure is preserved exactly
-  (one shared transform), while across copies shingles are disjoint
-  and same-origin cosines drop to ~0.993 < the 0.999 near-dup
-  threshold. Without this, every dedup/ANN candidate set would grow
+- **Copies are content-disjoint.** Texts go through a copy-specific
+  alphanumeric substitution cipher (``translate`` with a rotated
+  alphabet) and embeddings a deterministic per-(copy, dim) diagonal
+  scale in [0.8, 1.2]. A per-character bijection preserves EVERY
+  intra-copy relationship exactly — lengths, token boundaries, edit
+  distances, shingle equalities — so each copy carries the same
+  planted duplicate/near-duplicate/fuzzy-typo structure as the
+  original, while cross-copy q-grams and shingles are disjoint and
+  same-origin cosines drop to ~0.993 < the 0.999 near-dup threshold.
+  Without this, every dedup/ANN/fuzzy candidate set would grow
   quadratically in ``copies`` — a data artifact real corpus growth
-  does not have, which would flag honest plans as superlinear.
+  does not have, which would flag honest plans as superlinear (the
+  first cut used per-token suffixes: cross-copy grams stayed ~shared
+  and the Ed-Join candidate volume grew 45x instead of 10x).
 
 Usage: python tools/make_scale_corpus.py [src_dir out_dir copies]
        (defaults: /root/testdata/sf0.1 <repo>/.scratch/sf1 10)
@@ -125,13 +130,23 @@ def main() -> None:
     )
     write(amplified(events, {"event_id": u_e, "user_id": u_u}), "events")
 
+    _ALPHA = "abcdefghijklmnopqrstuvwxyz"
+    _DIGIT = "0123456789"
+
     def doc_copy(d, c: int):
         if c == 0:
             return d
-        txt = F.regexp_replace(F.col("text"), r"(\S+)", f"$1~{c}")
-        return d.withColumn("text", txt).withColumn(
-            "n_chars", F.length("text").cast("long")
+        # rotate within each character class — a bijection, so
+        # lengths, edit distances and within-copy shingle equalities
+        # are preserved bit-for-bit; n_chars stays valid
+        src = _ALPHA + _ALPHA.upper() + _DIGIT
+        rl, rd = c % 26, c % 10
+        dst = (
+            _ALPHA[rl:] + _ALPHA[:rl]
+            + (_ALPHA[rl:] + _ALPHA[:rl]).upper()
+            + _DIGIT[rd:] + _DIGIT[:rd]
         )
+        return d.withColumn("text", F.translate(F.col("text"), src, dst))
 
     write(amplified(docs, {"doc_id": u_d}, doc_copy), "documents")
 
