@@ -67,3 +67,55 @@ def test_kmeans_on_pca_reduced_vectors(spark):
     clusters = {r["cluster_id"] for r in rows}
     assert 2 <= len(clusters) <= 4  # non-degenerate segmentation
     assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_fused_map_matches_separate_legs(spark):
+    """kmeans_pca_map's one-pass output is bit-identical to the
+    two-stage form it replaced: classify_by_centroid cos_sim/
+    assignment and project_pca -> strict-fold squared norm."""
+    from pyspark.sql import functions as F
+
+    from white_elephant_spark.operators import decomposition as dc
+    from white_elephant_spark.operators.clustering_kmeans import kmeans_pca_map
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "label", "embedding")
+    model = kmeans_fit(emb, K, iters=1)
+    pca = dc.fit_pca(emb, k=64)
+
+    fused = {
+        r["vec_id"]: (r["cluster_id"], r["cos_sim"], r["red_norm_q"])
+        for r in kmeans_pca_map(emb, model, pca, dim=64).collect()
+    }
+    assigned = {
+        r["vec_id"]: (r["cluster_id"], r["cos_sim"])
+        for r in kmeans_predict(emb, model, dim=64).collect()
+    }
+    red = dc.project_pca(emb.select("vec_id", "embedding"), pca)
+    norms = {
+        r["vec_id"]: r["q"]
+        for r in red.select(
+            "vec_id",
+            F.floor(
+                F.aggregate(F.col("reduced"), F.lit(0.0), lambda a, x: a + x * x)
+                * F.lit(10000.0)
+            )
+            .cast("long")
+            .alias("q"),
+        ).collect()
+    }
+    assert set(fused) == set(assigned)
+    for vid, (cid, cos, q) in fused.items():
+        assert assigned[vid] == (cid, cos)  # bit-identical, no tolerance
+        assert norms[vid] == q
+
+
+def test_fused_map_partitioning_invariant(spark):
+    from white_elephant_spark.operators import decomposition as dc
+    from white_elephant_spark.operators.clustering_kmeans import kmeans_pca_map
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "label", "embedding")
+    model = kmeans_fit(emb, K, iters=1)
+    pca = dc.fit_pca(emb, k=64)
+    a = sorted(map(tuple, kmeans_pca_map(emb.repartition(1), model, pca).collect()))
+    b = sorted(map(tuple, kmeans_pca_map(emb.repartition(9), model, pca).collect()))
+    assert a == b
