@@ -458,6 +458,49 @@ def test_dup_ngram_ratio(spark):
     assert out[2] == 0.0 and out[3] == 0.0
 
 
+
+
+def test_top_ngram_frac_and_dup_lines(spark):
+    """Gopher repetition family: mode-bigram position share and
+    duplicate-line fraction, cross-checked against the DuckDB twins
+    on the same rows."""
+    import duckdb
+
+    rows = [
+        (1, "spam ham spam ham spam ham"),   # 'spam ham' at 3 of 5 positions
+        (2, "a b c d e"),                    # all bigrams distinct -> 1/4
+        (3, "solo"),                         # < n tokens -> 0.0
+        (4, "x\ny\nx\n\nz"),             # 4 non-empty lines, 'x' twice
+        (5, "one line only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.tf, r.dl)
+        for r in df.select(
+            "doc_id",
+            tx.top_ngram_frac(F.col("text")).alias("tf"),
+            tx.dup_line_ratio(F.col("text")).alias("dl"),
+        ).collect()
+    }
+    assert got[1][0] == pytest.approx(3 / 5)
+    assert got[2][0] == pytest.approx(1 / 4)
+    assert got[3] == (0.0, 0.0)
+    assert got[4][1] == pytest.approx(1 - 3 / 4)
+    assert got[5][1] == 0.0
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    exp = dict(
+        con.sql(
+            f"SELECT doc_id, [{tx.sql_top_ngram_frac('text')},"
+            f" {tx.sql_dup_line_ratio('text')}] FROM t"
+        ).fetchall()
+    )
+    for k, (tf, dl) in got.items():
+        assert exp[k][0] == pytest.approx(tf, abs=1e-12)
+        assert exp[k][1] == pytest.approx(dl, abs=1e-12)
+
+
 # ------------------------------------------------- sq8 quantized ANN
 
 

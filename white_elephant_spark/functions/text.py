@@ -237,3 +237,80 @@ def sql_dup_ngram_ratio(expr: str, n: int = 3) -> str:
         f"CASE WHEN {total} > 0 THEN 1.0 - len({sql_word_ngrams(expr, n)}) / {total} "
         f"ELSE 0.0 END"
     )
+
+
+def top_ngram_frac(text: Column, n: int = 2) -> Column:
+    """Fraction of word n-gram positions occupied by the single most
+    frequent n-gram — the token-position form of the Gopher
+    top-n-gram repetition filter (Rae et al. 2021 quality heuristics:
+    boilerplate-heavy pages put a large share of their mass in one
+    phrase). 0 for docs with fewer than n tokens.
+
+    Mode count without a group-by: sort the gram list, then ONE
+    O(m) fold tracking (prev, current run, best run) in a struct
+    accumulator — the fold's input array is evaluated once per row
+    (a lambda that instead indexed back into the gram array would
+    re-evaluate it per element: measured 25x slower on both
+    engines). Parity is order-independent: any total order groups
+    equal grams identically, and the DuckDB twin counts the mode via
+    a correlated GROUP BY, which must agree exactly on integer
+    counts."""
+    w = tokens(text)
+    m = F.size(w) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), m)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(n)]
+    )
+    grams = F.array_sort(F.transform(idx, gram))
+
+    def step(acc, g):
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    mode = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+    return F.when(m > 0, mode.cast("double") / m).otherwise(F.lit(0.0))
+
+
+def sql_top_ngram_frac(expr: str, n: int = 2) -> str:
+    w = f"string_split({expr}, ' ')"
+    m = f"(len({w}) - {n - 1})"
+    parts = " || ' ' || ".join(f"{w}[i + {j}]" for j in range(n))
+    grams = f"list_transform(generate_series(1, {m}), i -> {parts})"
+    mode = (
+        f"(SELECT max(c) FROM (SELECT COUNT(*) AS c"
+        f" FROM unnest({grams}) AS _png(g) GROUP BY g))"
+    )
+    return f"CASE WHEN {m} > 0 THEN CAST({mode} AS DOUBLE) / {m} ELSE 0.0 END"
+
+
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of non-empty lines that are duplicates of another
+    line (``1 - distinct/total``) — the Gopher duplicate-line
+    repetition signal (navigation bars, repeated boilerplate). 0 for
+    single-line or empty documents."""
+    lines = F.filter(F.split(text, "\n"), lambda x: x != F.lit(""))
+    total = F.size(lines)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(lines)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def sql_dup_line_ratio(expr: str) -> str:
+    lines = f"list_filter(string_split({expr}, chr(10)), x -> x != '')"
+    return (
+        f"CASE WHEN len({lines}) > 0 THEN"
+        f" 1.0 - CAST(len(list_distinct({lines})) AS DOUBLE) / len({lines})"
+        f" ELSE 0.0 END"
+    )

@@ -212,6 +212,8 @@ SELECT doc_id,
        {tx.sql_mean_word_len('text')} AS mean_word_len,
        {tx.sql_quality_score('text')} AS quality,
        {tx.sql_dup_ngram_ratio('text')} AS dup_ngram_ratio,
+       {tx.sql_top_ngram_frac('text')} AS top_bigram_frac,
+       {tx.sql_dup_line_ratio('text')} AS dup_line_ratio,
        lang AS labeled_lang,
        {tx.sql_predict_lang('text')} AS predicted_lang,
        {tx.sql_fingerprint('text')} AS fingerprint
@@ -223,10 +225,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document text-analysis profile in one scan: token
     counting both ways (whitespace + BPE-ish regex pre-tokenization),
     quality-score heuristics (distinct/stopword ratios, mean word
-    length), marker-word language-ID vs the labeled lang column, and
-    the order-insensitive content fingerprint. Every column is a
-    JVM-side codegen expression — one registered query hash-verifies
-    the whole §text operator family."""
+    length), the Gopher-style repetition family (duplicated n-gram
+    fraction, top-bigram position share, duplicate-line fraction —
+    Rae et al. 2021 §A1.1), marker-word language-ID vs the labeled
+    lang column, and the order-insensitive content fingerprint. Every
+    column is a JVM-side codegen expression — one registered query
+    hash-verifies the whole §text operator family."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
@@ -239,6 +243,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.mean_word_len(t).alias("mean_word_len"),
         tx.quality_score(t).alias("quality"),
         tx.dup_ngram_ratio(t).alias("dup_ngram_ratio"),
+        tx.top_ngram_frac(t).alias("top_bigram_frac"),
+        tx.dup_line_ratio(t).alias("dup_line_ratio"),
         F.col("lang").alias("labeled_lang"),
         tx.predict_lang(t).alias("predicted_lang"),
         tx.fingerprint(t).alias("fingerprint"),
