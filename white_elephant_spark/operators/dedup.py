@@ -471,3 +471,92 @@ interdoc AS (
   FROM {docs_cte} d LEFT JOIN iper p ON d.doc_id = p.id
 )
 """
+
+
+# ------------------------------------------------------- incremental
+
+
+def exact_state(corpus: DataFrame, text_col: str = "text") -> DataFrame:
+    """The at-rest exact-dedup state: the corpus's distinct content
+    digests. At 100 TB this is a maintained warehouse table (append
+    new digests per admitted batch), ~32 bytes per distinct document
+    — the batch analogue of the streaming seen-set
+    (streaming/dedup_stream.py), without its watermark horizon."""
+    return corpus.select(content_digest(F.col(text_col)).alias("digest")).distinct()
+
+
+def incremental_exact(
+    batch: DataFrame,
+    state: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Admit only batch documents whose content digest is absent from
+    the corpus state — one LEFT ANTI equi-join on the 32-byte digest
+    (hash-partitioned on digest; no corpus text ever moves). The
+    incremental complement to :func:`exact_dedup`: a nightly crawl
+    lands, joins against the digest table, and only novel content
+    proceeds to the expensive near-dup passes."""
+    tagged = batch.withColumn("__dg", content_digest(F.col(text_col)))
+    st = state.select(F.col("digest").alias("__dg"))
+    return tagged.join(st, "__dg", "left_anti").drop("__dg")
+
+
+def incremental_minhash(
+    batch: DataFrame,
+    corpus_sigs: DataFrame,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows: int = 3,
+    k: int = 12,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate matches of a NEW batch against an EXISTING
+    corpus signature table: (id_new, id_corpus, est_sim) for every
+    batch document whose MinHash similarity estimate reaches
+    ``threshold`` against some corpus document.
+
+    The scale contract differs from :func:`lsh_candidate_pairs` (the
+    at-rest self-join): the corpus side is a *precomputed state
+    table* (``minhash_signatures`` output, maintained like the digest
+    table), so per-batch cost is O(|batch|·bands) bucket probes
+    against it — corpus-vs-corpus pairs are never generated, and the
+    join is a plain (band, hash) equi-join that broadcasts whenever
+    the batch's exploded band table is small."""
+    assert bands * rows == k
+
+    def banded(sigs: DataFrame, side: str) -> DataFrame:
+        bh = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)],
+                    )
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select(
+            F.col("id").alias(f"id_{side}"),
+            F.col("sig").alias(f"sig_{side}"),
+            F.posexplode(bh).alias("band", "bh"),
+        )
+
+    new_sigs = minhash_signatures(batch, text_col=text_col, id_col=id_col, k=k, n=n)
+    a = banded(new_sigs, "new")
+    b = banded(corpus_sigs, "corpus")
+    eq = F.size(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.element_at(F.col("sig_new"), i)
+            == F.element_at(F.col("sig_corpus"), i),
+        )
+    )
+    return (
+        a.join(b, ["band", "bh"])
+        .select("id_new", "id_corpus", (eq / F.lit(float(k))).alias("est_sim"))
+        .distinct()
+        .filter(F.col("est_sim") >= threshold)
+    )
