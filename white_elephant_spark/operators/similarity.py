@@ -702,6 +702,7 @@ def neardup_pairs_lsh(
     tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_col: str | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked by multi-table
     hyperplane sign sketches — the scale form of :func:`neardup_pairs`
@@ -718,17 +719,22 @@ def neardup_pairs_lsh(
     of the vector, so an oracle using the same hash family reproduces
     the result exactly — the approximation itself is hash-checkable.
     Candidate volume is Σ_buckets |bucket|², controlled by
-    ``planes``; ids-only until the final re-attach."""
+    ``planes``; ids-only until the final re-attach. ``block_col``
+    (optional) joins the bucket key — candidates must also share the
+    block (e.g. a k-means cell for SemDeDup-style semantic dedup),
+    which both prunes spurious sketch collisions and caps per-bucket
+    mass on heavily clustered corpora."""
     enc = encoded_buckets_arrow(dim, planes, tables)
-    keyed = vectors.select(
-        F.col(id_col).alias("id"), F.explode(enc(F.col(vec_col))).alias("bk")
-    )
+    key_cols = [F.col(id_col).alias("id"), F.explode(enc(F.col(vec_col))).alias("bk")]
+    if block_col is not None:
+        key_cols.insert(1, F.col(block_col).alias("blk"))
+    keyed = vectors.select(*key_cols)
+    cond = (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id"))
+    if block_col is not None:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
     cand = (
         keyed.alias("a")
-        .join(
-            keyed.alias("b"),
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")),
-        )
+        .join(keyed.alias("b"), cond)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
@@ -1190,3 +1196,71 @@ c{i} AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m{i} GROUP BY cid)""")
         name = f"c{i}"
     chain.append(f"cents AS (SELECT cid, cvec FROM {name})")
     return ",\n".join(chain)
+
+
+# ------------------------------------------------------ semantic dedup
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    k_clusters: int = 32,
+    dim: int = 64,
+    planes: int = 6,
+    tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): documents whose *embeddings* are near-cosine
+    duplicates are grouped and one representative kept — the level
+    below exact/MinHash dedup, catching paraphrases and templated
+    rewrites that share meaning but few shingles.
+
+    Returns (id, component, keep): ``component`` is the minimum id
+    reachable through the ≥ threshold pair graph, ``keep`` marks the
+    representative (lowest id, deterministic).
+
+    Composition, each stage scale-bounded elsewhere in this module:
+
+    1. k-means cell assignment (bounded-sample quantizer,
+       :func:`ivf_refined_centroids` via the k-means wrapper) — the
+       SemDeDup blocking step: pairs are only considered within a
+       cell, like the paper's within-cluster search;
+    2. sign-sketch candidate generation INSIDE the cell
+       (:func:`neardup_pairs_lsh` with ``block_col`` — at 0.95 the
+       per-plane flip probability is acos(.95)/π ≈ 0.101, so 6
+       planes × 8 tables keep a true pair with p ≈ 1-(1-0.899⁶)⁸ ≈
+       0.997 while the cell cap keeps buckets small);
+    3. exact strict-fold cosine verification (inside step 2);
+    4. connected components over the verified pairs
+       (:func:`~white_elephant_spark.operators.clustering.connected_components`
+       — size-adaptive local/distributed).
+    """
+    from white_elephant_spark.operators import clustering
+    from white_elephant_spark.operators import clustering_kmeans as km
+
+    model = km.kmeans_fit(vectors, k_clusters, iters=1, dim=dim, id_col=id_col, vec_col=vec_col)
+    assigned = km.kmeans_predict(vectors, model, dim=dim, id_col=id_col, vec_col=vec_col)
+    blocked = vectors.select(id_col, vec_col).join(
+        assigned.select(id_col, "cluster_id"), id_col
+    )
+    pairs = neardup_pairs_lsh(
+        blocked,
+        threshold=threshold,
+        dim=dim,
+        planes=planes,
+        tables=tables,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster_id",
+    )
+    comps = clustering.connected_components(pairs)  # (node, cluster_id)
+    all_ids = vectors.select(F.col(id_col).alias("node"))
+    labeled = all_ids.join(comps, "node", "left").select(
+        F.col("node").alias("id"),
+        F.coalesce(F.col("cluster_id"), F.col("node")).alias("component"),
+    )
+    return labeled.withColumn(
+        "keep", F.col("id") == F.col("component")
+    )
