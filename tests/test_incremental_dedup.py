@@ -64,3 +64,32 @@ def test_incremental_joins_are_equi_only(frames):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_tuning_s_curve():
+    import pytest
+
+    from white_elephant_spark.operators.dedup import (
+        lsh_match_probability,
+        tune_lsh,
+    )
+
+    # MMDS worked example: b=20, r=5 at s=0.8 -> ~0.9996
+    assert lsh_match_probability(0.8, 20, 5) == pytest.approx(0.99964, abs=1e-4)
+    # monotone in similarity
+    probs = [lsh_match_probability(s / 10, 4, 3) for s in range(11)]
+    assert probs == sorted(probs)
+    # tuned pairs multiply back to k and move with the threshold:
+    # high thresholds want more rows per band (quieter candidates)
+    b_lo, r_lo = tune_lsh(0.3, k=12)
+    b_hi, r_hi = tune_lsh(0.9, k=12)
+    assert b_lo * r_lo == 12 and b_hi * r_hi == 12
+    assert r_hi > r_lo
+    # a pair AT the threshold should be likelier under the tuned
+    # curve than one 0.2 below it by a wide margin
+    for t in (0.4, 0.6, 0.8):
+        b, r = tune_lsh(t, k=12)
+        assert lsh_match_probability(t + 0.1, b, r) > 0.5
+        assert lsh_match_probability(t - 0.1, b, r) < 0.5
+    with pytest.raises(ValueError):
+        tune_lsh(1.5)
