@@ -511,11 +511,15 @@ def incremental_minhash(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate matches of a NEW batch against an EXISTING
     corpus signature table: (id_new, id_corpus, est_sim) for every
     batch document whose MinHash similarity estimate reaches
-    ``threshold`` against some corpus document.
+    ``threshold`` against some corpus document. Pass ``batch_sigs``
+    (id, sig) when the batch's signatures already exist — e.g. one
+    signature table computed for the whole corpus and split by id —
+    to skip recomputing the shingle→md5→min pipeline.
 
     The scale contract differs from :func:`lsh_candidate_pairs` (the
     at-rest self-join): the corpus side is a *precomputed state
@@ -544,7 +548,11 @@ def incremental_minhash(
             F.posexplode(bh).alias("band", "bh"),
         )
 
-    new_sigs = minhash_signatures(batch, text_col=text_col, id_col=id_col, k=k, n=n)
+    new_sigs = (
+        batch_sigs
+        if batch_sigs is not None
+        else minhash_signatures(batch, text_col=text_col, id_col=id_col, k=k, n=n)
+    )
     a = banded(new_sigs, "new")
     b = banded(corpus_sigs, "corpus")
     eq = F.size(

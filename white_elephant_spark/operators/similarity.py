@@ -1241,9 +1241,14 @@ def semantic_dedup(
     from white_elephant_spark.operators import clustering_kmeans as km
 
     model = km.kmeans_fit(vectors, k_clusters, iters=1, dim=dim, id_col=id_col, vec_col=vec_col)
-    assigned = km.kmeans_predict(vectors, model, dim=dim, id_col=id_col, vec_col=vec_col)
-    blocked = vectors.select(id_col, vec_col).join(
-        assigned.select(id_col, "cluster_id"), id_col
+    # Cell assignment rides the same one-pass Arrow kernel as the IVF
+    # index build — id and vector stay in the row, so no shuffle join
+    # back onto the corpus (the model IS the quantizer: same
+    # strict-fold ranking, ties to lowest cid).
+    blocked = ivf_build_index(vectors, model, dim, id_col=id_col, vec_col=vec_col).select(
+        F.col("nbr_id").alias(id_col),
+        F.col("nvec").alias(vec_col),
+        F.col("cid").alias("cluster_id"),
     )
     pairs = neardup_pairs_lsh(
         blocked,

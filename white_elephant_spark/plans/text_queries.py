@@ -78,54 +78,220 @@ cand AS MATERIALIZED (
          len(list_filter(generate_series(1, 12), i -> a.sig[i] = b.sig[i])) / 12.0 AS est_sim
   FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
 )
-SELECT id_a, id_b, est_sim,
+SELECT 'atrest' AS method, id_a, id_b, est_sim,
        len(list_intersect(a.grams, b.grams))
          / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
 FROM cand JOIN base a ON a.id = cand.id_a JOIN base b ON b.id = cand.id_b
 WHERE len(list_intersect(a.grams, b.grams))
         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+UNION ALL
+SELECT 'incremental' AS method, idn AS id_a, idc AS id_b,
+       est_sim, CAST(NULL AS DOUBLE) AS jaccard
+FROM (
+  SELECT DISTINCT nb.id AS idn, cb.id AS idc,
+         len(list_filter(generate_series(1, 12), i -> nb.sig[i] = cb.sig[i])) / 12.0 AS est_sim
+  FROM bands nb JOIN bands cb
+    ON nb.band = cb.band AND nb.bh = cb.bh
+   AND nb.id % 10 = 7 AND cb.id % 10 != 7
+)
+WHERE est_sim >= 0.5
 """,
-    tags=("dedup", "join", "lsh"),
+    tags=("dedup", "join", "lsh", "incremental"),
 )
 def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash (k=12, trigram shingles) + 4-band LSH candidate
-    generation, then exact word-trigram Jaccard ≥ 0.5 over the
-    candidate blocks. One verified result covers three operators:
-    signature construction (``est_sim`` is the signature agreement),
-    banded LSH blocking (candidate membership), and the exact
-    n-gram Jaccard measure — hash-bounded bucket population instead
-    of a token-frequency-skewed block, the scale-safe default."""
-    return dedup.ngram_jaccard_pairs(_docs_with_copies(spark, sf_dir), n=3, threshold=0.5)
+    """Two MinHash dedup shapes in one verified result (``method``):
+
+    - ``atrest`` — MinHash (k=12, trigram shingles) + 4-band LSH
+      candidate generation, then exact word-trigram Jaccard ≥ 0.5
+      over the candidate blocks. One leg covers three operators:
+      signature construction (``est_sim`` is the signature
+      agreement), banded LSH blocking (candidate membership), and the
+      exact n-gram Jaccard measure — hash-bounded bucket population
+      instead of a token-frequency-skewed block, the scale-safe
+      default.
+    - ``incremental`` — the nightly-crawl admission path
+      (:func:`~white_elephant_spark.operators.dedup.incremental_minhash`):
+      docs with ``doc_id % 10 = 7`` arrive as the new batch and probe
+      the remaining corpus's signature table's LSH buckets —
+      corpus-vs-corpus pairs never generated, per-batch cost
+      O(batch·bands). ``jaccard`` is NULL (signature-level admission;
+      exact verify happens at-rest)."""
+    docs = _docs_with_copies(spark, sf_dir)
+    atrest = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select(
+        F.lit("atrest").alias("method"), "id_a", "id_b", "est_sim", "jaccard"
+    )
+    # ONE signature table serves both legs: split by id into the
+    # maintained corpus state and the arriving batch (per-doc
+    # signatures are corpus-independent), persisted so the expensive
+    # shingle->md5->min pipeline runs once.
+    sigs = dedup.minhash_signatures(docs).persist()
+    state = sigs.filter(F.col("id") % 10 != 7)
+    batch_sigs = sigs.filter(F.col("id") % 10 == 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    inc = dedup.incremental_minhash(
+        batch, state, threshold=0.5, batch_sigs=batch_sigs
+    ).select(
+        F.lit("incremental").alias("method"),
+        F.col("id_new").alias("id_a"),
+        F.col("id_corpus").alias("id_b"),
+        "est_sim",
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return atrest.unionByName(inc)
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
+def _sem_jitter(dim: int = 64) -> list[float]:
+    """Deterministic ±25% per-dim diagonal for the planted semantic
+    copies — md5-derived so both engines re-derive it."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"semjit:{i}".encode()).hexdigest()
+        out.append(0.75 + 0.5 * (int(h[:8], 16) / 0xFFFFFFFF))
+    return out
+
+
+_SEM_JITTER = _sem_jitter()
+_SEM_JIT_SQL = "[" + ", ".join(f"CAST({f!r} AS DOUBLE)" for f in _SEM_JITTER) + "]"
+
+# Semantic-leg CTE chain (embedded under the WITH RECURSIVE below):
+# planted jittered copies -> k-means cells (the shared quantizer
+# builder) -> in-cell sign-sketch candidates -> exact cosine >= 0.95
+# -> transitive closure (renamed CTEs; the fingerprint chain already
+# owns edges/reach/components).
+_SEM_ORACLE_CTES = f"""
+sem_vecs AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id,
+         list_transform(list_zip(embedding, {_SEM_JIT_SQL}),
+                        p -> CAST(CAST(p[1] AS DOUBLE) * p[2] AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id % 20 = 0
+),
+{similarity.sql_ivf_refined_centroids(8, dim=64, iters=1, table='sem_vecs').strip()},
+semassign AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY {similarity.sql_cosine('v.embedding', 'c.cvec')} DESC, c.cid ASC) AS rn
+  FROM sem_vecs v, cents c
+),
+semcell AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM semassign WHERE rn = 1
+),
+sembk AS MATERIALIZED (
+  SELECT vec_id, cid,
+         unnest({similarity.sql_encoded_buckets('embedding', 64, 6, 8)}) AS bk
+  FROM semcell
+),
+sempairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b
+  FROM (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sembk a JOIN sembk b
+          ON a.bk = b.bk AND a.cid = b.cid AND a.vec_id < b.vec_id) c
+  JOIN semcell va ON va.vec_id = c.id_a
+  JOIN semcell vb ON vb.vec_id = c.id_b
+  WHERE {similarity.sql_cosine('va.embedding', 'vb.embedding')} >= 0.95
+),
+sedges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM sempairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM sempairs
+),
+sreach(src, dst) AS (
+  SELECT src, dst FROM sedges
+  UNION
+  SELECT r.src, e.dst FROM sreach r JOIN sedges e ON r.dst = e.src
+),
+scomp AS MATERIALIZED (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+  FROM sreach GROUP BY src
+),
+semlab AS MATERIALIZED (
+  SELECT v.vec_id AS id, COALESCE(s.cluster_id, v.vec_id) AS comp
+  FROM sem_vecs v LEFT JOIN scomp s ON v.vec_id = s.node
+),
+semsize AS (
+  SELECT comp, CAST(COUNT(*) AS BIGINT) AS n FROM semlab GROUP BY comp
+)"""
+
+_DEDUP_CLUSTERS_ORACLE = f"""
 WITH RECURSIVE {_DOCS_COPIES_SQL.strip()},
 {clustering.sql_fingerprint_clusters(
     'docs',
     dedup.sql_simhash64('text', 'doc_id').replace('FROM documents', 'FROM docs'),
-).strip()}
-SELECT doc_id, cluster_id, cluster_size, is_representative FROM clusters
-""",
-    tags=("dedup", "clustering"),
+).strip()},
+{_SEM_ORACLE_CTES.strip()}
+SELECT 'simhash' AS kind, doc_id, cluster_id, cluster_size, is_representative
+FROM clusters
+UNION ALL
+SELECT 'semantic' AS kind, l.id AS doc_id, l.comp AS cluster_id,
+       z.n AS cluster_size, l.id = l.comp AS is_representative
+FROM semlab l JOIN semsize z ON l.comp = z.comp
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
+    tags=("dedup", "clustering", "semantic"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster assembly at the 100 TB shape: 64-bit SimHash
-    fingerprints → **identical fingerprints collapsed to one node**
-    (exactness-preserving — equal fingerprints are Hamming-0
-    connected) → radix-banded near-dup edges over *distinct*
-    fingerprints only → iterative min-label connected components →
-    every doc labeled with its transitive duplicate cluster, cluster
-    population, and a deterministic representative flag.
+    """Two duplicate-grouping levels in one verified result
+    (``kind`` column):
 
-    The fingerprint collapse is what keeps the pair set bounded: a
-    corpus whose duplicate mass is M copies of D templates pairs
-    O(M²) at doc level (the round-2 design: 2.8M pairs from 5k docs
-    at sf0.1) but O(D·bands) here."""
+    - ``simhash`` — duplicate-cluster assembly at the 100 TB shape:
+      64-bit SimHash fingerprints → **identical fingerprints
+      collapsed to one node** (exactness-preserving — equal
+      fingerprints are Hamming-0 connected) → radix-banded near-dup
+      edges over *distinct* fingerprints only → iterative min-label
+      connected components → every doc labeled with its transitive
+      duplicate cluster, cluster population, and a deterministic
+      representative flag. The fingerprint collapse is what keeps the
+      pair set bounded: a corpus whose duplicate mass is M copies of
+      D templates pairs O(M²) at doc level (the round-2 design: 2.8M
+      pairs from 5k docs at sf0.1) but O(D·bands) here.
+    - ``semantic`` — SemDeDup-style embedding-space grouping
+      (:func:`~white_elephant_spark.operators.similarity.semantic_dedup`:
+      k-means cell blocking → in-cell sign sketches → exact ≥ 0.95
+      cosine → connected components) over the embeddings corpus plus
+      deterministically jittered copies of every 20th vector (±25%
+      per-dim diagonal — cosine ≈ 0.985-0.995 to the source:
+      paraphrase-level, NOT near-dup level, so the 0.999 family would
+      miss them and this leg is genuinely distinct). The jitter,
+      blocking and verify are all deterministic functions the oracle
+      re-derives, so even the approximation is hash-checked."""
     docs = _docs_with_copies(spark, sf_dir)
     fps = dedup.simhash64(docs)
-    return clustering.fingerprint_clusters(docs, fps, max_hamming=3, bands=8)
+    sim_leg = clustering.fingerprint_clusters(docs, fps, max_hamming=3, bands=8).select(
+        F.lit("simhash").alias("kind"),
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "is_representative",
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    jit = "array(" + ", ".join(f"CAST({f!r} AS DOUBLE)" for f in _SEM_JITTER) + ")"
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.expr(
+            f"zip_with(embedding, {jit},"
+            " (x, f) -> CAST(CAST(x AS DOUBLE) * f AS FLOAT))"
+        ).alias("embedding"),
+    )
+    vecs = emb.select("vec_id", "embedding").unionAll(copies)
+    sem = similarity.semantic_dedup(
+        vecs, threshold=0.95, k_clusters=8, dim=64, planes=6, tables=8
+    )
+    sizes = sem.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    sem_leg = sem.join(sizes, "component").select(
+        F.lit("semantic").alias("kind"),
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+        F.col("keep").alias("is_representative"),
+    )
+    return sim_leg.unionByName(sem_leg)
 
 
 # SimHash fingerprints themselves are oracle-verified through
