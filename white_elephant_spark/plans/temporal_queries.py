@@ -226,6 +226,39 @@ coh AS (
          s.cohort_size
   FROM j JOIN sizes s ON j.cohort = s.cohort
   GROUP BY 1, 2, s.cohort_size
+),
+fa_anchors AS (
+  SELECT user_id, ts AS a FROM events WHERE event_type = 'view'
+),
+fa_chain AS (
+  SELECT user_id, a,
+         (SELECT MIN(e3.ts) FROM events e3
+          WHERE e3.user_id = fa2.user_id AND e3.event_type = 'purchase'
+            AND e3.ts >= fa2.t2) AS tk
+  FROM (
+    SELECT user_id, a,
+           (SELECT MIN(e2.ts) FROM events e2
+            WHERE e2.user_id = fa_anchors.user_id AND e2.event_type = 'click'
+              AND e2.ts >= fa_anchors.a) AS t2
+    FROM fa_anchors
+  ) fa2
+),
+fa_conv AS (
+  SELECT user_id, a, tk FROM fa_chain
+  WHERE tk IS NOT NULL AND tk <= a + INTERVAL 7 DAY
+),
+fa_first AS (
+  SELECT user_id, MIN(a) AS first_entry FROM fa_anchors GROUP BY 1
+),
+fa_best AS (
+  SELECT user_id, MIN(a) AS t1 FROM fa_conv GROUP BY 1
+),
+fa AS (
+  SELECT f.user_id,
+         COALESCE(b.t1, f.first_entry) AS t1,
+         (SELECT MIN(c.tk) FROM fa_conv c
+          WHERE c.user_id = f.user_id AND c.a = b.t1) AS tk
+  FROM fa_first f LEFT JOIN fa_best b ON f.user_id = b.user_id
 )
 SELECT 'funnel' AS kind, user_id, t1, t2, t3,
        CAST(NULL AS TIMESTAMP) AS cohort, CAST(NULL AS BIGINT) AS period_offset,
@@ -239,6 +272,13 @@ SELECT 'cohort' AS kind, CAST(NULL AS BIGINT) AS user_id,
        cohort, period_offset, active_users, cohort_size,
        CAST(active_users AS DOUBLE) / cohort_size AS retention
 FROM coh
+UNION ALL
+SELECT 'funnel_any' AS kind, user_id, t1,
+       CAST(NULL AS TIMESTAMP) AS t2, tk AS t3,
+       CAST(NULL AS TIMESTAMP) AS cohort, CAST(NULL AS BIGINT) AS period_offset,
+       CAST(NULL AS BIGINT) AS active_users, CAST(NULL AS BIGINT) AS cohort_size,
+       CAST(NULL AS DOUBLE) AS retention
+FROM fa
 """,
     tags=("temporal", "funnel", "cohort"),
 )
@@ -254,7 +294,16 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
       over the full stream);
     - ``cohort`` — weekly cohort retention matrix (users grouped by
       first-activity week, tracked across subsequent weeks; two
-      map-side-combinable aggregations + one equi-join).
+      map-side-combinable aggregations + one equi-join);
+    - ``funnel_any`` — the re-entrant (any-qualifying-window)
+      semantic (:func:`~white_elephant_spark.operators.funnel.
+      funnel_times_any_window`): a user whose first-touch window
+      expired but who re-entered later still converts; K-1 chained
+      range-frame window passes over ONE (user, ts) shuffle. ``t1``
+      is the earliest *converting* anchor (else first entry), ``t3``
+      its completion, ``t2`` NULL. The oracle re-derives it with
+      per-anchor greedy correlated mins, so the two formulations
+      must agree exactly.
     """
     from white_elephant_spark.operators import funnel
 
@@ -291,7 +340,21 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_size").cast("long").alias("cohort_size"),
         "retention",
     )
-    return fun.unionByName(coh)
+    aw = funnel.funnel_times_any_window(
+        ev, steps, max_span=F.expr("INTERVAL 7 DAYS")
+    ).select(
+        F.lit("funnel_any").alias("kind"),
+        F.col("user").alias("user_id"),
+        "t1",
+        null_ts.alias("t2"),
+        F.col("tk").alias("t3"),
+        null_ts.alias("cohort"),
+        null_long.alias("period_offset"),
+        null_long.alias("active_users"),
+        null_long.alias("cohort_size"),
+        F.lit(None).cast("double").alias("retention"),
+    )
+    return fun.unionByName(coh).unionByName(aw)
 
 
 @register(
