@@ -212,3 +212,53 @@ def test_any_window_single_step_and_dupes(spark):
         for r in funnel_times_any_window(df, [F.col("event_type") == "a"]).collect()
     }
     assert got == {"u1": (5, 5)}
+
+
+def test_one_pass_equals_join_form_random(spark):
+    """funnel_times_one_pass is a pure re-plan of funnel_times: same
+    rows, same values, for random event streams, with and without a
+    span bound, including overlapping step predicates."""
+    import random
+
+    from white_elephant_spark.operators.funnel import (
+        funnel_times,
+        funnel_times_one_pass,
+    )
+
+    rng = random.Random(99)
+    names = ("a", "b", "c")
+    for span, overlap in ((None, False), (7, False), (25, True)):
+        rows = [
+            (f"u{rng.randrange(12)}", rng.choice(names), rng.randrange(60))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts long"
+        )
+        if overlap:
+            # step 2 matches b OR c — an event can satisfy several steps
+            steps = [
+                F.col("event_type") == "a",
+                F.col("event_type").isin("b", "c"),
+                F.col("event_type") == "c",
+            ]
+        else:
+            steps = [F.col("event_type") == s for s in names]
+        ms = None if span is None else F.lit(span)
+        key = lambda r: r["user"]  # noqa: E731
+        a = sorted(funnel_times(df, steps, max_span=ms).collect(), key=key)
+        b = sorted(funnel_times_one_pass(df, steps, max_span=ms).collect(), key=key)
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], f"span={span}"
+
+
+def test_tag_steps_one_row_per_match(spark):
+    from white_elephant_spark.operators.funnel import tag_steps
+
+    df = spark.createDataFrame(
+        [("u1", "a", 1), ("u1", "b", 2), ("u2", "x", 3)],
+        "user_id string, event_type string, ts long",
+    )
+    steps = [F.col("event_type") == "a", F.col("event_type").isin("a", "b")]
+    got = sorted(tuple(r) for r in tag_steps(df, steps).collect())
+    # "a" matches steps 1 and 2; "b" matches step 2; "x" drops out
+    assert got == [("u1", 1, 1), ("u1", 1, 2), ("u1", 2, 2)]

@@ -23,10 +23,32 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "funnel_times",
+    "funnel_times_one_pass",
     "funnel_times_any_window",
     "funnel_report",
     "cohort_retention",
 ]
+
+
+def tag_steps(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One scan of ``events`` → ``(user, ts, step)`` rows, one row per
+    step predicate each event matches (events matching several steps
+    appear once per match, same as a per-step filter+union, but read
+    once). The shared tagging base for both funnel formulations, so a
+    query computing several funnel variants re-uses one Exchange of
+    this frame instead of re-scanning the fact table per variant."""
+    u, t = F.col(user_col), F.col(ts_col)
+    matched = F.array_compact(
+        F.array(*[F.when(p, F.lit(i)) for i, p in enumerate(steps, start=1)])
+    )
+    return events.select(u.alias("user"), t.alias("ts"), matched.alias("__m")).select(
+        "user", "ts", F.explode("__m").alias("step")
+    )
 
 
 def funnel_times(
@@ -75,12 +97,65 @@ def funnel_times(
     return out
 
 
+def funnel_times_one_pass(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_span: Column | None = None,
+    tagged: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`funnel_times` semantics (first-touch anchoring, same
+    output schema and values row-for-row), re-planned as ONE pass:
+    :func:`tag_steps` reads the fact table once, then the chain
+    ``t1 = MIN(step-1 ts)``, ``t_i = MIN(step-i ts in
+    [t_{i-1}, t1 + span])`` is K chained whole-partition window
+    aggregates over a single ``hash(user)`` Exchange (no ORDER BY —
+    an unordered whole-partition frame needs no sort), and the final
+    per-user collapse re-uses that partitioning, so Catalyst inserts
+    no further shuffle.
+
+    Trade-off vs the join form (:func:`funnel_times`): the join form
+    shuffles per-user *aggregates* (small) but scans the fact table K
+    times; this form scans once and shuffles the matching step events
+    (|step-1 ∪ ... ∪ step-K| rows). For selective steps over a wide
+    fact table — the 100 TB funnel over raw events — one scan +
+    one bounded shuffle wins; for non-selective steps over a narrow
+    table the join form's smaller shuffle can win. Equality of the
+    two is property-tested in tests/test_funnel.py.
+
+    ``tagged`` lets a caller pass a pre-built :func:`tag_steps` frame
+    so several funnel variants share one Exchange."""
+    from pyspark.sql.window import Window
+
+    if not steps:
+        raise ValueError("at least one step")
+    if tagged is None:
+        tagged = tag_steps(events, steps, user_col, ts_col)
+    wall = Window.partitionBy("user")
+    cur = tagged.withColumn(
+        "t1", F.min(F.when(F.col("step") == 1, F.col("ts"))).over(wall)
+    )
+    for i in range(2, len(steps) + 1):
+        cond = (F.col("step") == i) & (F.col("ts") >= F.col(f"t{i - 1}"))
+        if max_span is not None:
+            cond = cond & (F.col("ts") <= F.col("t1") + max_span)
+        cur = cur.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(wall))
+    names = [f"t{i}" for i in range(1, len(steps) + 1)]
+    return (
+        cur.filter(F.col("t1").isNotNull())
+        .groupBy("user")
+        .agg(*[F.min(n).alias(n) for n in names])
+    )
+
+
 def funnel_times_any_window(
     events: DataFrame,
     steps: list[Column],
     user_col: str = "user_id",
     ts_col: str = "ts",
     max_span: Column | None = None,
+    tagged: DataFrame | None = None,
 ) -> DataFrame:
     """Re-entrant funnel — the any-qualifying-window semantic
     :func:`funnel_times` deliberately does not have: a user converts
@@ -106,19 +181,17 @@ def funnel_times_any_window(
     for the whole chain; greedy-minimal chaining is exhaustive
     because taking the earliest next step leaves maximal room for the
     rest (exchange-argument optimality, asserted against brute force
-    in tests/test_funnel.py)."""
+    in tests/test_funnel.py).
+
+    ``tagged`` lets a caller pass a pre-built :func:`tag_steps` frame
+    so several funnel variants share one Exchange."""
     from pyspark.sql.window import Window
 
     if not steps:
         raise ValueError("at least one step")
     k = len(steps)
-    u, t = F.col(user_col), F.col(ts_col)
-    tagged = None
-    for i, pred in enumerate(steps, start=1):
-        part = events.filter(pred).select(
-            u.alias("user"), t.alias("ts"), F.lit(i).alias("step")
-        )
-        tagged = part if tagged is None else tagged.unionAll(part)
+    if tagged is None:
+        tagged = tag_steps(events, steps, user_col, ts_col)
     w = (
         Window.partitionBy("user")
         .orderBy("ts")

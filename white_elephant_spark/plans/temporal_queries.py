@@ -313,7 +313,14 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click",
         F.col("event_type") == "purchase",
     ]
-    ft = funnel.funnel_times(ev, steps, max_span=F.expr("INTERVAL 7 DAYS"))
+    # Both funnel legs share one tag_steps frame — the fact table is
+    # scanned once and the hash(user) Exchange of the tagged step
+    # events is planned once and re-used by the first-touch window
+    # chain and the re-entrant ordered-window chain.
+    tagged = funnel.tag_steps(ev, steps)
+    ft = funnel.funnel_times_one_pass(
+        ev, steps, max_span=F.expr("INTERVAL 7 DAYS"), tagged=tagged
+    )
     null_ts = F.lit(None).cast("timestamp_ntz")
     null_long = F.lit(None).cast("long")
     fun = ft.select(
@@ -341,7 +348,7 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "retention",
     )
     aw = funnel.funnel_times_any_window(
-        ev, steps, max_span=F.expr("INTERVAL 7 DAYS")
+        ev, steps, max_span=F.expr("INTERVAL 7 DAYS"), tagged=tagged
     ).select(
         F.lit("funnel_any").alias("kind"),
         F.col("user").alias("user_id"),
