@@ -262,3 +262,41 @@ def test_tag_steps_one_row_per_match(spark):
     got = sorted(tuple(r) for r in tag_steps(df, steps).collect())
     # "a" matches steps 1 and 2; "b" matches step 2; "x" drops out
     assert got == [("u1", 1, 1), ("u1", 1, 2), ("u1", 2, 2)]
+
+
+def test_fused_first_and_any_equals_both_operators(spark):
+    """funnel_first_and_any == (funnel_times, funnel_times_any_window)
+    column-for-column on random event streams."""
+    import random
+
+    from white_elephant_spark.operators.funnel import (
+        funnel_first_and_any,
+        funnel_times,
+        funnel_times_any_window,
+    )
+
+    rng = random.Random(123)
+    names = ("a", "b", "c")
+    for span in (None, 7, 25):
+        rows = [
+            (f"u{rng.randrange(12)}", rng.choice(names), rng.randrange(60))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id string, event_type string, ts long"
+        )
+        steps = [F.col("event_type") == s for s in names]
+        ms = None if span is None else F.lit(span)
+        fused = {
+            r["user"]: r for r in funnel_first_and_any(df, steps, max_span=ms).collect()
+        }
+        ft = {r["user"]: r for r in funnel_times(df, steps, max_span=ms).collect()}
+        aw = {
+            r["user"]: r
+            for r in funnel_times_any_window(df, steps, max_span=ms).collect()
+        }
+        assert set(fused) == set(ft) == set(aw)
+        for u, r in fused.items():
+            assert (r["t1"], r["t2"], r["t3"]) == (ft[u]["t1"], ft[u]["t2"], ft[u]["t3"]), (span, u)
+            t1_any = r["t1_any"] if r["t1_any"] is not None else r["t1"]
+            assert (t1_any, r["tk_any"]) == (aw[u]["t1"], aw[u]["tk"]), (span, u)

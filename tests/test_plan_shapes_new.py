@@ -86,3 +86,29 @@ def test_cohort_retention_two_aggregations_one_join(spark):
     # first-seen agg + distinct + final agg: partial aggregation
     # (map-side combine) must appear before every exchange
     assert len(re.findall(r"HashAggregate", plan)) >= 4
+
+
+def test_funnel_query_is_one_fused_pipeline(spark):
+    """event_funnel_cohorts: the two funnel row-kinds come from ONE
+    fused pipeline (funnel_first_and_any + explode of structs) — one
+    hash(user) Exchange for the funnel half, no cartesian, and the
+    fact table is scanned at most 3x total (tagged once + the cohort
+    leg's own two scans). The round-4 shape was 18 exchanges and ~8
+    scans across three separately-planned legs."""
+    from white_elephant_spark.plans.registry import all_queries
+
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = all_queries()["event_funnel_cohorts"].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one hash(user) exchange feeds the stacked funnel window chains;
+    # the second is the cohort leg's own first-seen aggregation
+    assert len(re.findall(r"Exchange hashpartitioning\(user#", plan)) == 2
+    # tagged (funnel half, once) + the cohort leg's first-seen (used
+    # by both the join and the sizes branch) and active scans
+    assert len(re.findall(r"Scan parquet", plan)) <= 4

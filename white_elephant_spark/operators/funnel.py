@@ -149,6 +149,82 @@ def funnel_times_one_pass(
     )
 
 
+def funnel_first_and_any(
+    events: DataFrame,
+    steps: list[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_span: Column | None = None,
+    tagged: DataFrame | None = None,
+) -> DataFrame:
+    """Both funnel semantics from ONE pipeline: per user,
+    ``(user, t1, t2, ..., tK, t1_any, tk_any)`` where ``t1..tK`` are
+    :func:`funnel_times`'s first-touch chain and
+    ``(coalesce(t1_any, t1), tk_any)`` is
+    :func:`funnel_times_any_window`'s re-entrant result — value-equal
+    to running the two operators separately (property-tested in
+    tests/test_funnel.py).
+
+    Why fuse: planned separately, each leg's first window operand is
+    projected *below* its own Exchange, so the two hash(user)
+    exchanges don't canonicalize equal and ReuseExchange cannot dedup
+    them — the tagged frame is scanned and shuffled twice. Here the
+    first-touch chain (whole-partition frames, no sort) and the
+    re-entrant chain (ordered range frames) stack over the SAME
+    Window partitioning, so the plan is one scan, one Exchange, one
+    sort, K-1+K window passes, one final aggregate — and a caller can
+    emit both legs' rows with ``explode(array(struct...))`` instead
+    of a branch that would re-plan the pipeline per leg."""
+    from pyspark.sql.window import Window
+
+    if not steps:
+        raise ValueError("at least one step")
+    k = len(steps)
+    if tagged is None:
+        tagged = tag_steps(events, steps, user_col, ts_col)
+    wall = Window.partitionBy("user")
+    word = (
+        Window.partitionBy("user")
+        .orderBy("ts")
+        .rangeBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    # First-touch chain: chained whole-partition conditional mins.
+    cur = tagged.withColumn(
+        "t1", F.min(F.when(F.col("step") == 1, F.col("ts"))).over(wall)
+    )
+    for i in range(2, k + 1):
+        cond = (F.col("step") == i) & (F.col("ts") >= F.col(f"t{i - 1}"))
+        if max_span is not None:
+            cond = cond & (F.col("ts") <= F.col("t1") + max_span)
+        cur = cur.withColumn(f"t{i}", F.min(F.when(cond, F.col("ts"))).over(wall))
+    # Re-entrant chain: greedy-minimal completion per anchor,
+    # backwards from step K (same recurrence as
+    # funnel_times_any_window, same frame).
+    cur = cur.withColumn("h", F.when(F.col("step") == k, F.col("ts")))
+    for i in range(k - 1, 0, -1):
+        nxt_h = F.min(F.when(F.col("step") == i + 1, F.col("h"))).over(word)
+        cur = cur.withColumn(
+            "h", F.when(F.col("step") == i, nxt_h).otherwise(F.col("h"))
+        )
+    is1 = F.col("step") == 1
+    if max_span is not None:
+        ok = is1 & (F.col("h") <= F.col("ts") + max_span)
+    else:
+        ok = is1 & F.col("h").isNotNull()
+    names = [f"t{i}" for i in range(1, k + 1)]
+    return (
+        cur.filter(F.col("t1").isNotNull())
+        .groupBy("user")
+        .agg(
+            *[F.min(n).alias(n) for n in names],
+            F.min(F.when(ok, F.col("ts"))).alias("t1_any"),
+            F.min_by(F.when(is1, F.col("h")), F.when(ok, F.col("ts"))).alias(
+                "tk_any"
+            ),
+        )
+    )
+
+
 def funnel_times_any_window(
     events: DataFrame,
     steps: list[Column],

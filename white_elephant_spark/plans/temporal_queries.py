@@ -289,21 +289,26 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``funnel`` — per-user earliest completion times of the ordered
       view → click → purchase funnel within a 7-day horizon from
-      first entry (first-touch anchoring; K aggregations + K-1
-      equi-joins, probe side shrinks monotonically, no window sort
-      over the full stream);
+      first entry (first-touch anchoring);
     - ``cohort`` — weekly cohort retention matrix (users grouped by
       first-activity week, tracked across subsequent weeks; two
       map-side-combinable aggregations + one equi-join);
     - ``funnel_any`` — the re-entrant (any-qualifying-window)
-      semantic (:func:`~white_elephant_spark.operators.funnel.
-      funnel_times_any_window`): a user whose first-touch window
-      expired but who re-entered later still converts; K-1 chained
-      range-frame window passes over ONE (user, ts) shuffle. ``t1``
-      is the earliest *converting* anchor (else first entry), ``t3``
-      its completion, ``t2`` NULL. The oracle re-derives it with
-      per-anchor greedy correlated mins, so the two formulations
-      must agree exactly.
+      semantic: a user whose first-touch window expired but who
+      re-entered later still converts. ``t1`` is the earliest
+      *converting* anchor (else first entry), ``t3`` its completion,
+      ``t2`` NULL. The oracle re-derives it with per-anchor greedy
+      correlated mins, so the two formulations must agree exactly.
+
+    Both funnel kinds come from ONE fused pipeline
+    (:func:`~white_elephant_spark.operators.funnel.
+    funnel_first_and_any`): one scan of the fact table, one
+    hash(user) Exchange, the first-touch chain (whole-partition
+    frames) and the re-entrant chain (ordered range frames) stacked
+    over the same partitioning, one final per-user aggregate — the
+    two row kinds are emitted by exploding an array of structs, so
+    no per-leg branch re-plans the pipeline. Plan-shape guarded in
+    tests/test_plan_shapes_new.py.
     """
     from white_elephant_spark.operators import funnel
 
@@ -313,27 +318,47 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "click",
         F.col("event_type") == "purchase",
     ]
-    # Both funnel legs share one tag_steps frame — the fact table is
-    # scanned once and the hash(user) Exchange of the tagged step
-    # events is planned once and re-used by the first-touch window
-    # chain and the re-entrant ordered-window chain.
-    tagged = funnel.tag_steps(ev, steps)
-    ft = funnel.funnel_times_one_pass(
-        ev, steps, max_span=F.expr("INTERVAL 7 DAYS"), tagged=tagged
-    )
     null_ts = F.lit(None).cast("timestamp_ntz")
     null_long = F.lit(None).cast("long")
-    fun = ft.select(
-        F.lit("funnel").alias("kind"),
-        F.col("user").alias("user_id"),
-        "t1",
-        "t2",
-        "t3",
+    null_dbl = F.lit(None).cast("double")
+    # Both funnel legs come out of ONE fused pipeline (one events
+    # scan, one hash(user) Exchange, stacked window chains — see
+    # funnel.funnel_first_and_any for why separate legs cannot share
+    # their exchange), and the two row kinds are emitted with
+    # explode(array(struct...)) so nothing is re-planned per leg.
+    both = funnel.funnel_first_and_any(
+        ev, steps, max_span=F.expr("INTERVAL 7 DAYS")
+    )
+    fun = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("funnel").alias("kind"),
+                    F.col("user").alias("user_id"),
+                    F.col("t1").alias("t1"),
+                    F.col("t2").alias("t2"),
+                    F.col("t3").alias("t3"),
+                ),
+                F.struct(
+                    F.lit("funnel_any").alias("kind"),
+                    F.col("user").alias("user_id"),
+                    F.coalesce("t1_any", "t1").alias("t1"),
+                    null_ts.alias("t2"),
+                    F.col("tk_any").alias("t3"),
+                ),
+            )
+        ).alias("r")
+    ).select(
+        "r.kind",
+        "r.user_id",
+        "r.t1",
+        "r.t2",
+        "r.t3",
         null_ts.alias("cohort"),
         null_long.alias("period_offset"),
         null_long.alias("active_users"),
         null_long.alias("cohort_size"),
-        F.lit(None).cast("double").alias("retention"),
+        null_dbl.alias("retention"),
     )
     coh = funnel.cohort_retention(ev, unit="week").select(
         F.lit("cohort").alias("kind"),
@@ -347,21 +372,7 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_size").cast("long").alias("cohort_size"),
         "retention",
     )
-    aw = funnel.funnel_times_any_window(
-        ev, steps, max_span=F.expr("INTERVAL 7 DAYS"), tagged=tagged
-    ).select(
-        F.lit("funnel_any").alias("kind"),
-        F.col("user").alias("user_id"),
-        "t1",
-        null_ts.alias("t2"),
-        F.col("tk").alias("t3"),
-        null_ts.alias("cohort"),
-        null_long.alias("period_offset"),
-        null_long.alias("active_users"),
-        null_long.alias("cohort_size"),
-        F.lit(None).cast("double").alias("retention"),
-    )
-    return fun.unionByName(coh).unionByName(aw)
+    return fun.unionByName(coh)
 
 
 @register(
