@@ -309,9 +309,12 @@ def cohort_retention(
     (retention 1.0 by construction).
 
     Shape: one aggregation for first-seen per user, one distinct
-    (user, period) projection, an equi-join on the user, and the final
-    group — every step map-side-combinable, nothing quadratic. The
-    same two-aggregation skeleton as the funnel's step 1.
+    (user, period) projection, an equi-join on the user, the final
+    group, and a whole-partition window over the grouped (cohort)
+    frame for the size/retention columns — every step
+    map-side-combinable, nothing quadratic, and the first-seen branch
+    is planned once (cohort_size is the offset-0 active count, an
+    invariant of first-period activity, not a second aggregation).
     """
     _UNIT_SECONDS = {"week": 604800, "day": 86400, "hour": 3600}
     if unit != "month" and unit not in _UNIT_SECONDS:
@@ -319,6 +322,8 @@ def cohort_retention(
             f"unsupported unit {unit!r}; expected one of "
             f"{sorted(_UNIT_SECONDS) + ['month']}"
         )
+    from pyspark.sql.window import Window
+
     u, t = F.col(user_col), F.col(ts_col)
     per = lambda c: F.date_trunc(unit, c)  # noqa: E731
     first = events.groupBy(u.alias("user")).agg(per(F.min(t)).alias("cohort"))
@@ -329,18 +334,23 @@ def cohort_retention(
     joined = active.join(first, "user").select(
         "user", "cohort", F.round(span).cast("long").alias("period_offset")
     )
-    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return (
-        joined.groupBy("cohort", "period_offset")
-        .agg(F.count_distinct("user").alias("active_users"))
-        .join(sizes, "cohort")
-        .select(
-            "cohort",
-            "period_offset",
-            "active_users",
-            "cohort_size",
-            (F.col("active_users").cast("double") / F.col("cohort_size")).alias("retention"),
-        )
+    # cohort_size needs no separate aggregation over `first`: every
+    # user's first period is active by construction, so the cohort's
+    # size IS its active_users at period_offset 0 — attached with a
+    # whole-partition window over the (tiny) grouped frame instead of
+    # re-planning the first-seen branch into a sizes table + join.
+    grouped = joined.groupBy("cohort", "period_offset").agg(
+        F.count_distinct("user").alias("active_users")
+    )
+    size = F.max(
+        F.when(F.col("period_offset") == 0, F.col("active_users"))
+    ).over(Window.partitionBy("cohort"))
+    return grouped.select(
+        "cohort",
+        "period_offset",
+        "active_users",
+        size.alias("cohort_size"),
+        (F.col("active_users").cast("double") / size).alias("retention"),
     )
 
 
