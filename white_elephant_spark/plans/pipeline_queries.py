@@ -647,6 +647,32 @@ SELECT 'expectation', 'fk(custkey->c_custkey)',
        (SELECT COUNT(*) FROM good
         WHERE custkey IS NOT NULL
           AND custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+UNION ALL
+SELECT 'histogram',
+       'hist(cents,10)[' || CAST(h.b AS VARCHAR) || ']',
+       h.n,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM good),
+       TRUE
+FROM (
+  WITH stats AS (
+    SELECT CAST(MIN(cents) AS DOUBLE) AS lo, CAST(MAX(cents) AS DOUBLE) AS hi
+    FROM good WHERE cents IS NOT NULL
+  ),
+  w AS (
+    SELECT lo,
+           CASE WHEN (hi - lo) / 10 = 0 THEN 1.0 ELSE (hi - lo) / 10 END AS width
+    FROM stats
+  ),
+  hb AS (
+    SELECT LEAST(CAST(floor((CAST(cents AS DOUBLE) - lo) / width) AS BIGINT),
+                 CAST(9 AS BIGINT)) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM good, w WHERE cents IS NOT NULL GROUP BY 1
+  ),
+  bins AS (SELECT CAST(i AS BIGINT) AS b FROM generate_series(0, 9) t(i))
+  SELECT bins.b, CAST(COALESCE(hb.n, 0) AS BIGINT) AS n
+  FROM bins LEFT JOIN hb ON bins.b = hb.b
+) h
 """,
     tags=("jsonl", "quality", "ingest"),
 )
@@ -662,9 +688,12 @@ def jsonl_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`white_elephant_spark.operators.quality.check` runs the
     expectation suite over the good rows: three row rules in ONE
     aggregation pass, key uniqueness (one shuffle), and referential
-    integrity against customer (left-anti join). Output: one row per
-    quarantine reason + one per expectation, all counts hash-verified
-    against the oracle's direct derivation from orders."""
+    integrity against customer (left-anti join); the column profiler's
+    equi-width histogram runs over the typed amount column. Output:
+    one row per quarantine reason + one per expectation + one per
+    histogram bin, all counts (including the bin boundaries' bucket
+    assignment) hash-verified against the oracle's direct derivation
+    from orders."""
     import shutil
 
     from pyspark.sql import types as T
@@ -736,7 +765,25 @@ def jsonl_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.col("pass").alias("passed"),
     )
-    return quarrows.unionByName(rep)
+    # Profiler leg: the equi-width histogram over the typed rows'
+    # amount column (quality.histogram: one min/max pass + one
+    # map-side bucket groupBy, empty bins filled). The bin edges are
+    # single IEEE-double operations, so the oracle re-derives the
+    # exact same bucket boundaries and counts — the profiler output
+    # itself is hash-verified, not just row-counted.
+    good_total = good.count()
+    histrows = quality.histogram(good, "cents", nbins=10).select(
+        F.lit("histogram").alias("kind"),
+        F.concat(
+            F.lit("hist(cents,10)["),
+            F.col("bucket").cast("string"),
+            F.lit("]"),
+        ).alias("rule"),
+        F.col("cnt").alias("violations"),
+        F.lit(good_total).cast("long").alias("total"),
+        F.lit(True).alias("passed"),
+    )
+    return quarrows.unionByName(rep).unionByName(histrows)
 
 
 @register(
