@@ -54,3 +54,32 @@ def test_api_usage_and_table(spark, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     assert out[0] == "time,u1,u2"
     assert len(out) > 1 and all(len(line.split(",")) == 3 for line in out[1:])
+
+
+def test_cli_upload(tmp_path, capsys):
+    import os
+    import time
+
+    from white_elephant_spark.__main__ import main
+
+    old = tmp_path / "logs" / "job_1_2.log"
+    os.makedirs(old.parent)
+    old.write_text("LOG")
+    two_days = time.time() - 2 * 86400
+    os.utime(old, (two_days, two_days))
+    rc = main(
+        [
+            "upload",
+            str(tmp_path / "logs"),
+            f"file://{tmp_path}/wh",
+            "--grid",
+            "gridZ",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "1 uploaded, 0 already present" in out
+    assert "/gridZ/daily/unknown/" in out
+    # idempotent re-run
+    rc = main(["upload", str(tmp_path / "logs"), f"file://{tmp_path}/wh", "--grid", "gridZ"])
+    assert "0 uploaded, 1 already present" in capsys.readouterr().out

@@ -160,6 +160,29 @@ def cmd_api(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_upload(args: argparse.Namespace) -> int:
+    """S13 log uploader as a CLI entrypoint — the cron surface the
+    reference drives through statsupload.pl. Prints one line per
+    planned file (action, queue, src -> dest)."""
+    from white_elephant_spark.sources.transfer import upload_logs
+
+    plan = upload_logs(
+        _spark(),
+        args.local_dir,
+        args.dest,
+        args.grid,
+        days=args.days,
+        older_than_s=args.older_than_hours * 3600.0,
+    )
+    for act in plan:
+        print(f"{act.action}\t{act.queue}\t{act.src} -> {act.dest}")
+    print(
+        f"{sum(1 for a in plan if a.action == 'upload')} uploaded, "
+        f"{sum(1 for a in plan if a.action == 'skip_uploaded')} already present"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m white_elephant_spark",
@@ -206,6 +229,22 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--start-ms", type=int, default=None)
     pa.add_argument("--end-ms", type=int, default=None)
     pa.set_defaults(fn=cmd_api)
+
+    pu = sub.add_parser(
+        "upload",
+        help="ship finished local log files to dated distributed-storage dirs (S13)",
+    )
+    pu.add_argument("local_dir")
+    pu.add_argument("dest", help="destination root URI (hdfs://, s3a://, file://, ...)")
+    pu.add_argument("--grid", default="default")
+    pu.add_argument("--days", type=int, default=7, help="upload files newer than N days")
+    pu.add_argument(
+        "--older-than-hours",
+        type=float,
+        default=24.0,
+        help="only files at least this old (job surely finished)",
+    )
+    pu.set_defaults(fn=cmd_upload)
     return p
 
 
