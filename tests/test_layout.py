@@ -136,3 +136,31 @@ def test_compact_max_records_per_file(spark, tmp_path):
     for f in glob.glob(os.path.join(out, "*.parquet")):
         assert pq.ParquetFile(f).metadata.num_rows <= cap
     assert spark.read.parquet(out).count() == n
+
+
+def test_rank_cuts_match_pure_python_reference(spark):
+    """rank_cuts == percentile_disc semantics (cut i = smallest value
+    whose running count reaches ceil(i*N/B)), including on
+    duplicate-heavy data where interpolated percentiles tie-break
+    differently across engines (the sf1 regression)."""
+    import math
+    import random
+
+    from white_elephant_spark.sources.layout import rank_cuts
+
+    rng = random.Random(7)
+    for b, vals in (
+        (16, [round(rng.uniform(0, 50), 2) for _ in range(997)] * 3),  # heavy dupes
+        (8, [float(i) for i in range(100)]),
+        (4, [1.0] * 50 + [2.0] * 50 + [3.0]),  # ties ON the cuts
+    ):
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = rank_cuts(df, "v", b)
+        s = sorted(vals)
+        n = len(s)
+        exp = []
+        for i in range(1, b):
+            t = math.ceil(i * n / b)
+            exp.append(s[t - 1])  # smallest value with running count >= t
+        assert got == exp, (b, got[:4], exp[:4])
+        assert len(got) == b - 1

@@ -77,7 +77,13 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table: a directory of part files (the
+            # synthesized sf1 corpus) — glob it for DuckDB.
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = all_queries()

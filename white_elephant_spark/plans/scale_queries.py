@@ -93,17 +93,14 @@ def skew_salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ZBITS = 4  # 16 quantile ranks per dimension
-_ZPROBES = [i / (1 << _ZBITS) for i in range(1, 1 << _ZBITS)]
-_ZPROBES_SQL = ", ".join(repr(p) for p in _ZPROBES)
 
 
 @register(
     "zorder_layout_keys",
     oracle=f"""
 WITH cuts AS (
-  SELECT quantile_cont(CAST(user_id AS DOUBLE), [{_ZPROBES_SQL}]) AS cu,
-         quantile_cont(CAST(value AS DOUBLE), [{_ZPROBES_SQL}]) AS cv
-  FROM events
+  SELECT {layout.sql_rank_cuts('events', 'user_id', 1 << _ZBITS)} AS cu,
+         {layout.sql_rank_cuts('events', 'value', 1 << _ZBITS)} AS cv
 ),
 bucketed AS (
   SELECT event_id,
@@ -125,20 +122,26 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer min/max stats go tight on BOTH filter columns at once.
 
     This registered form computes the 15 interior cuts per dimension
-    with *exact* percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``; one aggregation, driver collect bounded by
-    2^bits, never rows) so the oracle reproduces every bucket and
-    z-value bit-for-bit; the production write path uses
-    ``approxQuantile`` cuts — same IF-tree, same interleave, sketch
-    cuts (engine-private, covered by tests/test_layout.py's
+    as *exact rank cuts* (:func:`white_elephant_spark.sources.layout.
+    rank_cuts` — ``percentile_disc`` semantics: integer thresholds,
+    cuts are actual data values, driver collect bounded by 2^bits,
+    never rows), so the oracle reproduces every bucket and z-value
+    bit-for-bit at any scale. Interpolated percentiles are NOT
+    engine-portable: Spark ``percentile`` and DuckDB ``quantile_cont``
+    associate the interpolation arithmetic differently, and the
+    resulting 1-ULP cut difference flips the bucket of every row
+    lying exactly on a cut (surfaced by the sf1 decade check on the
+    duplicate-heavy synthesized corpus). The production write path
+    uses ``approxQuantile`` cuts — same IF-tree, same interleave,
+    sketch cuts (engine-private, covered by tests/test_layout.py's
     footer-stat tightness assertions)."""
     ev = load_table(spark, sf_dir, "events")
-    row = ev.agg(
-        F.expr(f"percentile(CAST(user_id AS DOUBLE), array({_ZPROBES_SQL}))").alias("cu"),
-        F.expr(f"percentile(CAST(value AS DOUBLE), array({_ZPROBES_SQL}))").alias("cv"),
-    ).collect()[0]
-    ub = layout.bucket_from_cuts(F.col("user_id"), list(row["cu"]))
-    vb = layout.bucket_from_cuts(F.col("value"), list(row["cv"]))
+    ub = layout.bucket_from_cuts(
+        F.col("user_id"), layout.rank_cuts(ev, "user_id", 1 << _ZBITS)
+    )
+    vb = layout.bucket_from_cuts(
+        F.col("value"), layout.rank_cuts(ev, "value", 1 << _ZBITS)
+    )
     return ev.select(
         "event_id",
         ub.alias("ub"),

@@ -78,6 +78,83 @@ def sql_zvalue(exprs: list[str], bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def rank_cuts(df, col: str, num_buckets: int = 16) -> list[float]:
+    """Exact *discrete* quantile cuts (``percentile_disc`` semantics):
+    cut ``i`` is the smallest data value whose running row count
+    reaches ``ceil(i·N/num_buckets)``. Every threshold is integer
+    arithmetic and every cut is an actual data value — no
+    interpolation — so any engine recomputing them from the same rows
+    gets bit-identical doubles. Interpolated percentiles do NOT have
+    this property: Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` agree analytically but associate the
+    ``lo + frac·(hi-lo)`` arithmetic differently, and on a
+    duplicate-heavy corpus a 1-ULP cut difference moves every row
+    sitting exactly on the cut into a different bucket (caught by the
+    sf1 decade check; see tests/test_layout.py).
+
+    Plan shape: distinct-value counts (map-side combinable), one
+    running-sum window over the distinct values (O(distinct) on a
+    single partition — same memory class as the ``percentile``
+    aggregate this replaces), each distinct row emits the cut indexes
+    it owns via pure integer division, and only ``num_buckets-1``
+    rows reach the driver."""
+    from pyspark.sql.window import Window
+
+    b = int(num_buckets)
+    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dv = (
+        df.select(F.col(col).cast("double").alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dv.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(n_row))
+    prev = F.col("cum") - F.col("c")
+    # this distinct value owns cut i  ⟺  prev < ceil(i·N/b) ≤ cum
+    #   ⟺  floor(b·prev/N)+1 ≤ i ≤ floor(b·cum/N)     (integer div;
+    # b·N < 2^53 so double floor-division is exact)
+    i_lo = F.greatest(
+        F.floor(F.lit(b) * prev / F.col("n")).cast("long") + F.lit(1), F.lit(1)
+    )
+    i_hi = F.least(
+        F.floor(F.lit(b) * F.col("cum") / F.col("n")).cast("long"),
+        F.lit(b - 1),
+    )
+    owned = cum.filter(i_hi >= i_lo).select(
+        F.explode(F.sequence(i_lo, i_hi)).alias("i"), "v"
+    )
+    rows = owned.orderBy("i").collect()
+    assert len(rows) == b - 1, f"rank_cuts: got {len(rows)} cuts, want {b - 1}"
+    return [float(r["v"]) for r in rows]
+
+
+def sql_rank_cuts(table: str, expr: str, num_buckets: int = 16) -> str:
+    """DuckDB twin of :func:`rank_cuts`: a scalar subquery producing
+    the ordered cut list for ``expr`` over ``table`` with the same
+    integer thresholds, so the list is bit-identical to what the
+    engine computed."""
+    b = int(num_buckets)
+    return f"""(
+  WITH __n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+  __dv AS (
+    SELECT CAST({expr} AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM {table} WHERE {expr} IS NOT NULL GROUP BY 1
+  ),
+  __cm AS (
+    SELECT v, SUM(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM __dv
+  )
+  SELECT list(cut ORDER BY i) FROM (
+    SELECT i,
+           (SELECT MIN(v) FROM __cm
+            WHERE cum >= (i * n + {b - 1}) // {b}) AS cut
+    FROM range(1, {b}) t(i), __n
+  )
+)"""
+
+
 def bucket_from_cuts(c: Column, cuts: list[float]) -> Column:
     """Bucket index of ``c`` against explicit, already-computed cut
     boundaries (= count of cuts ≤ c), via the balanced IF-tree. The
