@@ -112,8 +112,12 @@ def rank_cuts(df, col: str, num_buckets: int = 16) -> list[float]:
     cum = dv.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(n_row))
     prev = F.col("cum") - F.col("c")
     # this distinct value owns cut i  ⟺  prev < ceil(i·N/b) ≤ cum
-    #   ⟺  floor(b·prev/N)+1 ≤ i ≤ floor(b·cum/N)     (integer div;
-    # b·N < 2^53 so double floor-division is exact)
+    #   ⟺  floor(b·prev/N)+1 ≤ i ≤ floor(b·cum/N).
+    # Integer division via double floor(x/y): exact while the
+    # fractional part of the true quotient (≥ 1/N when nonzero)
+    # exceeds the double ulp at magnitude b — safe for N ≪ 2^40;
+    # a violation breaks the ranges-partition invariant and trips
+    # the length assert below rather than silently misbinning.
     i_lo = F.greatest(
         F.floor(F.lit(b) * prev / F.col("n")).cast("long") + F.lit(1), F.lit(1)
     )
