@@ -1,4 +1,5 @@
-"""Session-scoped registry for trained models and serving indexes.
+"""Registry for trained models and serving indexes — session memo
+backed by an on-disk artifact store.
 
 Train-once, serve-many: a quantizer, an eigenbasis, or an IVF
 inverted-list index is a *pure function of an immutable corpus* (every
@@ -11,29 +12,71 @@ corpus snapshot. This registry gives the plan layer the same contract
 the table catalog gives scans (``sources/catalog.py:_TABLE_MEMO`` —
 resolve once per session, reuse the immutable artifact).
 
-Keying: ``(session, corpus path, corpus mtime, model name, params)``.
-The mtime guard means a rewritten corpus retrains instead of serving a
-stale model; a stopped/recreated session never serves another
-session's JVM-bound artifacts (broadcast vars, persisted DataFrames).
+Two tiers:
 
-Correctness is unaffected: a memo hit returns the bit-identical
-artifact the trainer would produce (trainers are deterministic), so
-oracle hashes match whether the entry is cold or warm. What changes is
-*steady-state* cost — exactly the quantity bench.py's best-of-N
-already reports — which stops double-counting index builds into every
-serve.
+- **Session memo** — keyed ``(applicationId, sessionUUID, corpus
+  path, corpus mtime, model name, params)``. The mtime guard means a
+  rewritten corpus retrains instead of serving a stale model; the
+  application/session identity is *stable* (not ``id()``, which
+  CPython can reuse after a session is GC'd), so a recreated session
+  never serves another session's JVM-bound artifacts. Entries from a
+  previous application are pruned (and their DataFrames unpersisted)
+  the first time a new application touches the registry.
+- **Disk store** — ``.scratch/models/<key-hash>/`` holds the
+  serialized artifact plus a ``meta.json`` recording the corpus
+  (path, mtime) and params it was trained from. A *new session's*
+  first call loads the artifact instead of retraining (the faiss
+  pattern: the index file outlives the process). Plain driver-side
+  artifacts (centroid lists, eigenbases) pickle by default
+  (``disk=True``); JVM-bound artifacts (persisted DataFrames) pass
+  ``save``/``load`` callables — the convention is parquet out /
+  parquet scan back in, which also makes post-``clearCache``
+  recomputation a file read instead of a pipeline re-run.
+
+Correctness is unaffected: a memo or disk hit returns the
+bit-identical artifact the trainer would produce (trainers are
+deterministic; parquet round-trips are exact for the stored types),
+so oracle hashes match whether the entry is cold or warm. What
+changes is *steady-state* cost — exactly the quantity bench.py's
+best-of-N already reports — which stops double-counting index builds
+into every serve.
 """
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import pickle
+import shutil
+import tempfile
 from typing import Any, Callable
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["get_or_train", "corpus_key"]
+__all__ = [
+    "get_or_train",
+    "corpus_key",
+    "corpus_bytes",
+    "serving_partitions",
+    "clear_session",
+    "disk_root",
+]
 
 _MEMO: dict[tuple, Any] = {}
+
+#: artifact-format version — bump to invalidate every on-disk model.
+_DISK_VERSION = 1
+
+
+def disk_root() -> str:
+    """Directory of the on-disk artifact store (overridable for tests
+    via ``SPARK_GRAFT_MODEL_DIR``)."""
+    env = os.environ.get("SPARK_GRAFT_MODEL_DIR")
+    if env:
+        return env
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return os.path.join(repo, ".scratch", "models")
 
 
 def corpus_key(sf_dir: str, table: str) -> tuple[str, float]:
@@ -48,6 +91,117 @@ def corpus_key(sf_dir: str, table: str) -> tuple[str, float]:
     return (path, mtime)
 
 
+def corpus_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of one corpus table — a plain file's size, or the
+    sum of part files when the table is a Spark-written DIRECTORY (a
+    bare ``getsize()`` on a directory is ~0 and would mis-size
+    serving layouts to one partition). 0 when unknown."""
+    path, _ = corpus_key(sf_dir, table)
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+            )
+    except OSError:
+        pass
+    return 0
+
+
+def serving_partitions(spark: SparkSession, sf_dir: str, table: str) -> int | None:
+    """Partition count for a cached serving artifact derived from
+    ``table``: ~128 MB partitions from the corpus size, and only when
+    that would coalesce DOWN from the default parallelism (a big
+    corpus keeps its scan partitioning — no extra shuffle at scale).
+    None = leave the build partitioning alone."""
+    bytes_ = corpus_bytes(sf_dir, table)
+    if bytes_ <= 0:
+        return None
+    target = max(1, bytes_ // (128 << 20) + 1)
+    if target < spark.sparkContext.defaultParallelism:
+        return int(target)
+    return None
+
+
+def _session_key(spark: SparkSession) -> tuple[str, str]:
+    """Stable identity of one SparkSession: applicationId (unique per
+    SparkContext lifetime) + sessionUUID (unique per session within
+    it). Never reused the way ``id()`` can be."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - stopped context
+        app = "<no-app>"
+    try:
+        uuid = spark._jsparkSession.sessionUUID()
+    except Exception:  # pragma: no cover - connect/older builds
+        uuid = ""
+    return (app, uuid)
+
+
+def _prune(current_app: str) -> None:
+    """Drop (and unpersist) entries whose application is gone — their
+    JVM-bound artifacts died with the old SparkContext, and serving
+    them would fail at use."""
+    dead = [k for k in _MEMO if k[0][0] != current_app]
+    for k in dead:
+        v = _MEMO.pop(k)
+        if isinstance(v, DataFrame):
+            try:
+                v.unpersist()
+            except Exception:
+                pass
+
+
+def clear_session(spark: SparkSession) -> None:
+    """Evict (and unpersist) everything memoized for ``spark``."""
+    sk = _session_key(spark)
+    for k in [k for k in _MEMO if k[0] == sk]:
+        v = _MEMO.pop(k)
+        if isinstance(v, DataFrame):
+            try:
+                v.unpersist()
+            except Exception:
+                pass
+
+
+def _disk_dir(ck: tuple[str, float], name: str, params: tuple) -> str:
+    ident = repr((_DISK_VERSION, ck[0], name, params))
+    h = hashlib.sha256(ident.encode()).hexdigest()[:20]
+    return os.path.join(disk_root(), f"{name}-{h}")
+
+
+def _meta_ok(d: str, ck: tuple[str, float], name: str, params: tuple) -> bool:
+    try:
+        with open(os.path.join(d, "meta.json")) as f:
+            meta = json.load(f)
+        return (
+            meta.get("version") == _DISK_VERSION
+            and meta.get("path") == ck[0]
+            and meta.get("mtime") == ck[1]
+            and meta.get("name") == name
+            and meta.get("params") == repr(params)
+        )
+    except (OSError, ValueError):
+        return False
+
+
+def _write_meta(d: str, ck: tuple[str, float], name: str, params: tuple) -> None:
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "version": _DISK_VERSION,
+                "path": ck[0],
+                "mtime": ck[1],
+                "name": name,
+                "params": repr(params),
+            },
+            f,
+        )
+
+
 def get_or_train(
     spark: SparkSession,
     sf_dir: str,
@@ -55,12 +209,96 @@ def get_or_train(
     name: str,
     params: tuple,
     trainer: Callable[[], Any],
+    *,
+    disk: bool = False,
+    save: Callable[[Any, str], None] | None = None,
+    load: Callable[[SparkSession, str], Any] | None = None,
 ) -> Any:
-    """Return the memoized artifact for (corpus, name, params), training
-    it via ``trainer()`` on first use in this session."""
-    key = (id(spark._jsparkSession), corpus_key(sf_dir, table), name, params)
+    """Return the artifact for (corpus, name, params): session memo
+    first, then the disk store, then ``trainer()`` (persisting the
+    fresh artifact to disk when a serializer is configured).
+
+    - ``disk=True``: pickle the artifact (driver-side plain objects —
+      centroid lists, PCA models).
+    - ``save``/``load``: custom serializers for JVM-bound artifacts;
+      ``save(artifact, dir)`` writes under ``dir``, ``load(spark,
+      dir)`` rebuilds (convention: parquet out, persisted parquet
+      scan back).
+
+    Disk writes go to a temp dir renamed into place, so a killed run
+    never leaves a half-written artifact that validates.
+    """
+    sk = _session_key(spark)
+    _prune(sk[0])
+    ck = corpus_key(sf_dir, table)
+    key = (sk, ck, name, params)
     hit = _MEMO.get(key)
-    if hit is None:
-        hit = trainer()
-        _MEMO[key] = hit
-    return hit
+    if hit is not None:
+        return hit
+
+    on_disk = disk or (save is not None and load is not None)
+    d = _disk_dir(ck, name, params) if on_disk else None
+    artifact = None
+    if d and _meta_ok(d, ck, name, params):
+        try:
+            if load is not None:
+                artifact = load(spark, d)
+            else:
+                with open(os.path.join(d, "artifact.pkl"), "rb") as f:
+                    artifact = pickle.load(f)
+        except Exception:
+            artifact = None  # corrupt/incompatible: retrain below
+
+    if artifact is None:
+        artifact = trainer()
+        if d is not None:
+            try:
+                root = disk_root()
+                os.makedirs(root, exist_ok=True)
+                tmp = tempfile.mkdtemp(prefix=".tmp-", dir=root)
+                if save is not None:
+                    save(artifact, tmp)
+                else:
+                    with open(os.path.join(tmp, "artifact.pkl"), "wb") as f:
+                        pickle.dump(artifact, f)
+                _write_meta(tmp, ck, name, params)
+                shutil.rmtree(d, ignore_errors=True)
+                os.replace(tmp, d)
+                if load is not None and isinstance(artifact, DataFrame):
+                    # Serve the parquet scan, not the build pipeline:
+                    # a post-clearCache recompute is then a file read.
+                    try:
+                        artifact.unpersist()
+                    except Exception:
+                        pass
+                    artifact = load(spark, d)
+            except Exception:
+                pass  # disk store is an optimization, never a failure
+
+    _MEMO[key] = artifact
+    return artifact
+
+
+# --- parquet serializers for DataFrame artifacts -----------------------
+
+
+def df_save(artifact: DataFrame, d: str) -> None:
+    """Write a DataFrame artifact as parquet under ``d`` (the
+    standard ``save=`` for JVM-bound registry entries)."""
+    artifact.write.mode("overwrite").parquet(os.path.join(d, "data"))
+
+
+def df_load(persist: bool = True) -> Callable[[SparkSession, str], DataFrame]:
+    """``load=`` factory: persisted parquet scan of a saved artifact.
+    The scan recomputes from the file after ``clearCache()`` — a read,
+    not a pipeline re-run."""
+
+    def _load(spark: SparkSession, d: str) -> DataFrame:
+        from pyspark import StorageLevel
+
+        df = spark.read.parquet(os.path.join(d, "data"))
+        if persist:
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df
+
+    return _load

@@ -87,6 +87,11 @@ def connected_components(
         spark.conf.set(_CONSTRAINTS, prev_constraints)
 
 
+#: Node-count ceiling for inlining the local-path result as a VALUES
+#: LocalRelation (see _cc_local); bigger results fall back to an RDD.
+_LOCAL_RELATION_MAX = 10_000
+
+
 def _cc_local(spark, edges_pdf) -> DataFrame:
     """Driver union-find over a broadcast-sized edge list (a pandas
     frame, already collected by the strategy probe). Bounded by
@@ -111,6 +116,20 @@ def _cc_local(spark, edges_pdf) -> DataFrame:
             parent[hi] = lo
     rows = sorted((int(n), int(find(n))) for n in parent.keys() | set(parent.values()))
     schema = "node long, cluster_id long"
+    if rows and len(rows) <= _LOCAL_RELATION_MAX:
+        # Inline as a JVM LocalRelation (VALUES): unlike
+        # createDataFrame's ExistingRDD — which re-pays a Python
+        # pickle round-trip on EVERY downstream action and reports
+        # unknown size stats (so joins against it won't broadcast) —
+        # a LocalRelation is free to rescan and carries exact row
+        # stats, so Catalyst broadcast-joins the label table against
+        # the corpus instead of shuffling the corpus. Bounded: the
+        # literal text for 10k (long, long) rows is ~200 KB, ~0.1s
+        # parse, paid once per query build.
+        vals = ",".join(f"({n}L,{c}L)" for n, c in rows)
+        return spark.sql(
+            f"SELECT col1 AS node, col2 AS cluster_id FROM VALUES {vals}"
+        )
     return spark.createDataFrame(rows or [], schema)
 
 

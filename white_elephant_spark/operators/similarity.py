@@ -723,15 +723,22 @@ def neardup_pairs_lsh(
     (optional) joins the bucket key — candidates must also share the
     block (e.g. a k-means cell for SemDeDup-style semantic dedup),
     which both prunes spurious sketch collisions and caps per-bucket
-    mass on heavily clustered corpora."""
+    mass on heavily clustered corpora.
+
+    Verify layout: ids-only candidates → ``distinct`` → re-attach
+    both vectors by join. Minimum shuffle *volume* — the corpus
+    vectors move once per side. (A carry-the-vectors variant that
+    verifies directly on the bucket join's output was measured
+    SLOWER at serving layouts — the wide self-join build side costs
+    more than the two narrow re-attach joins save.)"""
     enc = encoded_buckets_arrow(dim, planes, tables)
     key_cols = [F.col(id_col).alias("id"), F.explode(enc(F.col(vec_col))).alias("bk")]
     if block_col is not None:
         key_cols.insert(1, F.col(block_col).alias("blk"))
-    keyed = vectors.select(*key_cols)
     cond = (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id"))
     if block_col is not None:
         cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    keyed = vectors.select(*key_cols)
     cand = (
         keyed.alias("a")
         .join(keyed.alias("b"), cond)
@@ -1210,6 +1217,9 @@ def semantic_dedup(
     tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: list[tuple[int, list[float], float]] | None = None,
+    blocked: DataFrame | None = None,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): documents whose *embeddings* are near-cosine
@@ -1236,20 +1246,36 @@ def semantic_dedup(
     4. connected components over the verified pairs
        (:func:`~white_elephant_spark.operators.clustering.connected_components`
        — size-adaptive local/distributed).
+
+    ``model`` / ``blocked`` let a serving layer pass the pre-trained
+    cell quantizer and/or the pre-built cell-assignment index (the
+    :mod:`white_elephant_spark.models` registry pattern — both are
+    pure deterministic artifacts of the corpus, so rebuilding them
+    per call repeats identical work); when omitted they are built
+    here. ``with_sizes=True`` appends a ``cluster_size`` column
+    computed from the component table alone (components are
+    broadcast-sized by the CC contract; absent nodes are singletons),
+    so no corpus-wide aggregate or shuffle is spent on it.
     """
     from white_elephant_spark.operators import clustering
     from white_elephant_spark.operators import clustering_kmeans as km
 
-    model = km.kmeans_fit(vectors, k_clusters, iters=1, dim=dim, id_col=id_col, vec_col=vec_col)
-    # Cell assignment rides the same one-pass Arrow kernel as the IVF
-    # index build — id and vector stay in the row, so no shuffle join
-    # back onto the corpus (the model IS the quantizer: same
-    # strict-fold ranking, ties to lowest cid).
-    blocked = ivf_build_index(vectors, model, dim, id_col=id_col, vec_col=vec_col).select(
-        F.col("nbr_id").alias(id_col),
-        F.col("nvec").alias(vec_col),
-        F.col("cid").alias("cluster_id"),
-    )
+    if blocked is None:
+        if model is None:
+            model = km.kmeans_fit(
+                vectors, k_clusters, iters=1, dim=dim, id_col=id_col, vec_col=vec_col
+            )
+        # Cell assignment rides the same one-pass Arrow kernel as the
+        # IVF index build — id and vector stay in the row, so no
+        # shuffle join back onto the corpus (the model IS the
+        # quantizer: same strict-fold ranking, ties to lowest cid).
+        blocked = ivf_build_index(
+            vectors, model, dim, id_col=id_col, vec_col=vec_col
+        ).select(
+            F.col("nbr_id").alias(id_col),
+            F.col("nvec").alias(vec_col),
+            F.col("cid").alias("cluster_id"),
+        )
     pairs = neardup_pairs_lsh(
         blocked,
         threshold=threshold,
@@ -1266,6 +1292,20 @@ def semantic_dedup(
         F.col("node").alias("id"),
         F.coalesce(F.col("cluster_id"), F.col("node")).alias("component"),
     )
-    return labeled.withColumn(
-        "keep", F.col("id") == F.col("component")
-    )
+    out = labeled.withColumn("keep", F.col("id") == F.col("component"))
+    if with_sizes:
+        # Every member of a non-trivial component appears in comps,
+        # so per-component counts over comps ARE the cluster sizes;
+        # nodes absent from comps are singletons (size 1). comps is
+        # broadcast-sized (CC's local path inlines a LocalRelation
+        # with exact stats), so this attaches by broadcast join — the
+        # corpus is never re-aggregated or re-shuffled for sizes.
+        csize = comps.groupBy(F.col("cluster_id").alias("component")).agg(
+            F.count(F.lit(1)).alias("__csz")
+        )
+        out = (
+            out.join(csize, "component", "left")
+            .withColumn("cluster_size", F.coalesce(F.col("__csz"), F.lit(1).cast("long")))
+            .drop("__csz")
+        )
+    return out
