@@ -46,3 +46,193 @@ def test_mtime_invalidation(spark, tmp_path):
     os.utime(corpus, (later, later))
     models.get_or_train(spark, str(tmp_path), "tbl", "m", (), trainer)
     assert len(calls) == 2
+
+
+# ---------------------------------------------------------- disk tier
+#
+# The disk store (.scratch/models/) outlives the process — these tests
+# pin its contract: cross-"session" warm loads skip the trainer,
+# corrupt artifacts retrain silently, version/freshness changes
+# invalidate, and disk-backed entries must carry a code-version token.
+
+import pytest
+
+
+@pytest.fixture()
+def disk_store(tmp_path, monkeypatch):
+    """Isolated on-disk store (the env override models.disk_root honors)."""
+    d = tmp_path / "store"
+    monkeypatch.setenv("SPARK_GRAFT_MODEL_DIR", str(d))
+    return d
+
+
+def _wipe_memo():
+    """Simulate a brand-new session: the memo dies with the process,
+    the disk store does not."""
+    models._MEMO.clear()
+
+
+def test_cross_session_warm_load(spark, tmp_path, disk_store):
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return {"centroids": [1.5, 2.5], "k": 2}
+
+    a1 = models.get_or_train(
+        spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True
+    )
+    _wipe_memo()  # "new session": memo gone, disk remains
+    a2 = models.get_or_train(
+        spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True
+    )
+    assert len(calls) == 1  # warm load — trainer NOT called again
+    assert a2 == a1 and a2 is not a1  # pickle round-trip, equal value
+
+
+def test_df_save_load_roundtrip(spark, tmp_path, disk_store):
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "id int, s string"
+        )
+
+    def run():
+        return models.get_or_train(
+            spark, str(tmp_path), "tbl", "frame", ("f-v1",), trainer,
+            save=models.df_save, load=models.df_load(persist=False),
+        )
+
+    rows1 = sorted(map(tuple, run().collect()))
+    _wipe_memo()
+    rows2 = sorted(map(tuple, run().collect()))
+    assert len(calls) == 1 and rows1 == rows2 == [(1, "a"), (2, "b"), (3, None)]
+
+
+def test_corrupt_artifact_retrains(spark, tmp_path, disk_store):
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return [1, 2, 3]
+
+    models.get_or_train(spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True)
+    [d] = [p for p in disk_store.iterdir() if p.name.startswith("m-")]
+    (d / "artifact.pkl").write_bytes(b"\x80garbage")  # half-written pickle
+    _wipe_memo()
+    a = models.get_or_train(
+        spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True
+    )
+    assert a == [1, 2, 3] and len(calls) == 2  # silent retrain, no crash
+
+    # truncated meta.json → treated as absent → retrain
+    (d / "meta.json").write_text('{"version":')
+    _wipe_memo()
+    models.get_or_train(spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True)
+    assert len(calls) == 3
+
+
+def test_disk_version_and_freshness_invalidate(spark, tmp_path, disk_store, monkeypatch):
+    corpus = tmp_path / "tbl.parquet"
+    corpus.write_text("corpus")
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return "art"
+
+    def run():
+        return models.get_or_train(
+            spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True
+        )
+
+    run()
+    # format bump invalidates every stored artifact
+    _wipe_memo()
+    monkeypatch.setattr(models, "_DISK_VERSION", models._DISK_VERSION + 1)
+    run()
+    assert len(calls) == 2
+    # corpus rewrite (new freshness token) invalidates too
+    _wipe_memo()
+    corpus.write_text("corpus-v2!")
+    run()
+    assert len(calls) == 3
+    # param-token bump at the call site invalidates
+    _wipe_memo()
+    models.get_or_train(spark, str(tmp_path), "tbl", "m", ("x-v2",), trainer, disk=True)
+    assert len(calls) == 4
+
+
+def test_directory_corpus_infile_rewrite_invalidates(spark, tmp_path, disk_store):
+    # A Spark-written corpus is a DIRECTORY; rewriting a part file in
+    # place does not touch the directory's own mtime, so the key must
+    # come from the contained files (ADVICE r6).
+    corpus = tmp_path / "tbl"
+    corpus.mkdir()
+    part = corpus / "part-00000.parquet"
+    part.write_text("v1")
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return "art"
+
+    models.get_or_train(spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True)
+    _wipe_memo()
+    models.get_or_train(spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True)
+    assert len(calls) == 1  # unchanged dir: warm
+    part.write_text("v2")  # same filename, same byte count...
+    later = os.path.getmtime(part) + 7
+    os.utime(part, (later, later))  # ...newer content
+    _wipe_memo()
+    models.get_or_train(spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True)
+    assert len(calls) == 2  # must retrain, not serve stale
+
+
+def test_version_token_required_for_disk_entries(spark, tmp_path, disk_store):
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    with pytest.raises(ValueError, match="code-version"):
+        models.get_or_train(
+            spark, str(tmp_path), "tbl", "m", (1, 2), lambda: 1, disk=True
+        )
+    # memo-only entries stay token-free
+    assert models.get_or_train(spark, str(tmp_path), "tbl", "m", (1, 2), lambda: 1) == 1
+
+
+def test_failed_save_leaves_no_orphans(spark, tmp_path, disk_store):
+    (tmp_path / "tbl.parquet").write_text("corpus")
+
+    def bad_save(artifact, d):
+        raise OSError("disk full")
+
+    a = models.get_or_train(
+        spark, str(tmp_path), "tbl", "m", ("x-v1",), lambda: 7,
+        save=bad_save, load=lambda s, d: 7,
+    )
+    assert a == 7  # disk store is an optimization, never a failure
+    leftovers = [p.name for p in disk_store.iterdir()] if disk_store.exists() else []
+    assert not [n for n in leftovers if n.startswith(".tmp-")]
+
+
+def test_all_disk_backed_call_sites_carry_version_tokens():
+    """Registry discipline: every disk-backed get_or_train call in the
+    engine carries a '<tag>-vN' token in params (runtime-enforced by
+    models.get_or_train; this pins the call-site inventory so a new
+    site can't dodge review)."""
+    import re
+
+    root = os.path.join(os.path.dirname(models.__file__))
+    tokens = set()
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".py"):
+                src = open(os.path.join(dirpath, f)).read()
+                tokens.update(re.findall(r'"([a-z]+-v\d+)"', src))
+    assert tokens >= {
+        "copies-v1", "semjit-v1", "ivf-v1", "km-v1", "pca-v1", "kmap-v1"
+    }

@@ -48,8 +48,11 @@ import hashlib
 import json
 import os
 import pickle
+import re
 import shutil
 import tempfile
+import uuid as _uuid
+import weakref
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,7 +69,23 @@ __all__ = [
 _MEMO: dict[tuple, Any] = {}
 
 #: artifact-format version — bump to invalidate every on-disk model.
-_DISK_VERSION = 1
+#: (v2: corpus freshness token covers per-file mtimes inside directory
+#: corpora, not the directory's own mtime.)
+_DISK_VERSION = 2
+
+#: disk-backed entries must carry a code-version token (``"<tag>-v<N>"``)
+#: in their params: the disk store outlives the process, so a change to a
+#: trainer/kernel implementation without a token bump would silently
+#: serve the old artifact to every future session until the corpus
+#: itself changes. The token makes invalidation an explicit, reviewable
+#: one-line diff at the call site.
+_VERSION_TOKEN = re.compile(r"-v\d+$")
+
+
+def _has_version_token(params: tuple) -> bool:
+    return any(
+        isinstance(p, str) and _VERSION_TOKEN.search(p) for p in params
+    )
 
 
 def disk_root() -> str:
@@ -79,16 +98,31 @@ def disk_root() -> str:
     return os.path.join(repo, ".scratch", "models")
 
 
-def corpus_key(sf_dir: str, table: str) -> tuple[str, float]:
-    """(path, mtime) identity of one corpus table — file or directory."""
+def corpus_key(sf_dir: str, table: str) -> tuple[str, str]:
+    """(path, freshness-token) identity of one corpus table.
+
+    For a plain file the token is its mtime. For a Spark-written
+    DIRECTORY the token is ``max(part-file mtime):total bytes`` —
+    rewriting a part file in place changes the file's mtime but not
+    the directory's, so the directory's own mtime would validate a
+    stale artifact forever."""
     path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     if not os.path.exists(path):
         path = os.path.join(os.path.abspath(sf_dir), table)
     try:
-        mtime = os.path.getmtime(path)
+        if os.path.isdir(path):
+            mtime, size = -1.0, 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    p = os.path.join(root, f)
+                    mtime = max(mtime, os.path.getmtime(p))
+                    size += os.path.getsize(p)
+            token = f"{mtime}:{size}"
+        else:
+            token = str(os.path.getmtime(path))
     except OSError:
-        mtime = -1.0
-    return (path, mtime)
+        token = "-1.0"
+    return (path, token)
 
 
 def corpus_bytes(sf_dir: str, table: str) -> int:
@@ -126,10 +160,19 @@ def serving_partitions(spark: SparkSession, sf_dir: str, table: str) -> int | No
     return None
 
 
+#: fallback per-session UUIDs for builds without ``sessionUUID()`` —
+#: weakly keyed so a GC'd session can't leak (or donate) its identity.
+_FALLBACK_UUIDS: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _session_key(spark: SparkSession) -> tuple[str, str]:
     """Stable identity of one SparkSession: applicationId (unique per
     SparkContext lifetime) + sessionUUID (unique per session within
-    it). Never reused the way ``id()`` can be."""
+    it). Never reused the way ``id()`` can be. When ``sessionUUID()``
+    is unavailable (Spark Connect / older builds) each session gets a
+    one-time uuid4 instead of collapsing onto a shared key."""
     try:
         app = spark.sparkContext.applicationId
     except Exception:  # pragma: no cover - stopped context
@@ -137,7 +180,7 @@ def _session_key(spark: SparkSession) -> tuple[str, str]:
     try:
         uuid = spark._jsparkSession.sessionUUID()
     except Exception:  # pragma: no cover - connect/older builds
-        uuid = ""
+        uuid = _FALLBACK_UUIDS.setdefault(spark, _uuid.uuid4().hex)
     return (app, uuid)
 
 
@@ -167,20 +210,20 @@ def clear_session(spark: SparkSession) -> None:
                 pass
 
 
-def _disk_dir(ck: tuple[str, float], name: str, params: tuple) -> str:
+def _disk_dir(ck: tuple[str, str], name: str, params: tuple) -> str:
     ident = repr((_DISK_VERSION, ck[0], name, params))
     h = hashlib.sha256(ident.encode()).hexdigest()[:20]
     return os.path.join(disk_root(), f"{name}-{h}")
 
 
-def _meta_ok(d: str, ck: tuple[str, float], name: str, params: tuple) -> bool:
+def _meta_ok(d: str, ck: tuple[str, str], name: str, params: tuple) -> bool:
     try:
         with open(os.path.join(d, "meta.json")) as f:
             meta = json.load(f)
         return (
             meta.get("version") == _DISK_VERSION
             and meta.get("path") == ck[0]
-            and meta.get("mtime") == ck[1]
+            and meta.get("token") == ck[1]
             and meta.get("name") == name
             and meta.get("params") == repr(params)
         )
@@ -188,13 +231,13 @@ def _meta_ok(d: str, ck: tuple[str, float], name: str, params: tuple) -> bool:
         return False
 
 
-def _write_meta(d: str, ck: tuple[str, float], name: str, params: tuple) -> None:
+def _write_meta(d: str, ck: tuple[str, str], name: str, params: tuple) -> None:
     with open(os.path.join(d, "meta.json"), "w") as f:
         json.dump(
             {
                 "version": _DISK_VERSION,
                 "path": ck[0],
-                "mtime": ck[1],
+                "token": ck[1],
                 "name": name,
                 "params": repr(params),
             },
@@ -227,7 +270,20 @@ def get_or_train(
 
     Disk writes go to a temp dir renamed into place, so a killed run
     never leaves a half-written artifact that validates.
+
+    Every disk-backed entry's ``params`` must include a code-version
+    token (a string ending ``-v<N>``, e.g. ``"ivf-v1"``). Changing a
+    trainer or its kernels requires bumping that token (or
+    ``_DISK_VERSION`` for format-wide changes) — otherwise the store
+    would keep serving the pre-change artifact to new sessions.
     """
+    on_disk = disk or (save is not None and load is not None)
+    if on_disk and not _has_version_token(params):
+        raise ValueError(
+            f"disk-backed registry entry {name!r} needs a code-version "
+            f"token ('<tag>-vN') in params, got {params!r}; bump it "
+            "whenever the trainer's semantics change"
+        )
     sk = _session_key(spark)
     _prune(sk[0])
     ck = corpus_key(sf_dir, table)
@@ -236,7 +292,6 @@ def get_or_train(
     if hit is not None:
         return hit
 
-    on_disk = disk or (save is not None and load is not None)
     d = _disk_dir(ck, name, params) if on_disk else None
     artifact = None
     if d and _meta_ok(d, ck, name, params):
@@ -252,6 +307,7 @@ def get_or_train(
     if artifact is None:
         artifact = trainer()
         if d is not None:
+            tmp = None
             try:
                 root = disk_root()
                 os.makedirs(root, exist_ok=True)
@@ -264,6 +320,7 @@ def get_or_train(
                 _write_meta(tmp, ck, name, params)
                 shutil.rmtree(d, ignore_errors=True)
                 os.replace(tmp, d)
+                tmp = None
                 if load is not None and isinstance(artifact, DataFrame):
                     # Serve the parquet scan, not the build pipeline:
                     # a post-clearCache recompute is then a file read.
@@ -274,6 +331,9 @@ def get_or_train(
                     artifact = load(spark, d)
             except Exception:
                 pass  # disk store is an optimization, never a failure
+            finally:
+                if tmp is not None:  # failed save: no orphan .tmp-* dirs
+                    shutil.rmtree(tmp, ignore_errors=True)
 
     _MEMO[key] = artifact
     return artifact

@@ -11,8 +11,6 @@ exact n-gram Jaccard — every operator contributes verified columns).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -707,7 +705,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         "ivf_quantizer",
-        (_IVF_C, 64, 1),
+        (_IVF_C, 64, 1, "ivf-v1"),
         lambda: similarity.ivf_refined_centroids(emb, _IVF_C, 64, iters=1),
         disk=True,
     )
@@ -740,7 +738,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         "ivf_index",
-        (_IVF_C, 64, 1),
+        (_IVF_C, 64, 1, "ivf-v1"),
         _build_index,
         save=models.df_save,
         load=models.df_load(),
@@ -849,12 +847,12 @@ def embedding_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         "kmeans",
-        (_KM_K, 1, 64),
+        (_KM_K, 1, 64, "km-v1"),
         lambda: km.kmeans_fit(emb, k=_KM_K, iters=1, dim=64),
         disk=True,
     )
     pca = models.get_or_train(
-        spark, sf_dir, "embeddings", "pca", (64,),
+        spark, sf_dir, "embeddings", "pca", (64, "pca-v1"),
         lambda: dc.fit_pca(emb, k=64), disk=True,
     )
 
@@ -876,7 +874,7 @@ def embedding_cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         "kmeans_pca_map",
-        (_KM_K, 1, 64),
+        (_KM_K, 1, 64, "kmap-v1"),
         _build_fused,
         save=models.df_save,
         load=models.df_load(),
