@@ -164,3 +164,27 @@ def test_rank_cuts_match_pure_python_reference(spark):
             exp.append(s[t - 1])  # smallest value with running count >= t
         assert got == exp, (b, got[:4], exp[:4])
         assert len(got) == b - 1
+
+
+def test_rank_cuts_null_heavy_column(spark):
+    """Nulls never join the ranking axis: N must count non-null rows
+    only, or trailing thresholds overshoot max(cum) and the last cuts
+    vanish (ADVICE r6)."""
+    from white_elephant_spark.sources.layout import rank_cuts
+
+    rows = [(float(i),) for i in range(40)] + [(None,)] * 160
+    df = spark.createDataFrame(rows, "v double")
+    cuts = rank_cuts(df, "v", num_buckets=8)
+    assert len(cuts) == 7
+    assert cuts == sorted(cuts) and all(0.0 <= c <= 39.0 for c in cuts)
+
+
+def test_rank_cuts_empty_and_all_null_raise(spark):
+    from white_elephant_spark.sources.layout import rank_cuts
+
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        rank_cuts(empty, "v", num_buckets=4)
+    allnull = spark.createDataFrame([(None,)] * 10, "v double")
+    with pytest.raises(ValueError, match="no non-null"):
+        rank_cuts(allnull, "v", num_buckets=4)

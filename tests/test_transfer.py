@@ -150,3 +150,63 @@ def test_uploaded_layout_feeds_partitioned_listing(spark, tmp_path):
     assert lst.list_subdirs(f"{dest}/g/daily") == ["unknown"]
     files = lst.walk_files(f"{dest}/g", ".log")
     assert len(files) == 1 and next(iter(files)).endswith("job_1_1.log")
+
+
+def test_window_day_dirs_bounds():
+    from white_elephant_spark.sources.transfer import window_day_dirs
+
+    dirs = window_day_dirs(NOW, days=7, older_than_s=DAY)
+    # 7-day window minus the 24h settle period spans 7 calendar days
+    # (inclusive endpoints, UTC)
+    assert 6 <= len(dirs) <= 8
+    assert all(len(y) == 4 and len(md) == 4 for y, md in dirs)
+    dt = __import__("datetime")
+    first = dt.datetime.fromtimestamp(NOW - 7 * DAY, dt.timezone.utc)
+    last = dt.datetime.fromtimestamp(NOW - DAY, dt.timezone.utc)
+    assert dirs[0] == (f"{first.year:04d}", f"{first.month:02d}{first.day:02d}")
+    assert dirs[-1] == (f"{last.year:04d}", f"{last.month:02d}{last.day:02d}")
+
+
+def test_plan_upload_canon_applies_to_membership():
+    files = {"/l/job_1_2.log": NOW - 2 * DAY}
+    first = plan_upload(files, set(), "file:///d", "g", now=NOW)
+    # the remote listing renders file:///d as file:/d — membership
+    # only matches through canon
+    listed = {first[0].dest.replace("file:///", "file:/")}
+    raw = plan_upload(files, listed, "file:///d", "g", now=NOW)
+    canoned = plan_upload(
+        files, listed, "file:///d", "g", now=NOW,
+        canon=lambda d: d.replace("file:///", "file:/"),
+    )
+    assert raw[0].action == "upload"  # without canon the diff is blind
+    assert canoned[0].action == "skip_uploaded"
+
+
+def test_upload_listing_bounded_by_window(spark, tmp_path, monkeypatch):
+    """The remote diff must list only (queue x window-day) prefixes —
+    never the grid's full history (ADVICE r6: the old recursive
+    listing was O(all uploads ever) per run)."""
+    from white_elephant_spark.sources import listing as listing_mod
+
+    local = tmp_path / "logs"
+    dest = f"file://{tmp_path}/wh"
+    _touch(str(local / "job_1_1.log"), mtime=NOW - 2 * DAY)
+    upload_logs(spark, str(local), dest, "g", now=NOW)  # seed one queue dir
+
+    calls: list[str] = []
+    orig = listing_mod.HadoopFsListing.walk_files
+
+    def spy(self, path, suffix):
+        calls.append(path)
+        return orig(self, path, suffix)
+
+    monkeypatch.setattr(listing_mod.HadoopFsListing, "walk_files", spy)
+    plan = upload_logs(spark, str(local), dest, "g", now=NOW)
+    assert all(a.action == "skip_uploaded" for a in plan)  # diff still live
+    from white_elephant_spark.sources.transfer import window_day_dirs
+
+    n_days = len(window_day_dirs(NOW))
+    assert 0 < len(calls) <= n_days  # one queue x window days, max
+    import re as _re
+
+    assert all(_re.search(r"/g/daily/[^/]+/\d{4}/\d{4}$", p) for p in calls)

@@ -101,13 +101,15 @@ def rank_cuts(df, col: str, num_buckets: int = 16) -> list[float]:
     from pyspark.sql.window import Window
 
     b = int(num_buckets)
-    n_row = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dv = (
-        df.select(F.col(col).cast("double").alias("v"))
-        .filter(F.col("v").isNotNull())
-        .groupBy("v")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    vals = df.select(F.col(col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
     )
+    # N counts only the rows that participate in the ranking — nulls
+    # never appear in the distinct-value axis, so counting them into N
+    # would push trailing thresholds past max(cum) and silently drop
+    # the last cuts on a null-heavy column.
+    n_row = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dv = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = dv.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(n_row))
     prev = F.col("cum") - F.col("c")
@@ -129,6 +131,12 @@ def rank_cuts(df, col: str, num_buckets: int = 16) -> list[float]:
         F.explode(F.sequence(i_lo, i_hi)).alias("i"), "v"
     )
     rows = owned.orderBy("i").collect()
+    if not rows:
+        raise ValueError(
+            f"rank_cuts: column {col!r} has no non-null values — "
+            "cannot derive range-partition boundaries from an empty "
+            "ranking axis"
+        )
     assert len(rows) == b - 1, f"rank_cuts: got {len(rows)} cuts, want {b - 1}"
     return [float(r["v"]) for r in rows]
 
@@ -140,7 +148,9 @@ def sql_rank_cuts(table: str, expr: str, num_buckets: int = 16) -> str:
     engine computed."""
     b = int(num_buckets)
     return f"""(
-  WITH __n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+  WITH __n AS (
+    SELECT CAST(COUNT(CAST({expr} AS DOUBLE)) AS BIGINT) AS n FROM {table}
+  ),
   __dv AS (
     SELECT CAST({expr} AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS c
     FROM {table} WHERE {expr} IS NOT NULL GROUP BY 1

@@ -46,12 +46,14 @@ import os
 import re
 import tempfile
 from dataclasses import dataclass
+from typing import Callable
 
 __all__ = [
     "glob_files",
     "fetch_to_local",
     "find_queue",
     "plan_upload",
+    "window_day_dirs",
     "upload_logs",
     "UploadAction",
 ]
@@ -130,6 +132,29 @@ def _wanted(name: str) -> bool:
     )
 
 
+def window_day_dirs(
+    now: float, days: int = 7, older_than_s: float = 86400.0
+) -> list[tuple[str, str]]:
+    """The (YYYY, MMDD) day directories the upload age window can
+    touch — every dated destination is derived from a file mtime in
+    ``[now - days·86400, now - older_than_s)``, so a remote diff only
+    needs to list these O(days) prefixes, never the grid's full
+    history (the Perl's dfs -lsr scales O(all-uploads); on an object
+    store that is one LIST page per 1000 historical keys per run)."""
+    start = _dt.datetime.fromtimestamp(
+        now - days * 86400.0, _dt.timezone.utc
+    ).date()
+    end = _dt.datetime.fromtimestamp(
+        now - older_than_s, _dt.timezone.utc
+    ).date()
+    out: list[tuple[str, str]] = []
+    day = start
+    while day <= end:
+        out.append((f"{day.year:04d}", f"{day.month:02d}{day.day:02d}"))
+        day += _dt.timedelta(days=1)
+    return out
+
+
 def plan_upload(
     local_files: dict[str, float],
     remote_existing: set[str],
@@ -140,6 +165,7 @@ def plan_upload(
     days: int = 7,
     older_than_s: float = 86400.0,
     queue_of: "dict[str, str] | None" = None,
+    canon: "Callable[[str], str] | None" = None,
 ) -> list[UploadAction]:
     """Pure planning half of the uploader: apply the ``wanted``
     filters and the age window (older than 24h so the job is surely
@@ -149,7 +175,12 @@ def plan_upload(
     modification day (pathbuilder, statsupload.pl:70-116), and mark
     files whose destination already exists as ``skip_uploaded`` (the
     ``%DIRSTRUCT`` diff, statsupload.pl:40-68) so re-runs are
-    idempotent. Deterministic: output sorted by source path."""
+    idempotent. Deterministic: output sorted by source path.
+
+    ``canon`` renders a planned destination in the same form the
+    remote listing uses before the membership check (Hadoop's
+    ``Path`` canonicalizes ``file:///x`` to ``file:/x``); identity
+    when omitted."""
     newer_than = now - days * 86400.0
     older_than = now - older_than_s
     out: list[UploadAction] = []
@@ -173,7 +204,8 @@ def plan_upload(
                 name,
             ]
         )
-        action = "skip_uploaded" if dest in remote_existing else "upload"
+        probe = canon(dest) if canon is not None else dest
+        action = "skip_uploaded" if probe in remote_existing else "upload"
         out.append(UploadAction(src=src, dest=dest, queue=queue, action=action))
     return out
 
@@ -214,40 +246,42 @@ def upload_logs(
 
     ``now`` is injectable for tests; a production cron passes nothing
     and gets wall-clock, matching the Perl's ``time()``."""
-    import dataclasses
     import time as _time
 
-    from white_elephant_spark.sources.listing import LocalListing, HadoopFsListing
+    from white_elephant_spark.sources.listing import HadoopFsListing, LocalListing
 
+    now_s = _time.time() if now is None else now
     local_files = LocalListing().walk_files(local_dir, "")
     queues = _sibling_queues(local_files)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
-    # Prefilter: one recursive listing of the grid's dated tree — the
-    # dfs -lsr diff. Bounded by what this grid has uploaded, and on
-    # object stores it pages by prefix. Listing paths come back in
-    # Hadoop's canonical rendering (``file:/x``, not ``file:///x``),
-    # so planned destinations are canonicalized the same way before
-    # the membership check.
-    remote_existing = set(
-        HadoopFsListing(spark).walk_files(f"{dest_root.rstrip('/')}/{grid}", "")
-    )
+    # Remote diff bounded by the age window, not the grid's history:
+    # one shallow listing of the queue level, then one per-day prefix
+    # listing per (queue, window day) — O(queues · days) LIST calls,
+    # each touching only that day-partition's keys, where the Perl's
+    # ``dfs -lsr`` re-listed every upload ever made. Listed paths come
+    # back in Hadoop's canonical rendering (``file:/x``, not
+    # ``file:///x``), so ``canon`` renders planned destinations the
+    # same way for the membership check.
+    listing = HadoopFsListing(spark)
+    daily_root = f"{dest_root.rstrip('/')}/{grid}/daily"
+    remote_existing: set[str] = set()
+    for queue in listing.list_subdirs(daily_root):
+        for yyyy, mmdd in window_day_dirs(now_s, days, older_than_s):
+            remote_existing.update(
+                listing.walk_files(f"{daily_root}/{queue}/{yyyy}/{mmdd}", "")
+            )
     plan = plan_upload(
         local_files,
-        set(),
+        remote_existing,
         dest_root,
         grid,
-        now=_time.time() if now is None else now,
+        now=now_s,
         days=days,
         older_than_s=older_than_s,
         queue_of=queues,
+        canon=lambda d: str(jvm.org.apache.hadoop.fs.Path(d)),
     )
-    plan = [
-        dataclasses.replace(act, action="skip_uploaded")
-        if str(jvm.org.apache.hadoop.fs.Path(act.dest)) in remote_existing
-        else act
-        for act in plan
-    ]
     for act in plan:
         if act.action != "upload":
             continue
