@@ -41,9 +41,14 @@ QUADRATIC_BY_DESIGN = {
 def run_once(qs, name: str, sf_dir: str) -> tuple[float, int]:
     # noop sink, like bench.py: materializes every column (a bare
     # count() would let Catalyst prune the expensive projections and
-    # flatter the measurement), no driver row-shipping.
-    df = qs[name].fn(_SPARK, sf_dir)
+    # flatter the measurement), no driver row-shipping. The timer
+    # covers fn() + sink, exactly like bench.py — several queries do
+    # eager driver-side work during plan construction (registry
+    # serving, connected-components iterations, model training), and
+    # timing the sink alone hid it: that was the root cause of the
+    # round-6 SCALING-vs-BENCH 2.4x discrepancy on dedup_clusters.
     t0 = time.time()
+    df = qs[name].fn(_SPARK, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     t = time.time() - t0
     n = df.count()
@@ -61,6 +66,71 @@ def best_of(qs, name: str, sf_dir: str, runs: int = 2) -> tuple[float, int]:
 def _label(path: str) -> str:
     base = os.path.basename(os.path.normpath(path))
     return base or path
+
+
+# Factor beyond which a SCALING row disagreeing with the committed
+# bench artifact of record is flagged stale/irreproducible. Both runs
+# use the identical session config (8 shuffle partitions, AQE off,
+# noop sink, best-of-N steady state), so a larger gap means the tree
+# changed since one of them was measured — regenerate the stale one.
+# Sub-second queries swing ±50% with machine load, so the factor
+# alone would flag pure noise: a row must ALSO disagree by more than
+# the absolute floor (the round-6 dedup_clusters discrepancy this
+# tripwire exists for was 2.1s apart at 4.3x).
+BENCH_XCHECK_FACTOR = 1.5
+BENCH_XCHECK_MIN_GAP_S = 0.5
+
+
+def _bench_crosscheck(sf_big: str, measured: dict[str, float]) -> list[str]:
+    """Markdown section comparing this probe's big-SF times against the
+    most recent committed ``BENCH_r*.json`` at the same SF, flagging
+    rows >BENCH_XCHECK_FACTOR apart in either direction. Keeps
+    SCALING.md honest against the artifact of record — a row that
+    cannot be reproduced within the tripwire is stale by definition."""
+    import re as _re
+
+    from bench import prior_bench
+
+    m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_big)))
+    if not m:
+        return []
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fname, prior = prior_bench(repo, float(m.group(1).rstrip(".")))
+    if not fname:
+        return []
+    stale = []
+    for name, t in sorted(measured.items()):
+        p = prior.get(name)
+        if (
+            p
+            and p > 0
+            and t > 0
+            and max(t / p, p / t) > BENCH_XCHECK_FACTOR
+            and abs(t - p) > BENCH_XCHECK_MIN_GAP_S
+        ):
+            stale.append(f"| {name} | {t:.2f} | {p:.2f} | {max(t / p, p / t):.1f} |")
+    lines = [
+        f"## Cross-check vs `{fname}` (artifact of record, same SF/config)",
+        "",
+        f"Rows where this probe and the committed bench disagree by more"
+        f" than {BENCH_XCHECK_FACTOR}x AND more than"
+        f" {BENCH_XCHECK_MIN_GAP_S}s (either direction; the factor alone"
+        " flags sub-second machine-load noise):",
+        "",
+    ]
+    if stale:
+        lines += [
+            f"| query | t(probe) s | t({fname}) s | factor |",
+            "|---|---|---|---|",
+            *stale,
+            "",
+            "Flagged rows are stale or irreproducible — regenerate"
+            " whichever artifact predates the current tree.",
+            "",
+        ]
+    else:
+        lines += ["None — every row reproduces the artifact of record.", ""]
+    return lines
 
 
 def main() -> None:
@@ -124,11 +194,13 @@ def main() -> None:
         "|---|---|---|---|---|---|---|---|",
     ]
     flagged = []
+    big_times: dict[str, tuple[float, int]] = {}
     import gc
 
     for name in names:
         t1, r1 = best_of(qs, name, sf_small)
         t2, r2 = best_of(qs, name, sf_big)
+        big_times[name] = (t2, r2)
         _SPARK.catalog.clearCache()
         gc.collect()
         tf = t2 / t1 if t1 > 0 else float("inf")
@@ -157,6 +229,7 @@ def main() -> None:
             + ".",
             "",
         ]
+    lines += _bench_crosscheck(sf_big, {n: t for n, (t, _) in big_times.items()})
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "a" if append else "w") as f:
         f.write("\n".join(lines))
