@@ -1,0 +1,194 @@
+"""HTTP daemon: route/param/status parity with server/app.rb over a
+real listening socket (ephemeral port, daemon thread)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from white_elephant_spark.plans.api import UsageApi
+from white_elephant_spark.server import make_server
+
+HOUR = 3_600_000
+DAY1 = 1714521600000  # 2024-05-01 00:00 UTC
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    rows = []
+    for h, user, minutes in [
+        (-48, "u0", 1.0),
+        (96, "u0", 1.0),
+        (0, "u1", 60.0),
+        (1, "u1", 30.0),
+        (0, "u2", 10.0),
+        (30, "u3", 5.0),
+    ]:
+        rows.append(("c1", user, DAY1 + h * HOUR, "MAP", "SUCCESS", False, minutes))
+    cube = spark.createDataFrame(
+        rows,
+        "cluster string, user string, t long, type string, status string,"
+        " excess boolean, elapsedMinutes double",
+    ).select(
+        "cluster", "user",
+        F.timestamp_millis(F.col("t")).cast("timestamp_ntz").alias("time"),
+        "type", "status", "excess", "elapsedMinutes",
+        F.col("elapsedMinutes").alias("cpuMinutes"),
+        F.lit(1).alias("started"), F.lit(1).alias("finished"),
+        F.lit(0).alias("reduceShuffleBytes"),
+    )
+    return UsageApi(spark, cube)
+
+
+@pytest.fixture(scope="module")
+def base_url(api):
+    srv = make_server(api, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address[:2]
+    yield f"http://{host}:{port}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def _get_json(url: str):
+    status, _, body = _get(url)
+    return status, json.loads(body)
+
+
+def _status_of(url: str, data: bytes | None = None) -> int:
+    req = urllib.request.Request(url, data=data)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+USAGE_QS = (
+    f"start={DAY1 - 86_400_000}&end={DAY1 + 3 * 86_400_000}&unit=HOURS"
+    "&zone=UTC&user=u1,u1&users_to_aggregate=u2,u3&cluster=c1&type=minutesTotal"
+)
+
+
+def test_index_and_404(base_url):
+    status, idx = _get_json(base_url + "/")
+    assert status == 200 and any("/api/usage" in e for e in idx["endpoints"])
+    assert _status_of(base_url + "/api/nope") == 404
+
+
+def test_clusters_and_users(base_url, api):
+    assert _get_json(base_url + "/api/clusters") == (200, ["c1"])
+    assert _get_json(base_url + "/api/users?cluster=c1") == (200, api.users("c1"))
+    # app.rb:35 — missing cluster is halt 500
+    assert _status_of(base_url + "/api/users") == 500
+
+
+def test_usage_get_matches_direct_call(base_url, api):
+    status, res = _get_json(base_url + "/api/usage?" + USAGE_QS)
+    direct = api.usage(
+        start_ms=DAY1 - 86_400_000,
+        end_ms=DAY1 + 3 * 86_400_000,
+        unit="HOURS",
+        zone="UTC",
+        users=["u1"],  # u1,u1 de-duped (split(",").uniq)
+        cluster="c1",
+        metric="minutesTotal",
+        users_to_aggregate=["u2", "u3"],
+    )
+    assert status == 200
+    assert res["times"] == direct["times"]
+    assert res["users"] == direct["users"]
+    assert res["users_aggregated"] == direct["users_aggregated"]
+    assert res["num_aggregated_users"] == 2 and res["cluster"] == "c1"
+    assert sum(res["users"][0]["data"]) == 90.0
+    assert sum(res["users_aggregated"]) == 15.0
+
+
+def test_usage_post_json_body(base_url):
+    body = json.dumps(
+        {
+            "start": DAY1 - 86_400_000,
+            "end": DAY1 + 3 * 86_400_000,
+            "unit": "HOURS",
+            "zone": "UTC",
+            "user": "u1",
+            "users_to_aggregate": ["u2", "u3"],  # list form allowed in body
+            "cluster": "c1",
+            "type": "minutesTotal",
+        }
+    ).encode()
+    req = urllib.request.Request(base_url + "/api/usage", data=body)
+    req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        res = json.loads(r.read())
+    assert sum(res["users"][0]["data"]) == 90.0
+    assert res["num_aggregated_users"] == 2
+
+
+def test_usage_missing_param_is_500(base_url):
+    # drop `type` — app.rb:69 halts 500
+    qs = USAGE_QS.replace("&type=minutesTotal", "")
+    assert _status_of(base_url + "/api/usage?" + qs) == 500
+    assert _status_of(base_url + "/api/usage", data=b"not json") == 500
+
+
+def test_empty_user_lists_mirror_reference(base_url):
+    # app.rb:86-92 — "".split(",") is empty: users=[] in the response,
+    # users_aggregated defaults to [].
+    qs = USAGE_QS.replace("user=u1,u1", "user=").replace(
+        "users_to_aggregate=u2,u3", "users_to_aggregate="
+    )
+    status, res = _get_json(base_url + "/api/usage?" + qs)
+    assert status == 200
+    assert res["users"] == [] and res["users_aggregated"] == []
+    assert res["num_aggregated_users"] == 0
+
+
+def test_table_csv_headers_and_body(base_url, api):
+    qs = (
+        f"start={DAY1}&end={DAY1 + 2 * 86_400_000}&unit=DAYS&zone=UTC"
+        "&user=u1,u3&cluster=c1&type=minutesTotal"
+    )
+    status, headers, body = _get(base_url + "/api/table?" + qs)
+    assert status == 200
+    # app.rb:112-113 — attachment + octet-stream, verbatim
+    assert headers["Content-Disposition"] == "attachment;filename=table.csv"
+    assert headers["Content-Type"] == "application/octet-stream"
+    direct = api.table_csv(
+        start_ms=DAY1,
+        end_ms=DAY1 + 2 * 86_400_000,
+        unit="DAYS",
+        zone="UTC",
+        users=["u1", "u3"],
+        cluster="c1",
+        metric="minutesTotal",
+    )
+    assert body.decode() == direct
+    assert body.decode().splitlines()[0] == "time,u1,u3"
+
+
+def test_refresh_invalidates_cache(base_url, api):
+    _get_json(base_url + "/api/usage?" + USAGE_QS)  # warm a roll-up
+    gen, misses = api.cache._generation, api.cache.misses
+    req = urllib.request.Request(base_url + "/api/refresh", data=b"{}")
+    req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert json.loads(r.read()) == {"ok": True}
+    # invalidate() is a lazy generation bump: the next request must
+    # rebuild (a cache miss), not serve the stale roll-up.
+    assert api.cache._generation == gen + 1
+    _get_json(base_url + "/api/usage?" + USAGE_QS)
+    assert api.cache.misses == misses + 1

@@ -91,6 +91,19 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def _serving_api(spark, sf_dir: str):
+    """The UsageApi over the serving cube (minutes-typed A3 measures;
+    the integer-exact twin exists for oracle hashing, not the API)."""
+    from white_elephant_spark.operators import reconstruct, usage
+    from white_elephant_spark.plans.api import UsageApi
+    from white_elephant_spark.plans.pipeline_queries import _attempts_from_events
+
+    cube = usage.build_usage_per_hour(
+        reconstruct.label_excess(_attempts_from_events(spark, sf_dir))
+    )
+    return UsageApi(spark, cube)
+
+
 def cmd_api(args: argparse.Namespace) -> int:
     """Answer one reference API request shape from the cube
     (server/app.rb:32-157): clusters | users | usage | table."""
@@ -98,18 +111,8 @@ def cmd_api(args: argparse.Namespace) -> int:
 
     from pyspark.sql import functions as F
 
-    from white_elephant_spark.operators import reconstruct, usage
-    from white_elephant_spark.plans.api import UsageApi
-    from white_elephant_spark.plans.pipeline_queries import _attempts_from_events
-
     spark = _spark()
-    # The serving cube uses the minutes-typed measures (A3); the
-    # integer-exact twin (aggregate_usage_exact) exists for oracle
-    # hashing, not the API layer.
-    cube = usage.build_usage_per_hour(
-        reconstruct.label_excess(_attempts_from_events(spark, args.sf_dir))
-    )
-    api = UsageApi(spark, cube)
+    api = _serving_api(spark, args.sf_dir)
     if args.endpoint == "clusters":
         out: object = api.clusters()
         print(json.dumps(out))
@@ -157,6 +160,28 @@ def cmd_api(args: argparse.Namespace) -> int:
                 metric=args.metric,
             )
         )
+    return 0
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Listening HTTP daemon over the four /api/* routes
+    (server/app.rb:29-157) — blocks until interrupted."""
+    from white_elephant_spark.server import make_server
+
+    spark = _spark()
+    api = _serving_api(spark, args.sf_dir)
+    # Materialize the cube once up front so the first request pays
+    # query latency, not the full parse/reconstruct pipeline.
+    api.cube.persist().count()
+    srv = make_server(api, host=args.host, port=args.port)
+    host, port = srv.server_address[:2]
+    print(f"serving /api/* on http://{host}:{port} (cube: {args.sf_dir})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
     return 0
 
 
@@ -229,6 +254,14 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--start-ms", type=int, default=None)
     pa.add_argument("--end-ms", type=int, default=None)
     pa.set_defaults(fn=cmd_api)
+
+    ps = sub.add_parser(
+        "serve", help="listening HTTP daemon over the /api/* routes (server/app.rb)"
+    )
+    ps.add_argument("--sf-dir", default=sf_default)
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8080)
+    ps.set_defaults(fn=cmd_serve)
 
     pu = sub.add_parser(
         "upload",

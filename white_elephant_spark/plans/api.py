@@ -9,8 +9,9 @@ Mirrors server/app.rb:
 - ``/api/table``     (:110-157)→ :meth:`UsageApi.table_csv` — header
   ``time,user1,...``, local %Y-%m-%d dates, minutes→hours
 
-An HTTP frontend would wrap these 1:1; everything heavy stays in
-Spark. Roll-ups are memoized via :class:`QueryCache` keyed by
+:mod:`white_elephant_spark.server` wraps these 1:1 as a listening
+``ThreadingHTTPServer`` (``python -m white_elephant_spark serve``);
+everything heavy stays in Spark. Roll-ups are memoized via :class:`QueryCache` keyed by
 (cluster, unit, zone, metric) — the user list deliberately excluded
 (usage_data.rb:442-454 note), filtered post-cache.
 """

@@ -1,0 +1,185 @@
+"""Listening HTTP frontend for :class:`UsageApi` — the reference's
+Sinatra server as a stdlib ``ThreadingHTTPServer``.
+
+Route parity with ``server/app.rb``:
+
+- ``GET  /api/clusters``  (app.rb:39-42)  → JSON list
+- ``GET  /api/users``     (app.rb:32-37)  → JSON list; missing
+  ``cluster`` → 500 (Sinatra ``halt 500``)
+- ``GET  /api/usage``     (app.rb:44-46, 58-107) → usage JSON
+- ``POST /api/usage``     (app.rb:48-56) → same handler, params from
+  the JSON request body
+- ``GET  /api/table``     (app.rb:110-157) → CSV with the reference's
+  ``Content-Disposition: attachment;filename=table.csv`` /
+  ``application/octet-stream`` headers
+
+Parameter semantics mirror app.rb exactly: every listed param is
+required and its absence is a 500 (``halt 500``, not a 400 — kept
+verbatim for parity); ``user`` / ``users_to_aggregate`` are
+comma-split with order-preserving de-dup (Ruby ``split(",").uniq``);
+``start`` / ``end`` are epoch-ms integers; ``type`` is the metric
+name. Everything heavy stays in Spark — each handler thread issues
+DataFrame actions against the shared session (the Spark driver is
+thread-safe; concurrent jobs get FIFO-scheduled).
+
+Deviations, both documented non-goals (SURVEY §7): ``GET /`` returns
+a JSON endpoint listing instead of the CoffeeScript dashboard, and
+``POST /api/refresh`` (no reference analogue) exposes the I4
+data-reload hook (:meth:`UsageApi.on_data_loaded`) so an external
+refresh loop can invalidate cached roll-ups without a restart.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, urlparse
+
+from white_elephant_spark.plans.api import UsageApi
+
+_INDEX = {
+    "endpoints": [
+        "GET /api/clusters",
+        "GET /api/users?cluster=",
+        "GET|POST /api/usage (start,end,unit,zone,user,users_to_aggregate,cluster,type)",
+        "GET /api/table (start,end,unit,zone,user,cluster,type)",
+        "POST /api/refresh",
+    ],
+    "note": "dashboard UI out of scope; data endpoints mirror server/app.rb",
+}
+
+
+class _Halt(Exception):
+    """app.rb's ``halt 500`` — short-circuit with a status code."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
+
+
+def _require(params: dict[str, Any], key: str) -> Any:
+    v = params.get(key)
+    if v is None:
+        # app.rb uses `params[:x] || (halt 500)` — 500, not 400.
+        raise _Halt(500, f"missing required param {key!r}")
+    return v
+
+
+def _split_users(raw: Any) -> list[str]:
+    """Ruby ``split(",").uniq``: order-preserving, drops empties."""
+    if isinstance(raw, list):  # JSON body may pass a real list
+        items = [str(u) for u in raw]
+    else:
+        items = str(raw).split(",")
+    return list(dict.fromkeys(u for u in items if u))
+
+
+def make_server(api: UsageApi, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the server; ``port=0`` picks a free
+    port — read it back from ``server.server_address``. Run with
+    ``serve_forever()`` (blocking) or on a daemon thread in tests."""
+
+    class Handler(BaseHTTPRequestHandler):
+        server_version = "white-elephant-spark"
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt: str, *args: Any) -> None:  # quiet
+            pass
+
+        # -- plumbing ------------------------------------------------
+        def _send(self, code: int, body: bytes, ctype: str, extra: dict[str, str] | None = None) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in (extra or {}).items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj: Any, code: int = 200) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def _params(self) -> dict[str, Any]:
+            q = parse_qs(urlparse(self.path).query, keep_blank_values=True)
+            return {k: v[-1] for k, v in q.items()}
+
+        def _body_params(self) -> dict[str, Any]:
+            n = int(self.headers.get("Content-Length") or 0)
+            raw = self.rfile.read(n) if n else b"{}"
+            try:
+                parsed = json.loads(raw or b"{}")
+            except ValueError as e:
+                raise _Halt(500, f"bad JSON body: {e}") from e
+            if not isinstance(parsed, dict):
+                raise _Halt(500, "JSON body must be an object")
+            return parsed
+
+        # -- routes --------------------------------------------------
+        def do_GET(self) -> None:
+            self._route("GET", self._params())
+
+        def do_POST(self) -> None:
+            try:
+                params = self._body_params()
+            except _Halt as h:
+                self._json({"error": str(h)}, h.code)
+                return
+            self._route("POST", params)
+
+        def _route(self, method: str, params: dict[str, Any]) -> None:
+            path = urlparse(self.path).path.rstrip("/") or "/"
+            try:
+                if method == "GET" and path == "/":
+                    self._json(_INDEX)
+                elif method == "GET" and path == "/api/clusters":
+                    self._json(api.clusters())
+                elif method == "GET" and path == "/api/users":
+                    self._json(api.users(str(_require(params, "cluster"))))
+                elif path == "/api/usage" and method in ("GET", "POST"):
+                    self._usage(params)
+                elif method == "GET" and path == "/api/table":
+                    self._table(params)
+                elif method == "POST" and path == "/api/refresh":
+                    api.on_data_loaded()
+                    self._json({"ok": True})
+                else:
+                    self._json({"error": f"no route {method} {path}"}, 404)
+            except _Halt as h:
+                self._json({"error": str(h)}, h.code)
+            except Exception as e:  # handler thread must answer, not die
+                self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+        def _usage(self, p: dict[str, Any]) -> None:
+            res = api.usage(
+                start_ms=int(_require(p, "start")),
+                end_ms=int(_require(p, "end")),
+                unit=str(_require(p, "unit")),
+                zone=str(_require(p, "zone")),
+                users=_split_users(_require(p, "user")),
+                cluster=str(_require(p, "cluster")),
+                metric=str(_require(p, "type")),
+                users_to_aggregate=_split_users(_require(p, "users_to_aggregate")),
+            )
+            if res["users_aggregated"] is None:
+                res["users_aggregated"] = []  # app.rb default (:92)
+            self._json(res)
+
+        def _table(self, p: dict[str, Any]) -> None:
+            csv = api.table_csv(
+                start_ms=int(_require(p, "start")),
+                end_ms=int(_require(p, "end")),
+                unit=str(_require(p, "unit")),
+                zone=str(_require(p, "zone")),
+                users=_split_users(_require(p, "user")),
+                cluster=str(_require(p, "cluster")),
+                metric=str(_require(p, "type")),
+            )
+            self._send(
+                200,
+                csv.encode(),
+                "application/octet-stream",
+                {"Content-Disposition": "attachment;filename=table.csv"},
+            )
+
+    return ThreadingHTTPServer((host, port), Handler)
