@@ -309,6 +309,33 @@ def test_lsh_strategies_agree(spark):
     assert ra == rb and len(ra) > 0
 
 
+def test_lsh_pre_encoded_parity(spark):
+    # The registry-served path (encode once, pass pre_encoded=True)
+    # must be value-identical to inline encoding — for both the top-k
+    # and near-dup operators, including the cosine doubles.
+    vecs = [
+        (i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6), float(i % 5 + 1), float((i * 5) % 9 - 4)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 10 == 0)
+    enc = similarity.encode_for_lsh(df, dim=4, planes=2, tables=4)
+    qenc = enc.filter(F.col("vec_id") % 10 == 0)
+    plain = similarity.lsh_cosine_topk(df, q, dim=4, k=5, planes=2, tables=4)
+    served = similarity.lsh_cosine_topk(
+        enc, qenc, dim=4, k=5, planes=2, tables=4, pre_encoded=True
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, served.collect()))
+
+    nd_enc = similarity.encode_for_lsh(df, dim=4, planes=3, tables=2)
+    nd_plain = similarity.neardup_pairs_lsh(df, threshold=0.5, dim=4, planes=3, tables=2)
+    nd_served = similarity.neardup_pairs_lsh(
+        nd_enc, threshold=0.5, dim=4, planes=3, tables=2, pre_encoded=True
+    )
+    got = sorted(map(tuple, nd_served.collect()))
+    assert sorted(map(tuple, nd_plain.collect())) == got and len(got) > 0
+
+
 # ------------------------------------------------- cluster assembly
 
 

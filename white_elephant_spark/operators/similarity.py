@@ -287,6 +287,29 @@ def encoded_buckets_arrow(dim: int, planes: int, tables: int):
     return _buckets
 
 
+def encode_for_lsh(
+    df: DataFrame,
+    dim: int,
+    planes: int,
+    tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, ``norm``, ``buckets``) — the sketch-indexed form of a
+    vector corpus. This is the LSH analogue of a built index: a pure
+    function of the corpus and (planes, tables), so it belongs in the
+    models registry (train-once/serve-many; parquet round-trips norm
+    doubles and bucket ints exactly). Pass the result to
+    :func:`lsh_cosine_topk` / :func:`neardup_pairs_lsh` with
+    ``pre_encoded=True`` to skip re-encoding on every call."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm_expr(vec_col, dim).alias("norm"),
+        encoded_buckets_arrow(dim, planes, tables)(F.col(vec_col)).alias("buckets"),
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -297,6 +320,7 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "broadcast",
+    pre_encoded: bool = False,
 ) -> DataFrame:
     """Approximate top-k via **multi-table** hyperplane LSH: a
     candidate only needs to share a bucket in *any one* of ``tables``
@@ -326,20 +350,38 @@ def lsh_cosine_topk(
       key, distinct the narrow (query, nbr) id pairs *before* the wide
       embedding arrays are re-attached. This is the 100 TB shape — the
       bucket value is the shuffle key, so each reducer scores one
-      bucket's candidates."""
-    bkts = encoded_buckets_arrow(dim, planes, tables)(F.col(vec_col))
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        _norm_expr(vec_col, dim).alias("qnorm"),
-        bkts.alias("qb"),
-    )
-    cv = corpus.select(
-        F.col(id_col).alias("nbr_id"),
-        F.col(vec_col).alias("nvec"),
-        _norm_expr(vec_col, dim).alias("nnorm"),
-        bkts.alias("cb"),
-    )
+      bucket's candidates.
+
+    ``pre_encoded=True``: both inputs already carry ``norm`` /
+    ``buckets`` columns (from :func:`encode_for_lsh`, typically
+    registry-served) — no per-call Arrow encoding pass."""
+    if pre_encoded:
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.col("buckets").alias("qb"),
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("nvec"),
+            F.col("norm").alias("nnorm"),
+            F.col("buckets").alias("cb"),
+        )
+    else:
+        bkts = encoded_buckets_arrow(dim, planes, tables)(F.col(vec_col))
+        qv = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm_expr(vec_col, dim).alias("qnorm"),
+            bkts.alias("qb"),
+        )
+        cv = corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.col(vec_col).alias("nvec"),
+            _norm_expr(vec_col, dim).alias("nnorm"),
+            bkts.alias("cb"),
+        )
     # Candidate scoring: explicit codegen dot (no Arrow round trip of
     # the candidate pairs' vectors — on the diffuse bench corpus the
     # weakly-pruned candidate set shipped ~100 MB/run to Python).
@@ -703,6 +745,7 @@ def neardup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    pre_encoded: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs blocked by multi-table
     hyperplane sign sketches — the scale form of :func:`neardup_pairs`
@@ -730,9 +773,16 @@ def neardup_pairs_lsh(
     vectors move once per side. (A carry-the-vectors variant that
     verifies directly on the bucket join's output was measured
     SLOWER at serving layouts — the wide self-join build side costs
-    more than the two narrow re-attach joins save.)"""
-    enc = encoded_buckets_arrow(dim, planes, tables)
-    key_cols = [F.col(id_col).alias("id"), F.explode(enc(F.col(vec_col))).alias("bk")]
+    more than the two narrow re-attach joins save.)
+
+    ``pre_encoded=True``: ``vectors`` already carries ``norm`` /
+    ``buckets`` (from :func:`encode_for_lsh` at the same planes ×
+    tables, typically registry-served) — no per-call Arrow pass."""
+    if pre_encoded:
+        bucket_arr = F.col("buckets")
+    else:
+        bucket_arr = encoded_buckets_arrow(dim, planes, tables)(F.col(vec_col))
+    key_cols = [F.col(id_col).alias("id"), F.explode(bucket_arr).alias("bk")]
     if block_col is not None:
         key_cols.insert(1, F.col(block_col).alias("blk"))
     cond = (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id"))
@@ -745,11 +795,12 @@ def neardup_pairs_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    norm = (
-        _norm_expr(vec_col, dim)
-        if dim is not None
-        else F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
-    )
+    if pre_encoded:
+        norm = F.col("norm")
+    elif dim is not None:
+        norm = _norm_expr(vec_col, dim)
+    else:
+        norm = F.sqrt(_dsum_products(F.col(vec_col), F.col(vec_col)))
     base = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), norm.alias("norm")
     )

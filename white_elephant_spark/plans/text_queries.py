@@ -618,21 +618,84 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       preserves both cosine AND every sign bucket, so the planted
       copies are guaranteed candidates the threshold must recover.
       The blocking is a deterministic hash of the vector, so the
-      oracle reproduces even the approximation exactly."""
+      oracle reproduces even the approximation exactly.
+
+    Both legs' sketch-indexed corpora (vectors + norms + encoded
+    buckets) are registry-served (``lsh_enc`` / ``neardup_enc``):
+    built once per corpus snapshot, parquet-backed for later
+    sessions — steady-state calls never re-run the Arrow encoder."""
+    from pyspark import StorageLevel
+
+    from white_elephant_spark import models
+
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    lsh = similarity.lsh_cosine_topk(
-        emb, queries, dim=64, k=10, planes=_ANN_PLANES, tables=_ANN_TABLES
-    ).select(F.lit("lsh").alias("method"), "query_id", "nbr_id", "cos_sim", "rank")
-    copies = emb.filter(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            F.col("embedding"), lambda x: (x.cast("double") * F.lit(1.25)).cast("float")
-        ).alias("embedding"),
+
+    # Both legs' sketch-indexed corpora are pure functions of the
+    # embeddings table — LSH's analogue of a built index — so they
+    # live in the models registry (built once per corpus snapshot,
+    # parquet-served to later sessions; the faiss build-once
+    # contract). Steady-state serving reads two small parquet files
+    # instead of re-running the Arrow bucket encoder per call.
+    def _build_ann_enc():
+        e = similarity.encode_for_lsh(
+            emb, dim=64, planes=_ANN_PLANES, tables=_ANN_TABLES
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        return e
+
+    enc = models.get_or_train(
+        spark,
+        sf_dir,
+        "embeddings",
+        "lsh_enc",
+        (64, _ANN_PLANES, _ANN_TABLES, "lshenc-v1"),
+        _build_ann_enc,
+        save=models.df_save,
+        load=models.df_load(),
     )
-    vecs = emb.select("vec_id", "embedding").unionAll(copies)
+    queries = enc.filter(F.col("vec_id") % 100 == 0)
+    lsh = similarity.lsh_cosine_topk(
+        enc,
+        queries,
+        dim=64,
+        k=10,
+        planes=_ANN_PLANES,
+        tables=_ANN_TABLES,
+        pre_encoded=True,
+    ).select(F.lit("lsh").alias("method"), "query_id", "nbr_id", "cos_sim", "rank")
+
+    def _build_nd_enc():
+        copies = emb.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x.cast("double") * F.lit(1.25)).cast("float"),
+            ).alias("embedding"),
+        )
+        vecs = emb.select("vec_id", "embedding").unionAll(copies)
+        e = similarity.encode_for_lsh(
+            vecs, dim=64, planes=_ND_PLANES, tables=_ND_TABLES
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        return e
+
+    nd_enc = models.get_or_train(
+        spark,
+        sf_dir,
+        "embeddings",
+        "neardup_enc",
+        (64, _ND_PLANES, _ND_TABLES, "ndenc-copies-v1"),
+        _build_nd_enc,
+        save=models.df_save,
+        load=models.df_load(),
+    )
     nd = similarity.neardup_pairs_lsh(
-        vecs, threshold=0.999, dim=64, planes=_ND_PLANES, tables=_ND_TABLES
+        nd_enc,
+        threshold=0.999,
+        dim=64,
+        planes=_ND_PLANES,
+        tables=_ND_TABLES,
+        pre_encoded=True,
     ).select(
         F.lit("neardup").alias("method"),
         F.col("id_a").alias("query_id"),
