@@ -236,3 +236,83 @@ def test_all_disk_backed_call_sites_carry_version_tokens():
     assert tokens >= {
         "copies-v1", "semjit-v1", "ivf-v1", "km-v1", "pca-v1", "kmap-v1"
     }
+
+
+# ------------------------------------------------------------ disk GC
+
+
+def _train_disk(spark, tmp_path, name, params):
+    return models.get_or_train(
+        spark, str(tmp_path), "tbl", name, params, lambda: {"m": name}, disk=True
+    )
+
+
+def test_gc_reclaims_only_unservable(spark, tmp_path, disk_store):
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    _train_disk(spark, tmp_path, "m", ("x-v1",))
+    # a version-token bump strands the old dir under a different hash
+    _train_disk(spark, tmp_path, "m", ("x-v2",))
+    entries = models.disk_entries()
+    assert len(entries) == 2
+    assert sum(e["servable"] for e in entries) == 2  # both still fresh
+
+    # delete the corpus: neither can ever validate again
+    (tmp_path / "tbl.parquet").unlink()
+    assert all(not e["servable"] for e in models.disk_entries())
+
+    res = models.gc_disk(grace_s=3600)
+    assert res["removed"] == [] and res["kept"] == 2  # inside grace
+    res = models.gc_disk(grace_s=0)
+    assert len(res["removed"]) == 2 and res["reclaimed_bytes"] > 0
+    assert models.disk_entries() == []
+
+
+def test_gc_keeps_fresh_reclaims_stale_token(spark, tmp_path, disk_store):
+    corpus = tmp_path / "tbl.parquet"
+    corpus.write_text("v1")
+    _train_disk(spark, tmp_path, "m", ("x-v1",))
+    # rewrite the corpus: same dir would be overwritten on retrain,
+    # but simulate the stranded case by also bumping the code token
+    later = time.time() + 5
+    os.utime(corpus, (later, later))
+    _wipe_memo()
+    _train_disk(spark, tmp_path, "m", ("x-v2",))
+    stale = [e for e in models.disk_entries() if not e["servable"]]
+    fresh = [e for e in models.disk_entries() if e["servable"]]
+    assert len(stale) == 1 and len(fresh) == 1
+    res = models.gc_disk(grace_s=0)
+    assert res["removed"] == [stale[0]["dir"]] and res["kept"] == 1
+    # the surviving artifact still serves without retraining
+    calls = []
+    _wipe_memo()
+    got = models.get_or_train(
+        spark, str(tmp_path), "tbl", "m", ("x-v2",),
+        lambda: calls.append(1) or {"m": "retrained"}, disk=True,
+    )
+    assert calls == [] and got == {"m": "m"}
+
+
+def test_gc_reclaims_orphan_tmp_and_corrupt_meta(spark, tmp_path, disk_store):
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    _train_disk(spark, tmp_path, "m", ("x-v1",))
+    root = models.disk_root()
+    os.makedirs(os.path.join(root, ".tmp-killed"))
+    with open(os.path.join(root, ".tmp-killed", "blob"), "w") as f:
+        f.write("half-written")
+    os.makedirs(os.path.join(root, "corrupt-deadbeef"))
+    with open(os.path.join(root, "corrupt-deadbeef", "meta.json"), "w") as f:
+        f.write("{not json")
+    res = models.gc_disk(grace_s=0)
+    assert sorted(os.path.basename(d) for d in res["removed"]) == [
+        ".tmp-killed",
+        "corrupt-deadbeef",
+    ]
+    assert [e["servable"] for e in models.disk_entries()] == [True]
+
+
+def test_save_path_gc_is_opportunistic(spark, tmp_path, disk_store):
+    # a save triggers gc_disk() — with the default grace nothing
+    # fresh is touched, and the just-saved artifact survives
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    _train_disk(spark, tmp_path, "m", ("x-v1",))
+    assert [e["servable"] for e in models.disk_entries()] == [True]

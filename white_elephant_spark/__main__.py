@@ -185,6 +185,40 @@ def cmd_serve(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_models(args: argparse.Namespace) -> int:
+    """Inspect or garbage-collect the on-disk model/index store
+    (``.scratch/models`` — the train-once/serve-many tier)."""
+    from white_elephant_spark import models
+
+    if args.action == "gc":
+        res = models.gc_disk(grace_s=args.grace_s)
+        print(
+            json.dumps(
+                {
+                    "removed": len(res["removed"]),
+                    "reclaimed_bytes": res["reclaimed_bytes"],
+                    "kept": res["kept"],
+                }
+            )
+        )
+        return 0
+    for e in models.disk_entries():
+        meta = e["meta"] or {}
+        print(
+            json.dumps(
+                {
+                    "dir": os.path.basename(e["dir"]),
+                    "name": meta.get("name"),
+                    "params": meta.get("params"),
+                    "corpus": meta.get("path"),
+                    "bytes": e["bytes"],
+                    "servable": e["servable"],
+                }
+            )
+        )
+    return 0
+
+
 def cmd_upload(args: argparse.Namespace) -> int:
     """S13 log uploader as a CLI entrypoint — the cron surface the
     reference drives through statsupload.pl. Prints one line per
@@ -262,6 +296,18 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--host", default="127.0.0.1")
     ps.add_argument("--port", type=int, default=8080)
     ps.set_defaults(fn=cmd_serve)
+
+    pm = sub.add_parser(
+        "models", help="inspect or gc the on-disk model/index store"
+    )
+    pm.add_argument("action", choices=["list", "gc"])
+    pm.add_argument(
+        "--grace-s",
+        type=float,
+        default=3600.0,
+        help="gc: only reclaim dirs unservable for at least this long",
+    )
+    pm.set_defaults(fn=cmd_models)
 
     pu = sub.add_parser(
         "upload",

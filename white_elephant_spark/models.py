@@ -51,6 +51,7 @@ import pickle
 import re
 import shutil
 import tempfile
+import time
 import uuid as _uuid
 import weakref
 from typing import Any, Callable
@@ -64,6 +65,8 @@ __all__ = [
     "serving_partitions",
     "clear_session",
     "disk_root",
+    "disk_entries",
+    "gc_disk",
 ]
 
 _MEMO: dict[tuple, Any] = {}
@@ -109,6 +112,11 @@ def corpus_key(sf_dir: str, table: str) -> tuple[str, str]:
     path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     if not os.path.exists(path):
         path = os.path.join(os.path.abspath(sf_dir), table)
+    return (path, _freshness_token(path))
+
+
+def _freshness_token(path: str) -> str:
+    """Freshness token of a corpus path (see :func:`corpus_key`)."""
     try:
         if os.path.isdir(path):
             mtime, size = -1.0, 0
@@ -117,12 +125,10 @@ def corpus_key(sf_dir: str, table: str) -> tuple[str, str]:
                     p = os.path.join(root, f)
                     mtime = max(mtime, os.path.getmtime(p))
                     size += os.path.getsize(p)
-            token = f"{mtime}:{size}"
-        else:
-            token = str(os.path.getmtime(path))
+            return f"{mtime}:{size}"
+        return str(os.path.getmtime(path))
     except OSError:
-        token = "-1.0"
-    return (path, token)
+        return "-1.0"
 
 
 def corpus_bytes(sf_dir: str, table: str) -> int:
@@ -245,6 +251,91 @@ def _write_meta(d: str, ck: tuple[str, str], name: str, params: tuple) -> None:
         )
 
 
+def _dir_bytes(d: str) -> int:
+    try:
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _dirs, files in os.walk(d)
+            for f in files
+        )
+    except OSError:
+        return 0
+
+
+def disk_entries() -> list[dict]:
+    """Inventory of the on-disk store: one dict per artifact dir with
+    its meta fields, size, and whether it can still be served.
+    ``servable`` requires a current format version AND a corpus
+    freshness token that matches the corpus as it exists right now —
+    anything else will never validate again (mtimes don't go
+    backwards), because a retrain for the same (corpus, name, params)
+    overwrites the SAME dir; distinct dirs only pile up when a
+    version token was bumped or a corpus was moved/deleted."""
+    root = disk_root()
+    out: list[dict] = []
+    try:
+        names = sorted(os.listdir(root))
+    except OSError:
+        return out
+    for base in names:
+        d = os.path.join(root, base)
+        if not os.path.isdir(d):
+            continue
+        entry = {
+            "dir": d,
+            "bytes": _dir_bytes(d),
+            "tmp": base.startswith(".tmp-"),
+            "servable": False,
+            "meta": None,
+        }
+        try:
+            with open(os.path.join(d, "meta.json")) as f:
+                meta = json.load(f)
+            entry["meta"] = meta
+            entry["servable"] = (
+                not entry["tmp"]
+                and meta.get("version") == _DISK_VERSION
+                and _freshness_token(meta.get("path", "")) == meta.get("token")
+            )
+        except (OSError, ValueError):
+            pass
+        out.append(entry)
+    return out
+
+
+#: grace period before an unservable dir is reclaimed: a concurrent
+#: session may be mid-train (.tmp-*) or mid-save; anything older than
+#: this and still unservable is garbage.
+_GC_GRACE_S = 3600.0
+
+
+def gc_disk(grace_s: float = _GC_GRACE_S) -> dict:
+    """Reclaim disk-store dirs that can never be served again: stale
+    format version, corpus moved/deleted/rewritten (token mismatch),
+    unreadable meta, or orphaned ``.tmp-*`` from a killed run — each
+    only once it's been unservable for ``grace_s`` seconds. Returns
+    ``{"removed": [dirs], "reclaimed_bytes": n, "kept": n}``.
+    Called opportunistically after every successful save, so the
+    store is bounded by the set of currently-valid artifacts."""
+    now = time.time()
+    removed, reclaimed, kept = [], 0, 0
+    for e in disk_entries():
+        if e["servable"]:
+            kept += 1
+            continue
+        try:
+            age = now - os.path.getmtime(e["dir"])
+        except OSError:
+            age = 0.0
+        if age <= grace_s:
+            kept += 1
+            continue
+        shutil.rmtree(e["dir"], ignore_errors=True)
+        removed.append(e["dir"])
+        reclaimed += e["bytes"]
+    return {"removed": removed, "reclaimed_bytes": reclaimed, "kept": kept}
+
+
 def get_or_train(
     spark: SparkSession,
     sf_dir: str,
@@ -321,6 +412,10 @@ def get_or_train(
                 shutil.rmtree(d, ignore_errors=True)
                 os.replace(tmp, d)
                 tmp = None
+                try:
+                    gc_disk()  # saves are rare; keep the store bounded
+                except Exception:
+                    pass
                 if load is not None and isinstance(artifact, DataFrame):
                     # Serve the parquet scan, not the build pipeline:
                     # a post-clearCache recompute is then a file read.
