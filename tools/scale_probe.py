@@ -81,7 +81,9 @@ BENCH_XCHECK_FACTOR = 1.5
 BENCH_XCHECK_MIN_GAP_S = 0.5
 
 
-def _bench_crosscheck(sf_big: str, measured: dict[str, float]) -> list[str]:
+def _bench_crosscheck(
+    sf_big: str, measured: dict[str, float], repo: str | None = None
+) -> list[str]:
     """Markdown section comparing this probe's big-SF times against the
     most recent committed ``BENCH_r*.json`` at the same SF, flagging
     rows >BENCH_XCHECK_FACTOR apart in either direction. Keeps
@@ -94,7 +96,8 @@ def _bench_crosscheck(sf_big: str, measured: dict[str, float]) -> list[str]:
     m = _re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_big)))
     if not m:
         return []
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo is None:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     fname, prior = prior_bench(repo, float(m.group(1).rstrip(".")))
     if not fname:
         return []

@@ -1304,9 +1304,9 @@ def semantic_dedup(
     pure deterministic artifacts of the corpus, so rebuilding them
     per call repeats identical work); when omitted they are built
     here. ``with_sizes=True`` appends a ``cluster_size`` column
-    computed from the component table alone (components are
-    broadcast-sized by the CC contract; absent nodes are singletons),
-    so no corpus-wide aggregate or shuffle is spent on it.
+    computed from the component table alone (absent nodes are
+    singletons) — bounded by duplicate pairs, never a corpus-wide
+    aggregate; broadcast-attached on CC's local path.
     """
     from white_elephant_spark.operators import clustering
     from white_elephant_spark.operators import clustering_kmeans as km
@@ -1347,10 +1347,12 @@ def semantic_dedup(
     if with_sizes:
         # Every member of a non-trivial component appears in comps,
         # so per-component counts over comps ARE the cluster sizes;
-        # nodes absent from comps are singletons (size 1). comps is
-        # broadcast-sized (CC's local path inlines a LocalRelation
-        # with exact stats), so this attaches by broadcast join — the
-        # corpus is never re-aggregated or re-shuffled for sizes.
+        # nodes absent from comps are singletons (size 1). The corpus
+        # is never re-aggregated for sizes: only comps is. On CC's
+        # local path (≤10k pairs) comps is an inlined LocalRelation
+        # with exact stats, so the attach is a broadcast join; on the
+        # distributed path it is a pair-table-sized shuffle join —
+        # still bounded by duplicate pairs, not corpus rows.
         csize = comps.groupBy(F.col("cluster_id").alias("component")).agg(
             F.count(F.lit(1)).alias("__csz")
         )
