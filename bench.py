@@ -20,10 +20,14 @@ serve trained artifacts from ``.scratch/models/`` when present, the
 train-once/serve-many contract the engine is designed around (faiss
 builds an index once; every query after reads it). Best-of-N already
 reports steady-state for codegen; the disk store extends that to
-model builds. For a measured COLD run — every model trained from
-scratch — set ``SPARK_GRAFT_BENCH_COLD=1``: the run redirects the
-model store to a throwaway temp dir so nothing pre-built is served
-and nothing trained pollutes the real store.
+model builds. For a measured COLD run set ``SPARK_GRAFT_BENCH_COLD=1``:
+the model store is redirected to a throwaway temp dir (nothing
+pre-built served, nothing trained polluting the real store), each
+query runs ONCE (best-of-N would serve the first run's artifacts
+from the session memo and throw the cold number away), and the
+regression tripwire is skipped (cold-vs-steady flags every served
+query by construction). Cold means "no pre-built store" — artifacts
+shared across queries still memo-serve within the run.
 
 Regression tripwire: the output's ``regressions`` list names every
 query slower than 2x its time in the most recent committed
@@ -165,7 +169,12 @@ def prior_bench(repo: str, sf: float) -> tuple[str | None, dict[str, float]]:
         try:
             with open(os.path.join(repo, f)) as fh:
                 d = json.load(fh)
-            if d.get("sf") not in (None, sf):
+            # Strict SF match: an artifact whose wrapper lost the top-
+            # level "sf" key must not be treated as matching any SF —
+            # a cross-SF comparison flags everything. (_bench_times'
+            # tail fallback recovers sf-less shapes for inspection,
+            # but the tripwire needs a provably same-SF base.)
+            if d.get("sf") != sf:
                 continue
             times = _bench_times(d)
             if times:
@@ -187,14 +196,25 @@ def _bench_times(d: dict) -> dict[str, float]:
     t = d.get("tail")
     if isinstance(t, str) and t.lstrip().startswith("{"):
         try:
-            obj, _ = json.JSONDecoder().raw_decode(t.lstrip())
+            obj, end = json.JSONDecoder().raw_decode(t.lstrip())
         except ValueError:
             return {}
         if isinstance(obj.get("queries"), dict):
             return {k: float(v) for k, v in obj["queries"].items()}
-        if obj and all(
-            isinstance(v, (int, float)) and not isinstance(v, bool)
-            for v in obj.values()
+        # Bare numeric dict = the known head-truncation landing inside
+        # the Spark queries dict. Guard against the OTHER truncation
+        # point — inside duckdb_queries, which has the same shape: the
+        # Spark dict is printed first, so the marker key must appear
+        # AFTER the decoded object; a tail starting inside
+        # duckdb_queries has no later marker. Negative values (oracle
+        # timeouts, -1.0) only ever occur in the DuckDB dict.
+        if (
+            obj
+            and '"duckdb_queries"' in t.lstrip()[end:]
+            and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool) and v >= 0
+                for v in obj.values()
+            )
         ):
             return {k: float(v) for k, v in obj.items()}
     return {}
@@ -205,7 +225,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    if os.environ.get("SPARK_GRAFT_BENCH_COLD"):
+    cold = bool(os.environ.get("SPARK_GRAFT_BENCH_COLD"))
+    if cold:
         # Measured cold run: no pre-built model artifacts served, none
         # written where a later steady-state run would find them.
         import tempfile
@@ -282,14 +303,20 @@ def main() -> None:
         t0 = time.time()
         qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = time.time() - t0
-        if best <= SINGLE_RUN_ABOVE:
-            t0 = time.time()
-            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        if best <= THIRD_RUN_BELOW:
-            t0 = time.time()
-            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        # Cold mode records the FIRST run only: a repeat would serve
+        # the just-trained artifacts from the session memo and min()
+        # would throw the cold number away. (Artifacts shared across
+        # queries still memo-serve within the run — cold means "no
+        # pre-built store", not "amnesia between queries".)
+        if not cold:
+            if best <= SINGLE_RUN_ABOVE:
+                t0 = time.time()
+                qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            if best <= THIRD_RUN_BELOW:
+                t0 = time.time()
+                qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
         times[name] = round(best, 3)
         # Release block-cache leftovers (persisted lookup sides,
         # localCheckpoints) between queries so later measurements
@@ -300,7 +327,12 @@ def main() -> None:
     duck = duckdb_times(sf_dir, names, qs)
     duck_total = round(sum(v for v in duck.values() if v >= 0), 3)
     total = round(sum(times.values()), 3)
-    prior_file, prior = prior_bench(os.path.dirname(os.path.abspath(__file__)), sf)
+    if cold:
+        # Cold first-run times vs a steady-state artifact would flag
+        # every served-model query; the tripwire is steady-vs-steady.
+        prior_file, prior = None, {}
+    else:
+        prior_file, prior = prior_bench(os.path.dirname(os.path.abspath(__file__)), sf)
     regressions = sorted(
         n
         for n, t in times.items()
@@ -319,7 +351,8 @@ def main() -> None:
                 "spark_over_duckdb": round(total / duck_total, 3) if duck_total > 0 else None,
                 "regressions": regressions,
                 "regressions_vs": prior_file,
-                "cold": bool(os.environ.get("SPARK_GRAFT_BENCH_COLD")),
+                "cold": cold,
+                "parts": parts,
             }
         )
     )

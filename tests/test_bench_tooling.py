@@ -27,11 +27,24 @@ def test_bench_times_plain_and_wrapped():
 
 def test_bench_times_truncated_tail():
     # The driver may keep only the TAIL of the JSON line, cut
-    # mid-object so the first decodable object is the queries dict.
-    tail = '{"q1": 0.5, "q2": 1.5}, "sf": 0.1, "value": 99.0}'
+    # mid-object so the first decodable object is the queries dict —
+    # proven by the duckdb_queries marker appearing AFTER it.
+    tail = '{"q1": 0.5, "q2": 1.5}, "sf": 0.1, "duckdb_queries": {"q1": 0.1}}'
     assert _bench_times({"tail": tail}) == {"q1": 0.5, "q2": 1.5}
     assert _bench_times({"tail": "not json"}) == {}
     assert _bench_times({}) == {}
+
+
+def test_bench_times_rejects_duckdb_tail():
+    # Truncation landing inside duckdb_queries itself: same all-float
+    # shape, but no later marker — must NOT be mistaken for Spark
+    # times (it would flag every query where Spark > 2x DuckDB).
+    tail = '{"q1": 0.1, "q2": 0.2}, "duckdb_total": 0.3, "spark_over_duckdb": 1.0}'
+    assert _bench_times({"tail": tail}) == {}
+    # and a dict containing an oracle-timeout -1.0 is DuckDB's even
+    # with a stray later marker
+    tail2 = '{"q1": -1.0, "q2": 0.2}, "x": "\\"duckdb_queries\\""}'
+    assert _bench_times({"tail": tail2}) == {}
 
 
 def test_prior_bench_same_sf_only(tmp_path):
@@ -55,6 +68,14 @@ def test_prior_bench_prefers_most_recent_round(tmp_path):
         )
     fname, times = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_r10.json" and times == {"a": 7.0}
+
+
+def test_prior_bench_requires_explicit_sf(tmp_path):
+    # an artifact whose wrapper lost the "sf" key matches NOTHING —
+    # treating it as wildcard would enable cross-SF comparisons that
+    # flag every query
+    (tmp_path / "BENCH_r05.json").write_text(json.dumps({"queries": {"a": 1.0}}))
+    assert prior_bench(str(tmp_path), 0.1) == (None, {})
 
 
 # --------------------------------------------- SCALING↔BENCH check
@@ -92,6 +113,31 @@ def test_crosscheck_silent_without_comparable_artifact(tmp_path):
     )
 
 
+def test_crosscheck_skips_on_partition_mismatch(tmp_path):
+    # the sf1 gate records at 16 shuffle partitions; the probe runs at
+    # 8 — shuffle-heavy queries legitimately differ, so the check must
+    # declare itself skipped instead of flagging healthy rows
+    import scale_probe
+
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": 1.0, "parts": 16, "queries": {"a": 10.0}})
+    )
+    lines = scale_probe._bench_crosscheck(
+        "/x/sf1", {"a": 30.0}, repo=str(tmp_path)
+    )
+    text = "\n".join(lines)
+    assert "skipped" in text and "| a |" not in text
+    # sf0.1 artifacts predating the "parts" field were recorded at the
+    # default 8 — still comparable
+    (tmp_path / "BENCH_r06.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.0}})
+    )
+    lines = scale_probe._bench_crosscheck(
+        "/x/sf0.1", {"a": 3.0}, repo=str(tmp_path)
+    )
+    assert "| a | 3.00 | 1.00 | 3.0 |" in "\n".join(lines)
+
+
 # ------------------------------------------------- gate rendering
 
 
@@ -109,3 +155,68 @@ def test_gate_section_timeouts_and_ratio():
 def test_selfcheck_section_mentions_result():
     text = selfcheck_section("50/50 passed", "/tmp/x.log")
     assert "**50/50 passed**" in text and "/tmp/x.log" in text
+
+
+def test_gate_section_never_reports_losses_as_wins():
+    # two losses + one win: only the win may appear on the wins line
+    bench = {
+        "queries": {"a": 5.0, "b": 1.0, "c": 9.0},
+        "duckdb_queries": {"a": 1.0, "b": 2.0, "c": 3.0},
+    }
+    text = gate_section(bench)
+    assert "b 1.0s vs 2.0s" in text
+    assert "a 5.0s" not in text and "c 9.0s" not in text
+    # all losses: the wins line is omitted entirely
+    bench = {"queries": {"a": 5.0}, "duckdb_queries": {"a": 1.0}}
+    assert "wins" not in gate_section(bench)
+
+
+# ----------------------------------------------- cache concurrency
+
+
+def test_query_cache_thread_safety():
+    # The HTTP daemon hits one QueryCache from concurrent handler
+    # threads; interleaved get/invalidate must never raise (the
+    # pre-lock code could KeyError on a double-delete of a stale
+    # entry) and must never leak a persisted frame (two same-key
+    # misses both persisting, one overwritten).
+    import threading
+
+    from white_elephant_spark.plans.cache import QueryCache
+
+    class FakeDF:
+        def __init__(self, log):
+            self.log = log
+
+        def persist(self):
+            self.log.append(("p", id(self)))
+            return self
+
+        def unpersist(self):
+            self.log.append(("u", id(self)))
+            return self
+
+    log: list = []
+    cache = QueryCache(max_entries=4)
+    errors: list = []
+
+    def worker(seed: int) -> None:
+        try:
+            for i in range(200):
+                k = ("k", (seed + i) % 6)
+                cache.get_or_build(k, lambda: FakeDF(log))
+                if i % 17 == 0:
+                    cache.invalidate()
+        except Exception as e:  # pragma: no cover - the failure mode
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    cache.clear()
+    persisted = {x for op, x in log if op == "p"}
+    unpersisted = {x for op, x in log if op == "u"}
+    assert persisted == unpersisted  # nothing leaked in the block manager

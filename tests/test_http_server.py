@@ -180,6 +180,33 @@ def test_table_csv_headers_and_body(base_url, api):
     assert body.decode().splitlines()[0] == "time,u1,u3"
 
 
+def test_refresh_runs_reload_hook_before_invalidation(api):
+    # cmd_serve wires on_refresh to re-read rewritten source files;
+    # the server must run it BEFORE invalidating the roll-up cache
+    # (else rebuilt roll-ups would come from the stale cube).
+    calls = []
+    srv = make_server(
+        api,
+        host="127.0.0.1",
+        port=0,
+        on_refresh=lambda: calls.append(api.cache._generation),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address[:2]
+        gen = api.cache._generation
+        req = urllib.request.Request(f"http://{host}:{port}/api/refresh", data=b"{}")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert json.loads(r.read()) == {"ok": True}
+        # hook observed the pre-invalidation generation
+        assert calls == [gen]
+        assert api.cache._generation == gen + 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_refresh_invalidates_cache(base_url, api):
     _get_json(base_url + "/api/usage?" + USAGE_QS)  # warm a roll-up
     gen, misses = api.cache._generation, api.cache.misses

@@ -35,8 +35,10 @@ def gate_section(bench: dict) -> str:
         for n, t in sq.items()
         if (dq.get(n) or 0) > 0
     )
+    # only actual wins (duck slower than spark) — with fewer than 3
+    # wins the unfiltered tail would present Spark LOSSES as wins
     wins = [
-        f"{n} {t:.1f}s vs {d:.1f}s" for _g, n, t, d in reversed(gaps[-3:])
+        f"{n} {t:.1f}s vs {d:.1f}s" for g, n, t, d in reversed(gaps[-3:]) if g > 0
     ]
     lines = [
         "## Bench gate re-verified at sf1",
@@ -49,8 +51,9 @@ def gate_section(bench: dict) -> str:
         "",
         f"- Spark total **{spark_total:.3f}s**, DuckDB-oracle total"
         f" **{duck_total:.3f}s**, `spark_over_duckdb` = **{ratio:.3f}**.",
-        f"  Largest absolute Spark wins: {'; '.join(wins)}.",
     ]
+    if wins:
+        lines.append(f"  Largest absolute Spark wins: {'; '.join(wins)}.")
     if timed_out:
         lines += [
             f"- Oracle twins over the 180s ceiling (recorded -1.0,"

@@ -13,6 +13,7 @@ Usage: python tools/scale_probe.py [sf_small sf_big]
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
@@ -68,6 +69,10 @@ def _label(path: str) -> str:
     return base or path
 
 
+#: shuffle partitions for the probe session — must match the bench
+#: config for the cross-check below to be apples-to-apples.
+PROBE_PARTS = 8
+
 # Factor beyond which a SCALING row disagreeing with the committed
 # bench artifact of record is flagged stale/irreproducible. Both runs
 # use the identical session config (8 shuffle partitions, AQE off,
@@ -101,6 +106,28 @@ def _bench_crosscheck(
     fname, prior = prior_bench(repo, float(m.group(1).rstrip(".")))
     if not fname:
         return []
+    # Apples-to-apples only: the sf1 gate convention runs with
+    # SPARK_GRAFT_BENCH_PARTS=16 while the probe uses PROBE_PARTS —
+    # shuffle-heavy queries legitimately differ across partition
+    # counts, so a parts mismatch skips the comparison instead of
+    # flagging healthy rows. Artifacts predating the "parts" field
+    # are only comparable at sf0.1 (always recorded at the default 8).
+    try:
+        with open(os.path.join(repo, fname)) as fh:
+            art = json.load(fh)
+        parts = art.get("parts")
+        if parts is None and art.get("sf") == 0.1:
+            parts = 8
+    except (OSError, ValueError):
+        parts = None
+    if parts != PROBE_PARTS:
+        return [
+            f"## Cross-check vs `{fname}`: skipped",
+            "",
+            f"The artifact was recorded at shuffle-partitions={parts},"
+            f" the probe runs at {PROBE_PARTS} — not comparable.",
+            "",
+        ]
     stale = []
     for name, t in sorted(measured.items()):
         p = prior.get(name)
@@ -155,7 +182,7 @@ def main() -> None:
 
     _SPARK = get_spark(
         "scale-probe",
-        shuffle_partitions=8,
+        shuffle_partitions=PROBE_PARTS,
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     qs = all_queries()

@@ -173,7 +173,17 @@ def cmd_serve(args: argparse.Namespace) -> int:
     # Materialize the cube once up front so the first request pays
     # query latency, not the full parse/reconstruct pipeline.
     api.cube.persist().count()
-    srv = make_server(api, host=args.host, port=args.port)
+
+    def _reload() -> None:
+        # POST /api/refresh must serve REWRITTEN source files, not the
+        # persisted pre-refresh cube: drop every cached block and file
+        # index under the corpus path, then re-materialize. (The
+        # roll-up cache invalidation happens after this hook.)
+        spark.catalog.refreshByPath(os.path.abspath(args.sf_dir))
+        api.cube.unpersist()
+        api.cube.persist().count()
+
+    srv = make_server(api, host=args.host, port=args.port, on_refresh=_reload)
     host, port = srv.server_address[:2]
     print(f"serving /api/* on http://{host}:{port} (cube: {args.sf_dir})", flush=True)
     try:

@@ -115,16 +115,22 @@ def corpus_key(sf_dir: str, table: str) -> tuple[str, str]:
     return (path, _freshness_token(path))
 
 
+def _walk_stats(path: str) -> tuple[float, int]:
+    """(max file mtime, total bytes) under a directory tree."""
+    mtime, size = -1.0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            mtime = max(mtime, os.path.getmtime(p))
+            size += os.path.getsize(p)
+    return mtime, size
+
+
 def _freshness_token(path: str) -> str:
     """Freshness token of a corpus path (see :func:`corpus_key`)."""
     try:
         if os.path.isdir(path):
-            mtime, size = -1.0, 0
-            for root, _dirs, files in os.walk(path):
-                for f in files:
-                    p = os.path.join(root, f)
-                    mtime = max(mtime, os.path.getmtime(p))
-                    size += os.path.getsize(p)
+            mtime, size = _walk_stats(path)
             return f"{mtime}:{size}"
         return str(os.path.getmtime(path))
     except OSError:
@@ -141,11 +147,7 @@ def corpus_bytes(sf_dir: str, table: str) -> int:
         if os.path.isfile(path):
             return os.path.getsize(path)
         if os.path.isdir(path):
-            return sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _dirs, files in os.walk(path)
-                for f in files
-            )
+            return _walk_stats(path)[1]
     except OSError:
         pass
     return 0
@@ -253,16 +255,12 @@ def _write_meta(d: str, ck: tuple[str, str], name: str, params: tuple) -> None:
 
 def _dir_bytes(d: str) -> int:
     try:
-        return sum(
-            os.path.getsize(os.path.join(root, f))
-            for root, _dirs, files in os.walk(d)
-            for f in files
-        )
+        return _walk_stats(d)[1]
     except OSError:
         return 0
 
 
-def disk_entries() -> list[dict]:
+def disk_entries(include_bytes: bool = True) -> list[dict]:
     """Inventory of the on-disk store: one dict per artifact dir with
     its meta fields, size, and whether it can still be served.
     ``servable`` requires a current format version AND a corpus
@@ -270,20 +268,32 @@ def disk_entries() -> list[dict]:
     anything else will never validate again (mtimes don't go
     backwards), because a retrain for the same (corpus, name, params)
     overwrites the SAME dir; distinct dirs only pile up when a
-    version token was bumped or a corpus was moved/deleted."""
+    version token was bumped or a corpus was moved/deleted.
+
+    ``include_bytes=False`` skips sizing each artifact dir (the GC
+    path sizes only what it removes); corpus freshness is computed
+    once per distinct corpus path either way — many artifacts share
+    one corpus, and a directory corpus costs a full tree walk."""
     root = disk_root()
     out: list[dict] = []
     try:
         names = sorted(os.listdir(root))
     except OSError:
         return out
+    fresh_memo: dict[str, str] = {}
+
+    def fresh(path: str) -> str:
+        if path not in fresh_memo:
+            fresh_memo[path] = _freshness_token(path)
+        return fresh_memo[path]
+
     for base in names:
         d = os.path.join(root, base)
         if not os.path.isdir(d):
             continue
         entry = {
             "dir": d,
-            "bytes": _dir_bytes(d),
+            "bytes": _dir_bytes(d) if include_bytes else None,
             "tmp": base.startswith(".tmp-"),
             "servable": False,
             "meta": None,
@@ -295,7 +305,7 @@ def disk_entries() -> list[dict]:
             entry["servable"] = (
                 not entry["tmp"]
                 and meta.get("version") == _DISK_VERSION
-                and _freshness_token(meta.get("path", "")) == meta.get("token")
+                and fresh(meta.get("path", "")) == meta.get("token")
             )
         except (OSError, ValueError):
             pass
@@ -315,11 +325,13 @@ def gc_disk(grace_s: float = _GC_GRACE_S) -> dict:
     unreadable meta, or orphaned ``.tmp-*`` from a killed run — each
     only once it's been unservable for ``grace_s`` seconds. Returns
     ``{"removed": [dirs], "reclaimed_bytes": n, "kept": n}``.
-    Called opportunistically after every successful save, so the
-    store is bounded by the set of currently-valid artifacts."""
+    Runs opportunistically after the first successful save per
+    process (:func:`_gc_once` — once, not per save, so training
+    bursts don't pay a stat sweep inside every timed call), keeping
+    the store bounded by the set of currently-valid artifacts."""
     now = time.time()
     removed, reclaimed, kept = [], 0, 0
-    for e in disk_entries():
+    for e in disk_entries(include_bytes=False):
         if e["servable"]:
             kept += 1
             continue
@@ -330,10 +342,28 @@ def gc_disk(grace_s: float = _GC_GRACE_S) -> dict:
         if age <= grace_s:
             kept += 1
             continue
+        reclaimed += _dir_bytes(e["dir"])  # size only what goes away
         shutil.rmtree(e["dir"], ignore_errors=True)
         removed.append(e["dir"])
-        reclaimed += e["bytes"]
     return {"removed": removed, "reclaimed_bytes": reclaimed, "kept": kept}
+
+
+_GC_RAN = False
+
+
+def _gc_once() -> None:
+    """Opportunistic GC, at most once per process: a training burst
+    (cold bench run, N saves back-to-back) must not re-walk every
+    corpus directory inside every timed save — one sweep per process
+    bounds the store without a stat storm on the measured path."""
+    global _GC_RAN
+    if _GC_RAN:
+        return
+    _GC_RAN = True
+    try:
+        gc_disk()
+    except Exception:
+        pass
 
 
 def get_or_train(
@@ -412,10 +442,7 @@ def get_or_train(
                 shutil.rmtree(d, ignore_errors=True)
                 os.replace(tmp, d)
                 tmp = None
-                try:
-                    gc_disk()  # saves are rare; keep the store bounded
-                except Exception:
-                    pass
+                _gc_once()  # keep the store bounded
                 if load is not None and isinstance(artifact, DataFrame):
                     # Serve the parquet scan, not the build pipeline:
                     # a post-clearCache recompute is then a file read.

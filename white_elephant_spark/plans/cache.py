@@ -22,6 +22,7 @@ is a leak at scale) and unpersisted on eviction/invalidation.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Callable
 
@@ -29,10 +30,19 @@ from pyspark.sql import DataFrame
 
 
 class QueryCache:
+    """Thread-safe: the HTTP daemon serves concurrent handler threads
+    against one cache, so mutation of the LRU map and generation
+    counter is serialized under an RLock. ``build()`` itself runs
+    under the lock too — concurrent misses on the same key must not
+    both ``persist()`` (the loser's frame would leak in the block
+    manager); Spark job parallelism is unaffected since the built
+    DataFrame's *actions* happen outside the cache."""
+
     def __init__(self, max_entries: int = 64):
         self.max_entries = max_entries
         self._entries: OrderedDict[tuple, tuple[int, DataFrame]] = OrderedDict()
         self._generation = 0
+        self._lock = threading.RLock()
         self.hits = 0
         self.misses = 0
 
@@ -40,29 +50,32 @@ class QueryCache:
         """Return the persisted DataFrame for ``key``, building (and
         persisting) it on miss. ``key`` must exclude per-request
         selections that are applied post-cache (the user list)."""
-        hit = self._entries.get(key)
-        if hit is not None and hit[0] == self._generation:
-            self._entries.move_to_end(key)
-            self.hits += 1
-            return hit[1]
-        if hit is not None:  # stale generation
-            hit[1].unpersist()
-            del self._entries[key]
-        self.misses += 1
-        df = build().persist()
-        self._entries[key] = (self._generation, df)
-        while len(self._entries) > self.max_entries:
-            _, (_, old) = self._entries.popitem(last=False)
-            old.unpersist()
-        return df
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None and hit[0] == self._generation:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return hit[1]
+            if hit is not None:  # stale generation
+                hit[1].unpersist()
+                del self._entries[key]
+            self.misses += 1
+            df = build().persist()
+            self._entries[key] = (self._generation, df)
+            while len(self._entries) > self.max_entries:
+                _, (_, old) = self._entries.popitem(last=False)
+                old.unpersist()
+            return df
 
     def invalidate(self) -> None:
         """I4 — called after a data load: all cached results are
         stale (usage_loader.rb:195-196). Lazy: entries unpersist on
         next touch or via clear()."""
-        self._generation += 1
+        with self._lock:
+            self._generation += 1
 
     def clear(self) -> None:
-        for _, df in self._entries.values():
-            df.unpersist()
-        self._entries.clear()
+        with self._lock:
+            for _, df in self._entries.values():
+                df.unpersist()
+            self._entries.clear()

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any
+from typing import Any, Callable
 from urllib.parse import parse_qs, urlparse
 
 from white_elephant_spark.plans.api import UsageApi
@@ -75,10 +75,21 @@ def _split_users(raw: Any) -> list[str]:
     return list(dict.fromkeys(u for u in items if u))
 
 
-def make_server(api: UsageApi, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    api: UsageApi,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    on_refresh: Callable[[], None] | None = None,
+) -> ThreadingHTTPServer:
     """Build (but don't start) the server; ``port=0`` picks a free
     port — read it back from ``server.server_address``. Run with
-    ``serve_forever()`` (blocking) or on a daemon thread in tests."""
+    ``serve_forever()`` (blocking) or on a daemon thread in tests.
+
+    ``on_refresh`` runs before the cache invalidation on
+    ``POST /api/refresh`` — the place to re-read rewritten source
+    files (``spark.catalog.refreshByPath`` + re-persist), without
+    which invalidating the roll-up cache alone would rebuild from the
+    still-persisted pre-refresh cube."""
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "white-elephant-spark"
@@ -141,6 +152,8 @@ def make_server(api: UsageApi, host: str = "127.0.0.1", port: int = 0) -> Thread
                 elif method == "GET" and path == "/api/table":
                     self._table(params)
                 elif method == "POST" and path == "/api/refresh":
+                    if on_refresh is not None:
+                        on_refresh()
                     api.on_data_loaded()
                     self._json({"ok": True})
                 else:
