@@ -148,3 +148,49 @@ def test_hadoopfs_listing_matches_local(spark, tmp_path):
     assert inc.existing_days(str(d), hfs) == inc.existing_days(str(d))
     assert hfs.list_subdirs(str(d / "nope")) == []
     assert hfs.walk_files(str(d / "nope"), ".parquet") == {}
+
+
+def _attempts_c(spark, rows):
+    """Like _attempts but rows are (cluster, attempt_id, start, finish)."""
+    return spark.createDataFrame(
+        [
+            (
+                "j1", "t1", aid, "u0", cl, "MAP", "SUCCESS", False, s, f,
+                {"CPU_MILLISECONDS": f - s, "SPILLED_RECORDS": 0, "REDUCE_SHUFFLE_BYTES": 7},
+            )
+            for cl, aid, s, f in rows
+        ],
+        "jobId string, taskId string, taskAttemptId string, user string, cluster string,"
+        " type string, taskStatus string, excess boolean, startTime long, finishTime long,"
+        " counters map<string,long>",
+    )
+
+
+def test_late_onboarded_cluster_gets_existing_days(spark, tmp_path):
+    # Reference parity (JobStatsProcessing.java:71-79): existence is
+    # probed per (cluster, day). A day built for cluster A must NOT
+    # suppress building that same day for cluster B whose history
+    # arrives later, even outside the forced window.
+    path = str(tmp_path / "cube")
+    a_rows = [("ca", "a1", 1 * HOUR, 3 * HOUR), ("ca", "a2", 10 * DAY + HOUR, 10 * DAY + 2 * HOUR)]
+    inc.refresh(_attempts_c(spark, a_rows), path, num_days_forced=1)
+    assert inc.existing_cluster_days(path) == {("ca", D(0)), ("ca", D(10))}
+
+    # cluster B onboards with history on day 0 — far outside forced=1
+    both = _attempts_c(spark, a_rows + [("cb", "b1", 2 * HOUR, 4 * HOUR)])
+    built = inc.refresh(both, path, num_days_forced=1)
+    assert D(0) in built  # day 0 re-planned because cb lacks it
+    got = inc.existing_cluster_days(path)
+    assert ("cb", D(0)) in got and ("ca", D(0)) in got
+    # and cb's rows actually landed
+    cube = inc.read_cube(spark, path)
+    assert cube.filter(F.col("cluster") == "cb").count() > 0
+    # ca's day-0 partition survived the pair-filtered rebuild
+    assert cube.filter((F.col("cluster") == "ca")).count() > 0
+
+
+def test_plan_cluster_days_is_per_cluster():
+    existing = {("ca", D(0)), ("ca", D(1)), ("cb", D(1))}
+    got = inc.plan_cluster_days(D(0), D(2), ["ca", "cb"], existing, num_days_forced=1)
+    # ca lacks nothing but the forced tail; cb lacks day 0
+    assert got == {("ca", D(2)), ("cb", D(0)), ("cb", D(2))}

@@ -169,7 +169,11 @@ def sql_fingerprint(expr: str) -> str:
 # Patterns kept to the Java-regex ∩ RE2 common subset so Spark and
 # DuckDB match the exact same spans.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
-URL_RE = r"https?://[^ ]+"
+# \s, not a bare space: [^ ]+ would consume newlines/tabs, redacting
+# past the URL into the next line (destroying non-PII text and
+# collapsing the line structure dup_line_ratio depends on). \s is in
+# the Java/RE2/DuckDB common subset, so the SQL twin stays identical.
+URL_RE = r"https?://[^\s]+"
 
 
 def scrub_pii(text: Column) -> Column:

@@ -30,15 +30,6 @@ from pyspark.sql import functions as F
 
 UNITS = ("HOURS", "DAYS", "WEEKS", "MONTHS", "QUARTERS")
 
-# Interval step per unit for dense-axis generation (W6).
-_UNIT_INTERVAL = {
-    "HOURS": "interval 1 hour",
-    "DAYS": "interval 1 day",
-    "WEEKS": "interval 7 days",
-    "MONTHS": "interval 1 month",
-    "QUARTERS": "interval 3 months",
-}
-
 
 def _local(ts: Column, zone: str) -> Column:
     return F.from_utc_timestamp(ts, zone)
@@ -134,10 +125,8 @@ def bucket_sql(ts_expr: str, unit: str, zone: str = "UTC") -> str:
     raise ValueError(f"unknown unit {unit!r}; expected one of {UNITS}")
 
 
-def dense_axis(start: Column, end: Column, unit: str) -> Column:
-    """W6 — array of bucket timestamps covering [start, end] at
-    ``unit`` step (server/app/usage_data.rb:291-440). Both endpoints
-    must already be bucket-rounded. Use with ``explode`` +
-    right/left join + ``coalesce(measure, 0)`` for gap filling (W7,
-    usage_data.rb:82-86,268-277)."""
-    return F.sequence(start, end, F.expr(_UNIT_INTERVAL[unit.upper()]))
+# NOTE: a fixed-interval dense_axis used to live here; it stepped UTC
+# intervals, which drifts an hour off the zone-aware bucket() values
+# across DST transitions. The correct axis generator (sequencing local
+# DATEs, then converting each local midnight) is plans/serving.
+# dense_axis — the only one anything calls.

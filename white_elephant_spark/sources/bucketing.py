@@ -34,6 +34,24 @@ def _safe_name(raw: str) -> str:
     return re.sub(r"[^A-Za-z0-9_]", "_", raw)
 
 
+def _bucket_spec(spark: SparkSession, table: str) -> tuple[tuple[str, ...], int] | None:
+    """(bucket columns, bucket count) of a catalog table, from
+    ``DESCRIBE EXTENDED`` (the catalog records the physical layout).
+    None when the table is not bucketed."""
+    cols: tuple[str, ...] | None = None
+    n: int | None = None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Num Buckets":
+            n = int(r["data_type"])
+        elif r["col_name"] == "Bucket Columns":
+            cols = tuple(
+                c.strip(" `") for c in r["data_type"].strip("[]").split(",") if c.strip()
+            )
+    if cols is None or n is None:
+        return None
+    return cols, n
+
+
 def write_bucketed(
     spark: SparkSession,
     df: DataFrame,
@@ -90,7 +108,17 @@ def bucketed_pair(
     if reuse:
         try:
             ldf, rdf = spark.table(lt), spark.table(rt)
-            if set(ldf.columns) == set(left.columns) and set(rdf.columns) == set(right.columns):
+            # Columns alone are not identity: the SAME tag re-called
+            # with a different key or bucket count would silently get
+            # tables co-located on the WRONG key — the join then runs
+            # a full shuffle while the caller believes it's co-located.
+            # The catalog stores the bucket spec; check it.
+            if (
+                set(ldf.columns) == set(left.columns)
+                and set(rdf.columns) == set(right.columns)
+                and _bucket_spec(spark, lt) == ((left_key,), num_buckets)
+                and _bucket_spec(spark, rt) == ((right_key,), num_buckets)
+            ):
                 return ldf, rdf
         except Exception:
             pass

@@ -16,6 +16,7 @@ resolves partition columns from the directory structure.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -105,22 +106,28 @@ def _spread_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFra
 # ~0.15s of driver work (parquet footer read for the schema + the
 # spread decision), paid by every query × every table it touches. The
 # memo makes that a once-per-session cost, exactly like a warehouse
-# catalog resolving a table name to a cached plan fragment. Keyed on
-# the JVM session object id so a stopped/recreated session never serves
-# stale plans.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# catalog resolving a table name to a cached plan fragment. Weakly
+# keyed on the SparkSession object itself: an ``id()`` key could be
+# REUSED by CPython after the old session is garbage-collected,
+# serving a plan bound to a stopped session — and dead sessions'
+# entries would accumulate forever. Weak keys give stale-proof
+# identity and automatic eviction in one move.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Accepts a ``<name>.parquet`` file or a
     partitioned directory of the same name. Memoized per session —
     callers get the same immutable plan fragment back."""
-    key = (id(spark._jsparkSession), os.path.abspath(sf_dir), name)
-    hit = _TABLE_MEMO.get(key)
+    per_session = _TABLE_MEMO.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    hit = per_session.get(key)
     if hit is not None:
         return hit
     df = _load_table_uncached(spark, sf_dir, name)
-    _TABLE_MEMO[key] = df
+    per_session[key] = df
     return df
 
 

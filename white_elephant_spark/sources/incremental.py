@@ -54,22 +54,35 @@ from white_elephant_spark.sources.listing import Listing, LocalListing
 DAY_MS = 86_400_000
 
 
-def existing_days(path: str, listing: Listing | None = None) -> set[date]:
-    """I1 — the high-water-mark state: which ``day=`` partitions exist
-    under ``path`` (any cluster). A directory listing through the
-    storage abstraction (sources/listing.py) — the reference's
-    ``FileSystem.exists`` probe (JobStatsProcessing.java:71-79); pass
+def existing_cluster_days(
+    path: str, listing: Listing | None = None
+) -> set[tuple[str, date]]:
+    """I1 — the high-water-mark state at the reference's granularity:
+    which (cluster, day) partitions exist under ``path``. The
+    reference probes existence per cluster per day
+    (JobStatsProcessing.java:71-79) — day-only tracking would let one
+    cluster's built day permanently suppress building that day for a
+    cluster whose history arrives later (late onboarding). Listing
+    goes through the storage abstraction (sources/listing.py); pass
     :class:`~white_elephant_spark.sources.listing.HadoopFsListing`
     when the cube lives on HDFS/object storage."""
     listing = listing or LocalListing()
-    out: set[date] = set()
+    out: set[tuple[str, date]] = set()
     for cluster_dir in listing.list_subdirs(path):
         if not cluster_dir.startswith("cluster="):
             continue
+        cluster = cluster_dir[len("cluster=") :]
         for day_dir in listing.list_subdirs(os.path.join(path, cluster_dir)):
             if day_dir.startswith("day="):
-                out.add(date.fromisoformat(day_dir[len("day=") :]))
+                out.add((cluster, date.fromisoformat(day_dir[len("day=") :])))
     return out
+
+
+def existing_days(path: str, listing: Listing | None = None) -> set[date]:
+    """Day-granular view of :func:`existing_cluster_days` (a day is
+    "existing" when ANY cluster has it) — kept for coarse probes; the
+    refresh planner uses the per-cluster form."""
+    return {d for _c, d in existing_cluster_days(path, listing)}
 
 
 def input_day_range(attempts: DataFrame) -> tuple[date, date]:
@@ -99,13 +112,40 @@ def plan_days(
     return [d for d in all_days if d not in existing or d >= forced_floor]
 
 
-def build_day_cube(attempts: DataFrame, days: list[date]) -> DataFrame:
-    """Exact-integer hourly cube restricted to bucket days ∈ ``days``.
+def plan_cluster_days(
+    lo: date,
+    hi: date,
+    clusters: list[str],
+    existing: set[tuple[str, date]],
+    num_days_forced: int = 5,
+) -> set[tuple[str, date]]:
+    """Per-cluster work-unit selection — :func:`plan_days` at the
+    reference's (cluster, day) granularity: for EACH input cluster,
+    every day in [lo, hi] that cluster lacks, plus the forced window
+    unconditionally. A day built for cluster A does not suppress
+    building it for newly-arrived cluster B."""
+    out: set[tuple[str, date]] = set()
+    for c in clusters:
+        have = {d for cc, d in existing if cc == c}
+        out.update((c, d) for d in plan_days(lo, hi, have, num_days_forced))
+    return out
+
+
+def build_day_cube(
+    attempts: DataFrame,
+    days: list[date],
+    pairs: set[tuple[str, date]] | None = None,
+) -> DataFrame:
+    """Exact-integer hourly cube restricted to bucket days ∈ ``days``
+    (and, when ``pairs`` is given, to planned (cluster, day) units —
+    clusters that already have a day keep it untouched).
 
     The coarse ``finishTime``/``startTime`` range predicate is applied
     *before* the explode so it can push down to the scan (an attempt
     only contributes to a day its [start, finish) span overlaps); the
-    precise per-bucket day filter runs after.
+    precise per-bucket filter runs after. ``pairs`` is work-list-sized
+    (clusters × missing days), so its IN-filter is a broadcast-safe
+    literal list, never a join.
     """
     if not days:
         raise ValueError("no days to build")
@@ -116,9 +156,16 @@ def build_day_cube(attempts: DataFrame, days: list[date]) -> DataFrame:
         (F.col("finishTime") > F.lit(lo_ms)) & (F.col("startTime") < F.lit(hi_ms))
     )
     rows = usage.explode_attempt_hours(usage.filter_usable_attempts(att))
-    rows = rows.filter(
-        F.to_date("time").isin([d.isoformat() for d in days])
-    )
+    if pairs is not None:
+        rows = rows.filter(
+            F.concat(F.col("cluster"), F.lit("|"), F.to_date("time").cast("string")).isin(
+                [f"{c}|{d.isoformat()}" for c, d in pairs]
+            )
+        )
+    else:
+        rows = rows.filter(
+            F.to_date("time").isin([d.isoformat() for d in days])
+        )
     return usage.aggregate_usage_exact(rows)
 
 
@@ -157,9 +204,15 @@ def refresh(
     lo, hi = input_day_range(attempts)
     if lo is None:
         return []
-    days = plan_days(lo, hi, existing_days(path, listing), num_days_forced)
+    clusters = [
+        r["cluster"] for r in attempts.select("cluster").distinct().collect()
+    ]
+    pairs = plan_cluster_days(
+        lo, hi, clusters, existing_cluster_days(path, listing), num_days_forced
+    )
+    days = sorted({d for _c, d in pairs})
     if days:
-        write_day_partitions(build_day_cube(attempts, days), path)
+        write_day_partitions(build_day_cube(attempts, days, pairs=pairs), path)
     return days
 
 

@@ -200,22 +200,29 @@ def _bucket_tree(c: Column, cuts: list[float], lo: int, hi: int) -> Column:
     ).otherwise(_bucket_tree(c, cuts, mid, hi))
 
 
-def _quantile_bucket(df: DataFrame, col: str, bits: int, rel_err: float = 0.001) -> Column:
-    """Quantile-bucket index of ``col`` in ``[0, 2**bits)``.
+def _quantile_buckets(
+    df: DataFrame, cols: list[str], bits: int, rel_err: float = 0.001
+) -> list[Column]:
+    """Quantile-bucket index of each of ``cols`` in ``[0, 2**bits)``.
 
     Quantile-based scaling (not min/max) keeps the z-curve resolution
     uniform under skewed value distributions — the same reason
     ``repartitionByRange`` samples quantiles rather than splitting the
-    min/max span. ``approxQuantile`` (Greenwald-Khanna) computes the
-    ``2**bits - 1`` interior breakpoints in one distributed pass with
-    a driver collect bounded by the breakpoint count — independent of
-    row count, so the layout write stays two jobs at any corpus size
-    (quantile probe + the write itself).
+    min/max span. ``approxQuantile`` (Greenwald-Khanna) takes the
+    whole column LIST and computes every column's ``2**bits - 1``
+    interior breakpoints in ONE distributed pass (per-column calls
+    would re-scan the full input k times); the driver collect is
+    bounded by cols × breakpoints — independent of row count, so the
+    layout write stays two jobs at any corpus size (quantile probe +
+    the write itself).
     """
     n = 1 << bits
     probes = [i / n for i in range(1, n)]
-    cuts = df.approxQuantile(col, probes, rel_err)
-    return _bucket_tree(F.col(col).cast("double"), [float(x) for x in cuts], 0, n - 1)
+    all_cuts = df.approxQuantile(cols, probes, rel_err)
+    return [
+        _bucket_tree(F.col(c).cast("double"), [float(x) for x in cuts], 0, n - 1)
+        for c, cuts in zip(cols, all_cuts)
+    ]
 
 
 def write_zordered(
@@ -229,8 +236,9 @@ def write_zordered(
     """Write ``df`` as parquet clustered on the z-curve of
     ``zorder_cols``.
 
-    Plan shape: one ``approxQuantile`` probe per key column (driver
-    cost bounded by ``2**bits`` breakpoints, not rows) → quantile-
+    Plan shape: ONE multi-column ``approxQuantile`` probe for all key
+    columns (driver cost bounded by cols × ``2**bits`` breakpoints,
+    not rows) → quantile-
     bucket each key through a balanced IF-tree → Morton-interleave →
     ``repartitionByRange`` on the z-value (one range exchange, sampled
     bounds, so files get equal row counts even under skew) → sort
@@ -247,7 +255,7 @@ def write_zordered(
     """
     ranked = df.withColumn(
         "__z",
-        zvalue([_quantile_bucket(df, c, bits) for c in zorder_cols], bits),
+        zvalue(_quantile_buckets(df, zorder_cols, bits), bits),
     )
     w = (
         ranked.repartitionByRange(num_files, "__z")

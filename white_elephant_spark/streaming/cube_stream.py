@@ -32,8 +32,6 @@ touches only day partitions present in the trigger's updates.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,9 +84,17 @@ def upsert_batch(batch: DataFrame, path: str) -> None:
     replace the manual anti-join)."""
     spark = batch.sparkSession
     batch = batch.withColumn("day", F.to_date("time"))
-    if os.path.isdir(path) and any(
-        e.startswith("cluster=") for e in os.listdir(path)
-    ):
+    # Existence probe through the Hadoop FileSystem API, NOT
+    # driver-local os.path — on HDFS/S3 a local check always says
+    # "absent", which would skip the merge and let the dynamic
+    # overwrite replace each affected partition with only this
+    # trigger's keys (silent deletion of previously-written rows).
+    from white_elephant_spark.sources.listing import HadoopFsListing
+
+    has_existing = any(
+        d.startswith("cluster=") for d in HadoopFsListing(spark).list_subdirs(path)
+    )
+    if has_existing:
         days = [r["day"] for r in batch.select("day").distinct().collect()]
         if not days:
             return
@@ -121,10 +127,13 @@ def run_refresh(
     checkpoint_dir: str,
     watermark: str | None = None,
     processing_time: str | None = None,
-) -> None:
+):
     """I4 — one refresh cycle (``availableNow``: drain everything new,
-    then stop — the reference's cron cadence) or a continuous
-    15-minute poller (``processing_time="15 minutes"``)."""
+    then stop — the reference's cron cadence; returns None after the
+    drain) or a continuous 15-minute poller
+    (``processing_time="15 minutes"`` — returns the live
+    ``StreamingQuery`` so the caller can awaitTermination/stop/inspect
+    exceptions instead of fishing it out of ``spark.streams.active``)."""
     cube = streaming_usage_cube(read_attempt_stream(spark, input_dir), watermark)
     writer = (
         cube.writeStream.outputMode("update")
@@ -132,8 +141,7 @@ def run_refresh(
         .foreachBatch(lambda df, _epoch: upsert_batch(df, output_path))
     )
     if processing_time is not None:
-        writer = writer.trigger(processingTime=processing_time)
-        writer.start()  # caller owns the query lifecycle
-        return
+        return writer.trigger(processingTime=processing_time).start()
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+    return None

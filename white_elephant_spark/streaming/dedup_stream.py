@@ -63,7 +63,16 @@ def run_dedup_cycle(
         src = with_batch_metrics(
             src, f"{observe_name}_in", {"rows": F.count(F.lit(1))}
         )
-    deduped = src.withWatermark("ts", horizon).dropDuplicates(["event_id"])
+    # dropDuplicatesWithinWatermark, NOT dropDuplicates(["event_id"]):
+    # plain key-dedup only evicts state when the event-time column is
+    # part of the key, so on bare event_id the watermark would advance
+    # while ZERO seen-keys are ever cleaned — unbounded state growth,
+    # the exact leak the horizon exists to prevent. The WithinWatermark
+    # variant evicts each key once its last sighting falls behind the
+    # horizon, which is precisely the documented semantics.
+    deduped = src.withWatermark("ts", horizon).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     if observe_name:
         deduped = with_batch_metrics(
             deduped, f"{observe_name}_out", {"rows": F.count(F.lit(1))}

@@ -82,6 +82,11 @@ def _make_update(gap_ms: int):
             return
         first, last, n = state.get if state.exists else (None, None, 0)
         for pdf in pdfs:
+            # Null gate: Arrow hands nullable longs to pandas as
+            # float64 with NaN — int(NaN) would kill the task (and
+            # the whole streaming query), and rows without both times
+            # can't bound a session, so they must not count either.
+            pdf = pdf.dropna(subset=["startTime", "finishTime"])
             if len(pdf) == 0:
                 continue
             lo = int(pdf["startTime"].min())
@@ -89,6 +94,10 @@ def _make_update(gap_ms: int):
             first = lo if first is None else min(first, lo)
             last = hi if last is None else max(last, hi)
             n += len(pdf)
+        if last is None:
+            # every row in this trigger was null-timed and no prior
+            # state exists: nothing to bound a session with
+            return
         state.update((first, last, n))
         # close when event time moves `gap` past the last activity
         state.setTimeoutTimestamp(last + gap_ms)
