@@ -242,3 +242,34 @@ def test_neardup_lsh_candidates_subquadratic(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_pair_reuse_validates_spec(spark, tmp_path):
+    # Same tag, different key or bucket count: reuse must NOT hand
+    # back the old tables (they'd be co-located on the wrong key and
+    # the join would silently full-shuffle). Spec comes from the
+    # catalog, so a spec change forces the rebuild.
+    from white_elephant_spark.sources.bucketing import _bucket_spec
+
+    left = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("grp")
+    )
+    right = spark.range(0, 100).select(F.col("id").alias("k2"), F.lit(1.0).alias("v"))
+    bucketed_pair(
+        spark, left, right, "k", "k2", num_buckets=4,
+        tag="spec", base_dir=str(tmp_path / "a"),
+    )
+    assert _bucket_spec(spark, "we_bkt_spec_l") == (("k",), 4)
+    # same columns, different spec: must rebuild, not reuse
+    bucketed_pair(
+        spark, left, right, "grp", "k2", num_buckets=8,
+        tag="spec", base_dir=str(tmp_path / "b"),
+    )
+    assert _bucket_spec(spark, "we_bkt_spec_l") == (("grp",), 8)
+    assert _bucket_spec(spark, "we_bkt_spec_r") == (("k2",), 8)
+    # identical spec: reuse returns the catalog tables untouched
+    l2, _r2 = bucketed_pair(
+        spark, left, right, "grp", "k2", num_buckets=8,
+        tag="spec", base_dir=str(tmp_path / "c"),
+    )
+    assert _bucket_spec(spark, "we_bkt_spec_l") == (("grp",), 8)
