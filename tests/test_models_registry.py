@@ -316,3 +316,101 @@ def test_save_path_gc_is_opportunistic(spark, tmp_path, disk_store):
     (tmp_path / "tbl.parquet").write_text("corpus")
     _train_disk(spark, tmp_path, "m", ("x-v1",))
     assert [e["servable"] for e in models.disk_entries()] == [True]
+
+
+# ------------------------------------------------- concurrency races
+#
+# The HTTP daemon makes multi-session access to one disk store the
+# NORMAL operating mode (r7 verdict): two sessions get_or_train the
+# same cold key concurrently, and gc_disk can fire while another
+# process is mid-save. Neither may corrupt the store.
+
+
+def test_concurrent_cold_train_same_key(spark, tmp_path, disk_store):
+    """Two callers racing the same cold key: both miss the memo, both
+    train, both save (tmp → rename). Whatever the interleaving, both
+    get a working artifact, the store ends with exactly ONE valid
+    artifact dir, and the next cold session warm-loads it."""
+    import threading
+
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    barrier = threading.Barrier(2, timeout=30)
+    trained = []
+
+    def trainer():
+        barrier.wait()  # deterministically overlap both cold trains
+        trained.append(1)
+        return {"k": 2}
+
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(
+                models.get_or_train(
+                    spark, str(tmp_path), "tbl", "m", ("x-v1",), trainer, disk=True
+                )
+            )
+        except Exception as e:  # pragma: no cover - the failure mode
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == [] and len(trained) == 2  # both raced past the memo
+    assert results == [{"k": 2}, {"k": 2}]
+    entries = models.disk_entries()
+    assert [e["servable"] for e in entries] == [True]  # one dir, valid
+    assert not [e for e in entries if e["tmp"]]
+    # a later cold session serves the survivor without retraining
+    _wipe_memo()
+    calls = []
+    got = models.get_or_train(
+        spark, str(tmp_path), "tbl", "m", ("x-v1",),
+        lambda: calls.append(1) or {"k": -1}, disk=True,
+    )
+    assert calls == [] and got == {"k": 2}
+
+
+def test_gc_spares_inflight_save(spark, tmp_path, disk_store):
+    """gc_disk invoked while another process is mid-save must not
+    reclaim its .tmp-* dir — even when the SAVE DIR'S inode mtime is
+    older than the grace period (a long save writes files, which does
+    not touch the dir inode once the first entry exists): grace is
+    keyed on the newest write inside the dir."""
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    _train_disk(spark, tmp_path, "m", ("x-v1",))
+    root = models.disk_root()
+    tmp = os.path.join(root, ".tmp-inflight")
+    os.makedirs(tmp)
+    old = time.time() - 7200  # dir created 2h ago (grace is 1h)...
+    with open(os.path.join(tmp, "part-0"), "w") as f:
+        f.write("bytes still arriving")  # ...but a file written just now
+    os.utime(tmp, (old, old))
+    res = models.gc_disk()  # default grace
+    assert res["removed"] == []  # in-flight save untouched
+    # once the save is truly dead (newest file older than grace), reclaim
+    os.utime(os.path.join(tmp, "part-0"), (old, old))
+    res = models.gc_disk()
+    assert res["removed"] == [tmp]
+
+
+def test_missing_corpus_never_servable(spark, tmp_path, disk_store):
+    """An artifact trained while its corpus was ABSENT must never be
+    served: the freshness token of a missing path is unique per probe,
+    so meta can never match (the old '-1.0' sentinel matched itself
+    forever — ADVICE r7)."""
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return "trained-blind"
+
+    models.get_or_train(spark, str(tmp_path), "ghost", "m", ("x-v1",), trainer, disk=True)
+    assert calls == [1]
+    assert all(not e["servable"] for e in models.disk_entries())
+    _wipe_memo()
+    models.get_or_train(spark, str(tmp_path), "ghost", "m", ("x-v1",), trainer, disk=True)
+    assert calls == [1, 1]  # retrained, not served from the blind save

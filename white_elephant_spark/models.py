@@ -127,14 +127,20 @@ def _walk_stats(path: str) -> tuple[float, int]:
 
 
 def _freshness_token(path: str) -> str:
-    """Freshness token of a corpus path (see :func:`corpus_key`)."""
+    """Freshness token of a corpus path (see :func:`corpus_key`).
+
+    A MISSING corpus yields a one-time unique token: a stable sentinel
+    (the old ``"-1.0"``) would let an artifact trained while its corpus
+    was absent validate forever (meta ``"-1.0"`` == current ``"-1.0"``).
+    Unique-per-call means such an artifact never matches again — it is
+    never servable and ages out via :func:`gc_disk`."""
     try:
         if os.path.isdir(path):
             mtime, size = _walk_stats(path)
             return f"{mtime}:{size}"
         return str(os.path.getmtime(path))
     except OSError:
-        return "-1.0"
+        return f"missing:{_uuid.uuid4().hex}"
 
 
 def corpus_bytes(sf_dir: str, table: str) -> int:
@@ -336,7 +342,13 @@ def gc_disk(grace_s: float = _GC_GRACE_S) -> dict:
             kept += 1
             continue
         try:
-            age = now - os.path.getmtime(e["dir"])
+            # Age by the NEWEST write under the dir, not the dir inode:
+            # a concurrent process mid-save into a .tmp-* dir keeps
+            # touching files inside it, but the dir's own mtime only
+            # changes when entries are added — a save whose single
+            # artifact write outlives grace_s would otherwise be
+            # rmtree'd out from under the saver.
+            age = now - max(os.path.getmtime(e["dir"]), _walk_stats(e["dir"])[0])
         except OSError:
             age = 0.0
         if age <= grace_s:
