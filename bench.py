@@ -29,11 +29,29 @@ regression tripwire is skipped (cold-vs-steady flags every served
 query by construction). Cold means "no pre-built store" — artifacts
 shared across queries still memo-serve within the run.
 
-Regression tripwire: the output's ``regressions`` list names every
-query slower than 2x its time in the most recent committed
-``BENCH_r*.json`` (``regressions_vs`` names that file). An empty
-list is the expected state; a populated one is the first thing to
-investigate next round.
+Regression tripwire, two rules against the most recent committed
+``BENCH_r*.json`` at the same SF (``regressions_vs`` names it):
+
+- ``regressions``: absolute — any query slower than 2x its prior
+  Spark time. Blind to machine-load drift in both directions (r7
+  drifted +13-31% uniformly with DuckDB drifting +8% in the same
+  run: noise, correctly unflagged — but a real 1.5x plan regression
+  under quiet-machine variance would also pass).
+- ``ratio_regressions``: twin-normalized — any query whose
+  spark/duckdb ratio grew >1.5x vs the prior artifact's ratio.
+  Uniform drift moves both engines and cancels; a Spark-only plan
+  regression does not.
+
+Empty lists are the expected state; a populated one is the first
+thing to investigate next round.
+
+Full-artifact sidecar: the driver caps the recorded BENCH_r{N}.json
+(r7's tail lost the head of the queries dict entirely), so every run
+also writes the complete result object to
+``BENCH_full_r{N}_sf{SF}.json`` (N inferred as max committed round +
+1; SF in the name so the sf1 gate run can't clobber the sf0.1
+artifact); ``prior_bench`` falls back to it when the driver artifact
+is unrecoverable.
 """
 
 from __future__ import annotations
@@ -156,16 +174,22 @@ def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
     return out
 
 
-def prior_bench(repo: str, sf: float) -> tuple[str | None, dict[str, float]]:
-    """(filename, per-query times) of the most recent committed
-    BENCH_r*.json at the same SF — the comparison base for the
-    regression tripwire. (None, {}) when no comparable prior exists."""
+def prior_bench(
+    repo: str, sf: float
+) -> tuple[str | None, dict[str, float], dict[str, float]]:
+    """(filename, per-query Spark times, per-query DuckDB times) of
+    the most recent committed BENCH_r*.json at the same SF — the
+    comparison base for the regression tripwires. When the driver
+    artifact is unrecoverable (its capped tail can truncate anywhere —
+    r7's lost the whole queries dict), the committed full sidecar
+    ``BENCH_full_r{N}.json`` for the same round stands in. (None, {},
+    {}) when no comparable prior exists."""
     cands = []
     for f in os.listdir(repo):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
         if m:
             cands.append((int(m.group(1)), f))
-    for _, f in sorted(cands, reverse=True):
+    for n, f in sorted(cands, reverse=True):
         try:
             with open(os.path.join(repo, f)) as fh:
                 d = json.load(fh)
@@ -178,10 +202,83 @@ def prior_bench(repo: str, sf: float) -> tuple[str | None, dict[str, float]]:
                 continue
             times = _bench_times(d)
             if times:
-                return f, times
+                return f, times, _duck_times(d)
+            side = os.path.join(repo, f"BENCH_full_r{n:02d}_sf{sf}.json")
+            try:
+                with open(side) as fh:
+                    sd = json.load(fh)
+                if sd.get("sf") == sf and isinstance(sd.get("queries"), dict):
+                    return (
+                        os.path.basename(side),
+                        {k: float(v) for k, v in sd["queries"].items()},
+                        _duck_times(sd),
+                    )
+            except (OSError, ValueError):
+                pass
         except (OSError, ValueError):
             continue
-    return None, {}
+    return None, {}, {}
+
+
+def _duck_times(d: dict) -> dict[str, float]:
+    """Per-query DuckDB times out of a recorded bench artifact —
+    plain/wrapped shapes, plus the truncated-tail recovery: the
+    duckdb_queries dict is decodable from its marker key even when
+    the head of the line is gone."""
+    for inner in (d.get("parsed"), d):
+        if isinstance(inner, dict) and isinstance(inner.get("duckdb_queries"), dict):
+            return {k: float(v) for k, v in inner["duckdb_queries"].items()}
+    t = d.get("tail")
+    if isinstance(t, str):
+        marker = '"duckdb_queries":'
+        i = t.find(marker)
+        if i >= 0:
+            try:
+                obj, _ = json.JSONDecoder().raw_decode(t[i + len(marker):].lstrip())
+            except ValueError:
+                return {}
+            if isinstance(obj, dict):
+                return {k: float(v) for k, v in obj.items()}
+    return {}
+
+
+def compute_regressions(
+    times: dict[str, float],
+    duck: dict[str, float],
+    prior_times: dict[str, float],
+    prior_duck: dict[str, float],
+) -> tuple[list[str], list[str]]:
+    """The two tripwires (module docstring): absolute >2x Spark time,
+    and twin-normalized >1.5x growth of the spark/duckdb ratio. The
+    ratio rule only fires where all four measurements are positive —
+    an oracle timeout (-1.0) on either side disables it for that
+    query rather than fabricating a ratio."""
+    absolute = sorted(
+        n
+        for n, t in times.items()
+        if n in prior_times and prior_times[n] > 0 and t > 2.0 * prior_times[n]
+    )
+    ratio = sorted(
+        n
+        for n, t in times.items()
+        if duck.get(n, -1.0) > 0
+        and prior_times.get(n, 0.0) > 0
+        and prior_duck.get(n, -1.0) > 0
+        and (t / duck[n]) > 1.5 * (prior_times[n] / prior_duck[n])
+    )
+    return absolute, ratio
+
+
+def next_round(repo: str) -> int:
+    """Round number this run will be recorded as: one past the highest
+    committed BENCH_r{N}.json (the driver writes that file AFTER
+    running this script)."""
+    highest = 0
+    for f in os.listdir(repo):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
+        if m:
+            highest = max(highest, int(m.group(1)))
+    return highest + 1
 
 
 def _bench_times(d: dict) -> dict[str, float]:
@@ -226,14 +323,19 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
     cold = bool(os.environ.get("SPARK_GRAFT_BENCH_COLD"))
+    cold_dir = None
     if cold:
         # Measured cold run: no pre-built model artifacts served, none
-        # written where a later steady-state run would find them.
+        # written where a later steady-state run would find them. The
+        # throwaway store is removed on exit (trained parquet indexes
+        # are large; repeated cold runs must not accumulate them).
+        import atexit
+        import shutil
         import tempfile
 
-        os.environ["SPARK_GRAFT_MODEL_DIR"] = tempfile.mkdtemp(
-            prefix="bench-cold-models-"
-        )
+        cold_dir = tempfile.mkdtemp(prefix="bench-cold-models-")
+        os.environ["SPARK_GRAFT_MODEL_DIR"] = cold_dir
+        atexit.register(shutil.rmtree, cold_dir, ignore_errors=True)
 
     from white_elephant_spark.plans.registry import all_queries
     from white_elephant_spark.session import get_spark
@@ -327,35 +429,41 @@ def main() -> None:
     duck = duckdb_times(sf_dir, names, qs)
     duck_total = round(sum(v for v in duck.values() if v >= 0), 3)
     total = round(sum(times.values()), 3)
+    repo = os.path.dirname(os.path.abspath(__file__))
     if cold:
         # Cold first-run times vs a steady-state artifact would flag
-        # every served-model query; the tripwire is steady-vs-steady.
-        prior_file, prior = None, {}
+        # every served-model query; the tripwires are steady-vs-steady.
+        prior_file, prior, prior_duck = None, {}, {}
     else:
-        prior_file, prior = prior_bench(os.path.dirname(os.path.abspath(__file__)), sf)
-    regressions = sorted(
-        n
-        for n, t in times.items()
-        if n in prior and prior[n] > 0 and t > 2.0 * prior[n]
+        prior_file, prior, prior_duck = prior_bench(repo, sf)
+    regressions, ratio_regressions = compute_regressions(times, duck, prior, prior_duck)
+    result = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "duckdb_queries": duck,
+        "duckdb_total": duck_total,
+        "spark_over_duckdb": round(total / duck_total, 3) if duck_total > 0 else None,
+        "regressions": regressions,
+        "ratio_regressions": ratio_regressions,
+        "regressions_vs": prior_file,
+        "cold": cold,
+        "parts": parts,
+    }
+    # Complete sidecar artifact: the driver caps what it records of
+    # stdout, so audits (and the next round's tripwire fallback) read
+    # this whole object instead of reconstructing it from a tail.
+    side = "BENCH_full_r{:02d}_sf{}{}.json".format(
+        next_round(repo), sf, "_cold" if cold else ""
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "duckdb_queries": duck,
-                "duckdb_total": duck_total,
-                "spark_over_duckdb": round(total / duck_total, 3) if duck_total > 0 else None,
-                "regressions": regressions,
-                "regressions_vs": prior_file,
-                "cold": cold,
-                "parts": parts,
-            }
-        )
-    )
+    try:
+        with open(os.path.join(repo, side), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the stdout line is still complete
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

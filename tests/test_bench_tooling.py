@@ -13,7 +13,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from bench import _bench_times, prior_bench  # noqa: E402
+from bench import (  # noqa: E402
+    _bench_times,
+    _duck_times,
+    compute_regressions,
+    next_round,
+    prior_bench,
+)
 from append_gate_sections import gate_section, selfcheck_section  # noqa: E402
 
 
@@ -55,10 +61,10 @@ def test_prior_bench_same_sf_only(tmp_path):
         json.dumps({"sf": 1.0, "queries": {"a": 9.0}})
     )
     # newest artifact is sf1 — an sf0.1 run must skip it and use r03
-    fname, times = prior_bench(str(tmp_path), 0.1)
+    fname, times, _duck = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_r03.json" and times == {"a": 1.0}
     # and no comparable prior at an unseen SF
-    assert prior_bench(str(tmp_path), 0.01) == (None, {})
+    assert prior_bench(str(tmp_path), 0.01) == (None, {}, {})
 
 
 def test_prior_bench_prefers_most_recent_round(tmp_path):
@@ -66,7 +72,7 @@ def test_prior_bench_prefers_most_recent_round(tmp_path):
         (tmp_path / f"BENCH_r{r:02d}.json").write_text(
             json.dumps({"sf": 0.1, "queries": {"a": t}})
         )
-    fname, times = prior_bench(str(tmp_path), 0.1)
+    fname, times, _duck = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_r10.json" and times == {"a": 7.0}
 
 
@@ -75,7 +81,87 @@ def test_prior_bench_requires_explicit_sf(tmp_path):
     # treating it as wildcard would enable cross-SF comparisons that
     # flag every query
     (tmp_path / "BENCH_r05.json").write_text(json.dumps({"queries": {"a": 1.0}}))
-    assert prior_bench(str(tmp_path), 0.1) == (None, {})
+    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {})
+
+
+def test_prior_bench_falls_back_to_full_sidecar(tmp_path):
+    # r7's driver artifact truncated the tail MID-VALUE — nothing
+    # recoverable. The committed full sidecar for the same round (and
+    # same SF) stands in.
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"sf": 0.1, "tail": '.934, "topk": 0.409, "usage', "parsed": None})
+    )
+    (tmp_path / "BENCH_full_r07_sf0.1.json").write_text(
+        json.dumps(
+            {"sf": 0.1, "queries": {"a": 1.0}, "duckdb_queries": {"a": 0.5}}
+        )
+    )
+    fname, times, duck = prior_bench(str(tmp_path), 0.1)
+    assert fname == "BENCH_full_r07_sf0.1.json"
+    assert times == {"a": 1.0} and duck == {"a": 0.5}
+    # a sidecar at the WRONG SF must not stand in
+    (tmp_path / "BENCH_full_r07_sf0.1.json").write_text(
+        json.dumps({"sf": 1.0, "queries": {"a": 9.0}})
+    )
+    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {})
+
+
+def test_duck_times_shapes():
+    assert _duck_times({"duckdb_queries": {"a": 0.5}}) == {"a": 0.5}
+    assert _duck_times({"parsed": {"duckdb_queries": {"a": -1.0}}}) == {"a": -1.0}
+    # truncated tail: the duckdb dict is recoverable from its marker
+    tail = '0.4}, "sf": 0.1, "duckdb_queries": {"a": 0.1, "b": -1.0}, "x": 1}'
+    assert _duck_times({"tail": tail}) == {"a": 0.1, "b": -1.0}
+    assert _duck_times({"tail": "no marker"}) == {}
+    assert _duck_times({}) == {}
+
+
+def test_next_round(tmp_path):
+    assert next_round(str(tmp_path)) == 1
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    (tmp_path / "BENCH_r03.json").write_text("{}")
+    assert next_round(str(tmp_path)) == 8
+
+
+# ------------------------------------------------ regression tripwires
+
+
+def test_absolute_tripwire_flags_2x():
+    regress, _ = compute_regressions(
+        {"a": 2.1, "b": 1.9}, {}, {"a": 1.0, "b": 1.0}, {}
+    )
+    assert regress == ["a"]
+
+
+def test_ratio_tripwire_is_noise_immune():
+    # Uniform 1.3x machine drift hits BOTH engines: absolute rule
+    # stays quiet (below 2x), ratio rule stays quiet (ratio unchanged).
+    prior_t = {"a": 1.0, "b": 2.0}
+    prior_d = {"a": 0.5, "b": 1.0}
+    now_t = {k: v * 1.3 for k, v in prior_t.items()}
+    now_d = {k: v * 1.3 for k, v in prior_d.items()}
+    assert compute_regressions(now_t, now_d, prior_t, prior_d) == ([], [])
+
+
+def test_ratio_tripwire_catches_spark_only_regression():
+    # A Spark-only 1.6x slowdown on one query hides under the 2x
+    # absolute rule but moves the spark/duckdb ratio 1.6x: flagged.
+    prior_t = {"a": 1.0, "b": 2.0}
+    prior_d = {"a": 0.5, "b": 1.0}
+    now_t = {"a": 1.6, "b": 2.0}
+    absolute, ratio = compute_regressions(prior_t | now_t, prior_d, prior_t, prior_d)
+    assert absolute == [] and ratio == ["a"]
+
+
+def test_ratio_tripwire_skips_oracle_timeouts():
+    # a -1.0 (timed-out oracle) on either side must not fabricate a
+    # ratio — the query is simply not ratio-comparable
+    assert compute_regressions(
+        {"a": 9.0}, {"a": -1.0}, {"a": 1.0}, {"a": 0.5}
+    ) == (["a"], [])
+    assert compute_regressions(
+        {"a": 1.0}, {"a": 0.5}, {"a": 1.0}, {"a": -1.0}
+    ) == ([], [])
 
 
 # --------------------------------------------- SCALING↔BENCH check
