@@ -96,6 +96,40 @@ def test_build_day_cube_requires_days(spark):
         inc.build_day_cube(_attempts(spark, []), [])
 
 
+def test_planned_pairs_are_structural_not_string_keys(spark):
+    """A cluster name containing the old '|' delimiter (or any other
+    text) must select exactly its own planned (cluster, day) units —
+    the pair filter is structural predicates, not string concat."""
+    rows = [
+        ("weird", "c|1970-01-02", "a1", HOUR, 2 * HOUR),          # day 0
+        ("weird", "c|1970-01-02", "a2", DAY + HOUR, DAY + 2 * HOUR),  # day 1
+        ("plain", "c", "a3", HOUR, 2 * HOUR),                      # day 0
+        ("plain", "c", "a4", DAY + HOUR, DAY + 2 * HOUR),          # day 1
+    ]
+    att = spark.createDataFrame(
+        [
+            (
+                j, "t1", aid, "u0", c, "MAP", "SUCCESS", False, s, f,
+                {"CPU_MILLISECONDS": f - s, "SPILLED_RECORDS": 0, "REDUCE_SHUFFLE_BYTES": 7},
+            )
+            for j, c, aid, s, f in rows
+        ],
+        "jobId string, taskId string, taskAttemptId string, user string, cluster string,"
+        " type string, taskStatus string, excess boolean, startTime long, finishTime long,"
+        " counters map<string,long>",
+    )
+    got = inc.build_day_cube(
+        att, [D(0), D(1)], pairs={("c", D(0)), ("c|1970-01-02", D(1))}
+    )
+    units = sorted(
+        (r["cluster"], r["day"])
+        for r in got.select("cluster", F.to_date("time").alias("day")).distinct().collect()
+    )
+    assert units == [("c", D(0)), ("c|1970-01-02", D(1))]
+    # and an empty plan builds nothing (guard, not IndexError)
+    assert inc.build_day_cube(att, [D(0)], pairs=set()).count() == 0
+
+
 def test_file_manifest_diff(tmp_path):
     import os
     import time

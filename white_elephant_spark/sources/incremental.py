@@ -157,11 +157,24 @@ def build_day_cube(
     )
     rows = usage.explode_attempt_hours(usage.filter_usable_attempts(att))
     if pairs is not None:
-        rows = rows.filter(
-            F.concat(F.col("cluster"), F.lit("|"), F.to_date("time").cast("string")).isin(
-                [f"{c}|{d.isoformat()}" for c, d in pairs]
-            )
-        )
+        # One predicate leg per planned day: (day == d AND cluster IN
+        # {clusters planned for d}). A delimiter-joined string key
+        # could alias a cluster name containing the delimiter into (or
+        # out of) the plan; structural predicates cannot. Leg count is
+        # work-list-bounded (≤ window days), each an isin literal list.
+        by_day: dict[date, list[str]] = {}
+        for c, d in sorted(pairs):
+            by_day.setdefault(d, []).append(c)
+        day_col = F.to_date("time")
+        legs = [
+            (day_col == F.lit(d.isoformat()).cast("date"))
+            & F.col("cluster").isin(cs)
+            for d, cs in sorted(by_day.items())
+        ] or [F.lit(False)]  # empty plan: nothing to rebuild
+        pred = legs[0]
+        for leg in legs[1:]:
+            pred = pred | leg
+        rows = rows.filter(pred)
     else:
         rows = rows.filter(
             F.to_date("time").isin([d.isoformat() for d in days])
