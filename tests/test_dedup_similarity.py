@@ -336,6 +336,33 @@ def test_lsh_pre_encoded_parity(spark):
     assert sorted(map(tuple, nd_plain.collect())) == got and len(got) > 0
 
 
+def test_lsh_pre_encoded_spec_mismatch_fails_loudly(spark):
+    # An encoded input built at a DIFFERENT (planes, tables) spec must
+    # raise at execution, not silently degrade recall (ADVICE r7).
+    import pytest
+    from pyspark.errors import PySparkRuntimeError
+
+    vecs = [
+        (i, [float((i * 7) % 11 - 5), float((i * 3) % 13 - 6), float(i % 5 + 1), float((i * 5) % 9 - 4)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    enc = similarity.encode_for_lsh(df, dim=4, planes=2, tables=4)
+    qenc = enc.filter(F.col("vec_id") % 10 == 0)
+    # wrong table count: buckets array has 4 entries, call says 2
+    with pytest.raises((PySparkRuntimeError, Exception), match="pre_encoded"):
+        similarity.lsh_cosine_topk(
+            enc, qenc, dim=4, k=5, planes=2, tables=2, pre_encoded=True
+        ).collect()
+    # same table count but narrower planes: offset-encoded bucket
+    # values exceed tables * 2^planes for the claimed spec
+    wide = similarity.encode_for_lsh(df, dim=4, planes=6, tables=4)
+    with pytest.raises((PySparkRuntimeError, Exception), match="pre_encoded"):
+        similarity.neardup_pairs_lsh(
+            wide, threshold=0.5, dim=4, planes=2, tables=4, pre_encoded=True
+        ).collect()
+
+
 # ------------------------------------------------- cluster assembly
 
 

@@ -310,6 +310,34 @@ def encode_for_lsh(
     )
 
 
+def _encoded_guard(col_name: str, planes: int, tables: int):
+    """Validate a ``pre_encoded`` buckets column against the call's
+    (planes, tables) spec, per row, in codegen. An encoded input built
+    at a different spec would silently degrade recall (wrong table
+    count / bucket widths); instead the scan fails loudly. Two cheap
+    checks: the array length must equal ``tables``, and the offset-
+    encoded bucket values must stay below ``tables * 2^planes`` (table
+    t's buckets live in [t·2^planes, (t+1)·2^planes), so any larger
+    value was encoded at a wider spec)."""
+    col = F.col(col_name)
+    ok = (F.size(col) == F.lit(tables)) & (
+        F.array_max(col) < F.lit(tables * (1 << planes))
+    )
+    return F.when(ok, col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"pre_encoded '{col_name}' does not match planes={planes},"
+                    f" tables={tables}: size="
+                ),
+                F.size(col).cast("string"),
+                F.lit(", max bucket="),
+                F.array_max(col).cast("string"),
+            )
+        )
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -356,17 +384,18 @@ def lsh_cosine_topk(
     ``buckets`` columns (from :func:`encode_for_lsh`, typically
     registry-served) — no per-call Arrow encoding pass."""
     if pre_encoded:
+        guard = _encoded_guard("buckets", planes, tables)
         qv = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             F.col("norm").alias("qnorm"),
-            F.col("buckets").alias("qb"),
+            guard.alias("qb"),
         )
         cv = corpus.select(
             F.col(id_col).alias("nbr_id"),
             F.col(vec_col).alias("nvec"),
             F.col("norm").alias("nnorm"),
-            F.col("buckets").alias("cb"),
+            guard.alias("cb"),
         )
     else:
         bkts = encoded_buckets_arrow(dim, planes, tables)(F.col(vec_col))
@@ -779,7 +808,7 @@ def neardup_pairs_lsh(
     ``buckets`` (from :func:`encode_for_lsh` at the same planes ×
     tables, typically registry-served) — no per-call Arrow pass."""
     if pre_encoded:
-        bucket_arr = F.col("buckets")
+        bucket_arr = _encoded_guard("buckets", planes, tables)
     else:
         bucket_arr = encoded_buckets_arrow(dim, planes, tables)(F.col(vec_col))
     key_cols = [F.col(id_col).alias("id"), F.explode(bucket_arr).alias("bk")]
