@@ -125,17 +125,6 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     users = ev.select("user_id")
     est = sketches.hll_estimate(users, "user_id", p=8)
-    exact = users.agg(F.count_distinct("user_id").cast("long").alias("exact_distinct"))
-    hll_rows = est.crossJoin(F.broadcast(exact)).select(
-        F.lit("hll_distinct_users").alias("sketch"),
-        F.lit("user_id").alias("key"),
-        F.col("hll_estimate").alias("estimate"),
-        F.col("exact_distinct").cast("double").alias("exact"),
-        (
-            (F.col("hll_estimate") - F.col("exact_distinct"))
-            / F.col("exact_distinct")
-        ).alias("rel_err"),
-    )
     types = ev.select("event_type")
     sketch = sketches.cms_table(types, "event_type", d=4, w=64)
     cms = sketches.cms_estimate(sketch, types.distinct(), "event_type", d=4, w=64)
@@ -160,26 +149,6 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bkq = samp.agg(
         F.expr("percentile(value, 0.5)").alias("p50e"),
         F.expr("percentile(value, 0.95)").alias("p95e"),
-    )
-    fullq = ev.agg(
-        F.expr("percentile(value, 0.5)").alias("p50x"),
-        F.expr("percentile(value, 0.95)").alias("p95x"),
-    )
-    both = bkq.crossJoin(F.broadcast(fullq))
-    bk_rows = both.select(
-        F.lit("bottomk_p50").alias("sketch"),
-        F.lit("value").alias("key"),
-        F.col("p50e").alias("estimate"),
-        F.col("p50x").alias("exact"),
-        ((F.col("p50e") - F.col("p50x")) / F.col("p50x")).alias("rel_err"),
-    ).unionByName(
-        both.select(
-            F.lit("bottomk_p95").alias("sketch"),
-            F.lit("value").alias("key"),
-            F.col("p95e").alias("estimate"),
-            F.col("p95x").alias("exact"),
-            ((F.col("p95e") - F.col("p95x")) / F.col("p95x")).alias("rel_err"),
-        )
     )
     # Per-group HLL: distinct users per event type — the grouped
     # sketch a 100 TB rollup uses where exact COUNT(DISTINCT) per
@@ -218,24 +187,75 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "left",
     ).withColumn("actual", F.coalesce(F.col("actual"), F.lit(False)))
-    bloom_rows = flagged.agg(
+    bloomagg = flagged.agg(
         F.sum(F.when(F.col("might_contain"), 1).otherwise(0))
         .cast("double")
         .alias("n_maybe"),
         F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("double").alias("n_actual"),
-    ).select(
-        F.lit("bloom_prefilter").alias("sketch"),
-        F.lit("user_id").alias("key"),
-        F.col("n_maybe").alias("estimate"),
-        F.col("n_actual").alias("exact"),
-        (
-            (F.col("n_maybe") - F.col("n_actual"))
-            / F.greatest(F.col("n_actual"), F.lit(1.0))
-        ).alias("rel_err"),
     )
-    return (
-        hll_rows.unionByName(cms_rows)
-        .unionByName(bk_rows)
-        .unionByName(by_rows)
-        .unionByName(bloom_rows)
+    # Scalar legs consolidated (r7 verdict): the four single-row
+    # comparison rows (HLL vs exact distinct, two bottom-k quantiles
+    # vs exact, Bloom pass-through vs membership) previously each
+    # attached their exact counterpart with its own single-row
+    # broadcast join AND re-planned shared subtrees per union leg (8
+    # BNLJs). Now the three exact scalars that share the events scan
+    # fold into ONE aggregate, the four one-row frames chain through
+    # three single-row broadcast attachments, and the four output rows
+    # come from one explode(array(struct...)) — nothing re-planned.
+    exacts = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct"),
+        F.expr("percentile(value, 0.5)").alias("p50x"),
+        F.expr("percentile(value, 0.95)").alias("p95x"),
     )
+    def _row(sketch: str, key: str, estimate, exact, rel_err):
+        return F.struct(
+            F.lit(sketch).alias("sketch"),
+            F.lit(key).alias("key"),
+            estimate.alias("estimate"),
+            exact.alias("exact"),
+            rel_err.alias("rel_err"),
+        )
+
+    scalar_rows = (
+        est.crossJoin(F.broadcast(exacts))
+        .crossJoin(F.broadcast(bkq))
+        .crossJoin(F.broadcast(bloomagg))
+        .select(
+            F.explode(
+                F.array(
+                    _row(
+                        "hll_distinct_users",
+                        "user_id",
+                        F.col("hll_estimate"),
+                        F.col("exact_distinct").cast("double"),
+                        (F.col("hll_estimate") - F.col("exact_distinct"))
+                        / F.col("exact_distinct"),
+                    ),
+                    _row(
+                        "bottomk_p50",
+                        "value",
+                        F.col("p50e"),
+                        F.col("p50x"),
+                        (F.col("p50e") - F.col("p50x")) / F.col("p50x"),
+                    ),
+                    _row(
+                        "bottomk_p95",
+                        "value",
+                        F.col("p95e"),
+                        F.col("p95x"),
+                        (F.col("p95e") - F.col("p95x")) / F.col("p95x"),
+                    ),
+                    _row(
+                        "bloom_prefilter",
+                        "user_id",
+                        F.col("n_maybe"),
+                        F.col("n_actual"),
+                        (F.col("n_maybe") - F.col("n_actual"))
+                        / F.greatest(F.col("n_actual"), F.lit(1.0)),
+                    ),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+    return scalar_rows.unionByName(cms_rows).unionByName(by_rows)
