@@ -207,6 +207,139 @@ def test_refresh_runs_reload_hook_before_invalidation(api):
         srv.server_close()
 
 
+def test_soak_mixed_load_with_midflight_refresh(spark, tmp_path):
+    """Soak the full daemon + live Spark session: worker threads
+    hammer /api/usage and /api/table while /api/refresh rewrites the
+    source parquet mid-flight (wired exactly like cmd_serve's
+    reload hook). Invariants: zero 500s, every request issued after
+    the refresh barrier serves the rewritten data (no stale reads),
+    and the block manager doesn't leak persisted frames under
+    request churn."""
+    import time as _time
+
+    import os
+    import shutil
+
+    src = str(tmp_path / "cube.parquet")
+
+    def _write(scale: float, path: str) -> None:
+        rows = []
+        # span 3 days so the DAYS unit has a non-empty interior-days
+        # axis (reference quirk: interior buckets only, clamped)
+        for h, user, minutes in [
+            (0, "u1", 60.0), (25, "u1", 30.0), (49, "u1", 20.0), (0, "u2", 10.0),
+        ]:
+            rows.append(("c1", user, DAY1 + h * HOUR, "MAP", "SUCCESS", False, minutes * scale))
+        spark.createDataFrame(
+            rows,
+            "cluster string, user string, t long, type string, status string,"
+            " excess boolean, elapsedMinutes double",
+        ).select(
+            "cluster", "user",
+            F.timestamp_millis(F.col("t")).cast("timestamp_ntz").alias("time"),
+            "type", "status", "excess", "elapsedMinutes",
+            F.col("elapsedMinutes").alias("cpuMinutes"),
+            F.lit(1).alias("started"), F.lit(1).alias("finished"),
+            F.lit(0).alias("reduceShuffleBytes"),
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    def _swap_in(staging: str) -> None:
+        # The production rewrite is an EXTERNAL process (the uploader /
+        # an upstream pipeline): it must not touch this session's
+        # CacheManager the way a same-session write.parquet(src) would
+        # (recacheByPath drops the daemon's cached blocks mid-flight).
+        # Simulate it with pure OS-level directory swaps.
+        old = src + ".old"
+        os.rename(src, old)
+        os.rename(staging, src)
+        shutil.rmtree(old)
+
+    _write(1.0, src)
+    api = UsageApi(spark, spark.read.parquet(src))
+    api.cube.persist().count()
+
+    def _reload() -> None:  # cmd_serve's hook, verbatim semantics
+        spark.catalog.refreshByPath(src)
+        api.cube.unpersist()
+        api.cube.persist().count()
+
+    srv = make_server(api, host="127.0.0.1", port=0, on_refresh=_reload)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+    qs = (
+        f"start={DAY1 - 86_400_000}&end={DAY1 + 3 * 86_400_000}&unit={{unit}}"
+        "&zone=UTC&user=u1&users_to_aggregate=u2&cluster=c1&type=minutesTotal"
+    )
+    # u1's total per unit at scale 2.0: HOURS sees all three rows;
+    # interior-days DAYS sees only the 05-02 bucket (30.0 doubled)
+    v2_expected = {"HOURS": 220.0, "DAYS": 60.0}
+    refreshed = threading.Event()
+    bad: list = []
+    post_refresh: list[tuple[str, float]] = []
+    lock = threading.Lock()
+
+    def worker(seed: int) -> None:
+        for i in range(12):
+            unit = ("HOURS", "DAYS")[(seed + i) % 2]
+            after = refreshed.is_set()  # sampled BEFORE issuing
+            try:
+                if (seed + i) % 3 == 2:
+                    status, _, body = _get(base + "/api/table?" + qs.format(unit=unit))
+                    u1 = None
+                else:
+                    status, res = _get_json(base + "/api/usage?" + qs.format(unit=unit))
+                    u1 = sum(res["users"][0]["data"])
+            except urllib.error.HTTPError as e:
+                with lock:
+                    bad.append((e.code, e.read()[:300]))
+                continue
+            except Exception as e:
+                with lock:
+                    bad.append(repr(e))
+                continue
+            with lock:
+                if status != 200:
+                    bad.append((status, unit))
+                if after and u1 is not None:
+                    post_refresh.append((unit, u1))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(6)]
+    for t in threads:
+        t.start()
+    staging = str(tmp_path / "staging.parquet")
+    _write(2.0, staging)  # doubled values, written out-of-band
+    _time.sleep(0.5)  # let the load build
+    _swap_in(staging)  # rewrite the corpus mid-flight
+    req = urllib.request.Request(base + "/api/refresh", data=b"{}")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert json.loads(r.read()) == {"ok": True}
+    refreshed.set()  # barrier: everything issued from here must be v2
+    for t in threads:
+        t.join()
+    assert bad == []
+    assert post_refresh  # barrier was actually exercised
+    assert all(s == v2_expected[u] for u, s in post_refresh)
+
+    # no block-manager leak: another full pass over the same shapes
+    # must not grow the persisted-RDD set (cache hits, no re-persist)
+    def _persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    for unit in ("HOURS", "DAYS"):
+        _get_json(base + "/api/usage?" + qs.format(unit=unit))
+    before = _persisted()
+    for _ in range(3):
+        for unit in ("HOURS", "DAYS"):
+            _get_json(base + "/api/usage?" + qs.format(unit=unit))
+            _get(base + "/api/table?" + qs.format(unit=unit))
+    assert _persisted() == before
+    srv.shutdown()
+    srv.server_close()
+    api.cache.clear()
+    api.cube.unpersist()
+
+
 def test_refresh_invalidates_cache(base_url, api):
     _get_json(base_url + "/api/usage?" + USAGE_QS)  # warm a roll-up
     gen, misses = api.cache._generation, api.cache.misses

@@ -79,3 +79,53 @@ class QueryCache:
             for _, df in self._entries.values():
                 df.unpersist()
             self._entries.clear()
+
+
+class ReadWriteLock:
+    """Drain lock for serving-vs-refresh: many concurrent readers
+    (request handlers), one writer (the data refresh) that waits for
+    in-flight readers to DRAIN before mutating shared Spark state.
+
+    Why it exists: ``unpersist()`` on a cube that an in-flight query
+    is actively scanning removes blocks out from under running tasks
+    (local mode: blockNotFound → job failure → 500; a cluster retries
+    but re-reads the whole lineage mid-query). The refresh hook must
+    therefore run with zero readers in flight — found by the daemon
+    soak test, not visible in any single-threaded path.
+
+    A waiting writer also blocks NEW readers (no writer starvation
+    under sustained request load); at refresh cadence (minutes-hours)
+    the brief queueing is immaterial."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self) -> None:
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self) -> None:
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+
+    def release_write(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()

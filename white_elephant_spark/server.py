@@ -37,6 +37,7 @@ from typing import Any, Callable
 from urllib.parse import parse_qs, urlparse
 
 from white_elephant_spark.plans.api import UsageApi
+from white_elephant_spark.plans.cache import ReadWriteLock
 
 _INDEX = {
     "endpoints": [
@@ -89,7 +90,19 @@ def make_server(
     ``POST /api/refresh`` — the place to re-read rewritten source
     files (``spark.catalog.refreshByPath`` + re-persist), without
     which invalidating the roll-up cache alone would rebuild from the
-    still-persisted pre-refresh cube."""
+    still-persisted pre-refresh cube.
+
+    Refresh vs in-flight queries: data routes hold a shared lock for
+    the duration of each request; ``/api/refresh`` takes the
+    exclusive side, so the reload hook's ``unpersist`` can never
+    remove blocks that a running query's tasks are scanning (that
+    race 500s every in-flight request in local mode and forces
+    mid-query lineage re-reads on a cluster). Requests arriving
+    during a refresh queue briefly and then serve the new data —
+    which also makes the refresh response a true barrier: anything
+    issued after it returns sees the rewritten corpus."""
+
+    rwlock = ReadWriteLock()
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "white-elephant-spark"
@@ -141,23 +154,32 @@ def make_server(
         def _route(self, method: str, params: dict[str, Any]) -> None:
             path = urlparse(self.path).path.rstrip("/") or "/"
             try:
-                if method == "GET" and path == "/":
-                    self._json(_INDEX)
-                elif method == "GET" and path == "/api/clusters":
-                    self._json(api.clusters())
-                elif method == "GET" and path == "/api/users":
-                    self._json(api.users(str(_require(params, "cluster"))))
-                elif path == "/api/usage" and method in ("GET", "POST"):
-                    self._usage(params)
-                elif method == "GET" and path == "/api/table":
-                    self._table(params)
-                elif method == "POST" and path == "/api/refresh":
-                    if on_refresh is not None:
-                        on_refresh()
-                    api.on_data_loaded()
+                if method == "POST" and path == "/api/refresh":
+                    rwlock.acquire_write()  # drain in-flight queries
+                    try:
+                        if on_refresh is not None:
+                            on_refresh()
+                        api.on_data_loaded()
+                    finally:
+                        rwlock.release_write()
                     self._json({"ok": True})
-                else:
-                    self._json({"error": f"no route {method} {path}"}, 404)
+                    return
+                rwlock.acquire_read()
+                try:
+                    if method == "GET" and path == "/":
+                        self._json(_INDEX)
+                    elif method == "GET" and path == "/api/clusters":
+                        self._json(api.clusters())
+                    elif method == "GET" and path == "/api/users":
+                        self._json(api.users(str(_require(params, "cluster"))))
+                    elif path == "/api/usage" and method in ("GET", "POST"):
+                        self._usage(params)
+                    elif method == "GET" and path == "/api/table":
+                        self._table(params)
+                    else:
+                        self._json({"error": f"no route {method} {path}"}, 404)
+                finally:
+                    rwlock.release_read()
             except _Halt as h:
                 self._json({"error": str(h)}, h.code)
             except Exception as e:  # handler thread must answer, not die
