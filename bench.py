@@ -190,33 +190,38 @@ def prior_bench(
         if m:
             cands.append((int(m.group(1)), f))
     for n, f in sorted(cands, reverse=True):
+        # Strict SF match on the driver artifact: a wrapper that lost
+        # its top-level "sf" key must not match any SF — a cross-SF
+        # comparison flags everything. A recorded round at a DIFFERENT
+        # sf is also not a prior for this one.
+        sf_known = None
         try:
             with open(os.path.join(repo, f)) as fh:
                 d = json.load(fh)
-            # Strict SF match: an artifact whose wrapper lost the top-
-            # level "sf" key must not be treated as matching any SF —
-            # a cross-SF comparison flags everything. (_bench_times'
-            # tail fallback recovers sf-less shapes for inspection,
-            # but the tripwire needs a provably same-SF base.)
-            if d.get("sf") != sf:
-                continue
-            times = _bench_times(d)
-            if times:
-                return f, times, _duck_times(d)
-            side = os.path.join(repo, f"BENCH_full_r{n:02d}_sf{sf}.json")
-            try:
-                with open(side) as fh:
-                    sd = json.load(fh)
-                if sd.get("sf") == sf and isinstance(sd.get("queries"), dict):
-                    return (
-                        os.path.basename(side),
-                        {k: float(v) for k, v in sd["queries"].items()},
-                        _duck_times(sd),
-                    )
-            except (OSError, ValueError):
-                pass
+            sf_known = d.get("sf")
+            if sf_known == sf:
+                times = _bench_times(d)
+                if times:
+                    return f, times, _duck_times(d)
         except (OSError, ValueError):
-            continue
+            d = None  # unreadable wrapper: sidecar may still stand in
+        if sf_known is not None and sf_known != sf:
+            continue  # provably a different-SF round — skip entirely
+        # Driver artifact unusable (unrecoverable tail, bad JSON, or
+        # sf-less wrapper): the committed full sidecar for the SAME
+        # round stands in. It validates its own sf field.
+        side = os.path.join(repo, f"BENCH_full_r{n:02d}_sf{sf}.json")
+        try:
+            with open(side) as fh:
+                sd = json.load(fh)
+            if sd.get("sf") == sf and isinstance(sd.get("queries"), dict):
+                return (
+                    os.path.basename(side),
+                    {k: float(v) for k, v in sd["queries"].items()},
+                    _duck_times(sd),
+                )
+        except (OSError, ValueError):
+            pass
     return None, {}, {}
 
 
@@ -250,20 +255,25 @@ def compute_regressions(
 ) -> tuple[list[str], list[str]]:
     """The two tripwires (module docstring): absolute >2x Spark time,
     and twin-normalized >1.5x growth of the spark/duckdb ratio. The
-    ratio rule only fires where all four measurements are positive —
-    an oracle timeout (-1.0) on either side disables it for that
-    query rather than fabricating a ratio."""
+    ratio rule only fires where all four measurements exceed a small
+    floor — an oracle timeout (-1.0) disables it for that query rather
+    than fabricating a ratio, and millisecond-scale denominators
+    (DuckDB finishes several twins in ~0.01s) are pure timer jitter:
+    dividing two such numbers would flag noise. Sub-floor queries keep
+    the absolute rule's 2x margin on whole-query times."""
     absolute = sorted(
         n
         for n, t in times.items()
         if n in prior_times and prior_times[n] > 0 and t > 2.0 * prior_times[n]
     )
+    floor = 0.05
     ratio = sorted(
         n
         for n, t in times.items()
-        if duck.get(n, -1.0) > 0
-        and prior_times.get(n, 0.0) > 0
-        and prior_duck.get(n, -1.0) > 0
+        if t >= floor
+        and duck.get(n, -1.0) >= floor
+        and prior_times.get(n, 0.0) >= floor
+        and prior_duck.get(n, -1.0) >= floor
         and (t / duck[n]) > 1.5 * (prior_times[n] / prior_duck[n])
     )
     return absolute, ratio

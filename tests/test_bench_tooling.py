@@ -106,6 +106,39 @@ def test_prior_bench_falls_back_to_full_sidecar(tmp_path):
     assert prior_bench(str(tmp_path), 0.1) == (None, {}, {})
 
 
+def test_prior_bench_sidecar_covers_unparseable_and_sfless_wrappers(tmp_path):
+    # a driver artifact that is NOT valid JSON at all (capped raw
+    # text) must still fall back to its same-round sidecar
+    (tmp_path / "BENCH_r09.json").write_text('{"n": 1, "rc": 0, "tail": "que')
+    (tmp_path / "BENCH_full_r09_sf0.1.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 2.0}, "duckdb_queries": {"a": 1.0}})
+    )
+    fname, times, duck = prior_bench(str(tmp_path), 0.1)
+    assert fname == "BENCH_full_r09_sf0.1.json" and times == {"a": 2.0}
+    # an sf-less wrapper likewise
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"queries": {"a": 9.9}}))
+    fname, times, _ = prior_bench(str(tmp_path), 0.1)
+    assert fname == "BENCH_full_r09_sf0.1.json" and times == {"a": 2.0}
+    # but a round PROVABLY recorded at a different SF is skipped, not
+    # sidecar-substituted
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"sf": 1.0, "queries": {"a": 5.0}})
+    )
+    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {})
+
+
+def test_ratio_tripwire_has_noise_floor():
+    # millisecond-scale twins: dividing timer jitter must not flag
+    # (DuckDB finishes several real twins in ~0.01s)
+    assert compute_regressions(
+        {"a": 0.4}, {"a": 0.002}, {"a": 0.4}, {"a": 0.004}
+    ) == ([], [])
+    # at honest magnitudes the same 2x ratio growth still flags
+    assert compute_regressions(
+        {"a": 4.0}, {"a": 2.0}, {"a": 4.0}, {"a": 4.0}
+    ) == ([], ["a"])
+
+
 def test_duck_times_shapes():
     assert _duck_times({"duckdb_queries": {"a": 0.5}}) == {"a": 0.5}
     assert _duck_times({"parsed": {"duckdb_queries": {"a": -1.0}}}) == {"a": -1.0}

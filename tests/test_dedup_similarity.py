@@ -354,12 +354,21 @@ def test_lsh_pre_encoded_spec_mismatch_fails_loudly(spark):
         similarity.lsh_cosine_topk(
             enc, qenc, dim=4, k=5, planes=2, tables=2, pre_encoded=True
         ).collect()
-    # same table count but narrower planes: offset-encoded bucket
+    # same table count but WIDER actual planes: offset-encoded bucket
     # values exceed tables * 2^planes for the claimed spec
     wide = similarity.encode_for_lsh(df, dim=4, planes=6, tables=4)
     with pytest.raises((PySparkRuntimeError, Exception), match="pre_encoded"):
         similarity.neardup_pairs_lsh(
             wide, threshold=0.5, dim=4, planes=2, tables=4, pre_encoded=True
+        ).collect()
+    # NARROWER actual planes: every value fits under the claimed
+    # ceiling, but the last table's offset sits below the claimed
+    # (tables-1)*2^planes floor — must also fail loudly
+    narrow = similarity.encode_for_lsh(df, dim=4, planes=2, tables=4)
+    with pytest.raises((PySparkRuntimeError, Exception), match="pre_encoded"):
+        similarity.lsh_cosine_topk(
+            narrow, narrow.filter(F.col("vec_id") % 10 == 0),
+            dim=4, k=5, planes=3, tables=4, pre_encoded=True,
         ).collect()
 
 

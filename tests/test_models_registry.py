@@ -399,9 +399,10 @@ def test_gc_spares_inflight_save(spark, tmp_path, disk_store):
 
 def test_missing_corpus_never_servable(spark, tmp_path, disk_store):
     """An artifact trained while its corpus was ABSENT must never be
-    served: the freshness token of a missing path is unique per probe,
-    so meta can never match (the old '-1.0' sentinel matched itself
-    forever — ADVICE r7)."""
+    stored or served across sessions (the old '-1.0' sentinel matched
+    itself forever — ADVICE r7) — while the within-process memo still
+    hits (a per-call-unique token would leak a fresh memo entry per
+    call)."""
     calls = []
 
     def trainer():
@@ -410,7 +411,19 @@ def test_missing_corpus_never_servable(spark, tmp_path, disk_store):
 
     models.get_or_train(spark, str(tmp_path), "ghost", "m", ("x-v1",), trainer, disk=True)
     assert calls == [1]
-    assert all(not e["servable"] for e in models.disk_entries())
+    assert models.disk_entries() == []  # nothing blind ever hits disk
+    # same-process repeat: memo hit, no retrain, no memo-key churn
+    before = len(models._MEMO)
+    models.get_or_train(spark, str(tmp_path), "ghost", "m", ("x-v1",), trainer, disk=True)
+    assert calls == [1] and len(models._MEMO) == before
+    # "new session": nothing on disk to serve -> retrain
     _wipe_memo()
     models.get_or_train(spark, str(tmp_path), "ghost", "m", ("x-v1",), trainer, disk=True)
-    assert calls == [1, 1]  # retrained, not served from the blind save
+    assert calls == [1, 1]
+    # and a cross-process meta can never validate: simulate another
+    # process's blind save by writing a meta with ITS missing token
+    d = os.path.join(models.disk_root(), "m-fake")
+    os.makedirs(d)
+    ck = models.corpus_key(str(tmp_path), "ghost")
+    models._write_meta(d, (ck[0], "missing:otherprocess"), "m", ("x-v1",))
+    assert all(not e["servable"] for e in models.disk_entries())

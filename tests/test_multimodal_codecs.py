@@ -71,6 +71,23 @@ def test_extract_image_meta_batch(spark):
     assert got == [(1, "png", 8, 9), (2, None, None, None), (3, "png", 1, 1)]
 
 
+def test_null_payloads_drop_not_error(spark):
+    # Arrow hands a NULL binary cell to the batch as None: both codecs
+    # must classify/drop it, not TypeError the whole scan.
+    rows = [(1, mm.synth_wav(1)), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert [r["doc_id"] for r in mm.extract_audio_features(df).collect()] == [1]
+    got = sorted(map(tuple, mm.extract_image_meta(df).collect()))
+    assert got == [(1, None, None, None), (2, None, None, None)]
+    assert mm.sniff_image_meta(None) == {"format": None, "width": None, "height": None}
+
+
+def test_bmp_core_header_os2():
+    # OS/2 BITMAPCOREHEADER: DIB size 12 at offset 14, uint16 dims
+    core = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 300, 200) + b"\x00" * 6
+    assert mm.sniff_image_meta(core) == {"format": "bmp", "width": 300, "height": 200}
+
+
 def test_stub_still_guards_unavailable_codecs():
     with pytest.raises(NotImplementedError):
         mm.decode_stub(b"x", codec="jpeg")

@@ -126,21 +126,31 @@ def _walk_stats(path: str) -> tuple[float, int]:
     return mtime, size
 
 
+#: per-PROCESS sentinel for a missing corpus: stable within the process
+#: (so the session memo still hits — a per-call unique token would
+#: insert a fresh, never-hittable memo key on every call and leak its
+#: persisted artifact), but never equal to any other process's token,
+#: so a blind-trained artifact can never validate across sessions.
+_MISSING_TOKEN = f"missing:{_uuid.uuid4().hex}"
+
+
 def _freshness_token(path: str) -> str:
     """Freshness token of a corpus path (see :func:`corpus_key`).
 
-    A MISSING corpus yields a one-time unique token: a stable sentinel
-    (the old ``"-1.0"``) would let an artifact trained while its corpus
-    was absent validate forever (meta ``"-1.0"`` == current ``"-1.0"``).
-    Unique-per-call means such an artifact never matches again — it is
-    never servable and ages out via :func:`gc_disk`."""
+    A MISSING corpus yields the per-process :data:`_MISSING_TOKEN`: a
+    globally stable sentinel (the old ``"-1.0"``) would let an artifact
+    trained while its corpus was absent validate forever (meta
+    ``"-1.0"`` == current ``"-1.0"``). The disk tier additionally
+    refuses to store or serve missing-corpus artifacts at all
+    (:func:`get_or_train`), so the sentinel only governs the
+    within-process memo."""
     try:
         if os.path.isdir(path):
             mtime, size = _walk_stats(path)
             return f"{mtime}:{size}"
         return str(os.path.getmtime(path))
     except OSError:
-        return f"missing:{_uuid.uuid4().hex}"
+        return _MISSING_TOKEN
 
 
 def corpus_bytes(sf_dir: str, table: str) -> int:
@@ -425,7 +435,14 @@ def get_or_train(
     if hit is not None:
         return hit
 
-    d = _disk_dir(ck, name, params) if on_disk else None
+    # A missing corpus never touches the disk tier: nothing trained
+    # blind may be stored where a later session could consider it, and
+    # nothing stored may serve a corpus that isn't there.
+    d = (
+        _disk_dir(ck, name, params)
+        if on_disk and not ck[1].startswith("missing:")
+        else None
+    )
     artifact = None
     if d and _meta_ok(d, ck, name, params):
         try:

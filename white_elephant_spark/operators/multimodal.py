@@ -147,7 +147,10 @@ def extract_audio_features(
                 try:
                     feats.append(decode_wav(payload))
                     ids.append(doc_id)
-                except (wave.Error, EOFError, struct.error):
+                except (wave.Error, EOFError, struct.error, TypeError):
+                    # TypeError covers NULL payloads (Arrow hands them
+                    # to the batch as None) — one null cell must not
+                    # kill a 100 TB scan any more than a bad blob does.
                     if not drop_bad:
                         raise
             out = pd.DataFrame(feats, columns=list(AUDIO_SCHEMA.names)[1:])
@@ -188,9 +191,13 @@ IMAGE_META_SCHEMA = T.StructType(
 def sniff_image_meta(payload: bytes) -> dict[str, Any]:
     """REAL container-header parse — width/height straight from the
     bytes, no pixel decoder needed: PNG IHDR (big-endian, offset 16),
-    GIF87a/89a logical screen (little-endian, offset 6), BMP
-    BITMAPINFOHEADER (little-endian, offset 18). Unknown containers
-    return format=None (classify-don't-error)."""
+    GIF87a/89a logical screen (little-endian, offset 6), BMP with
+    either DIB header — BITMAPINFOHEADER (size 40+, int32 dims at 18)
+    or the OS/2 BITMAPCOREHEADER (size 12, uint16 dims at 18).
+    Unknown containers (and NULL payloads) return format=None
+    (classify-don't-error)."""
+    if not payload:
+        return {"format": None, "width": None, "height": None}
     if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
         w, h = struct.unpack(">II", payload[16:24])
         return {"format": "png", "width": w, "height": h}
@@ -198,6 +205,10 @@ def sniff_image_meta(payload: bytes) -> dict[str, Any]:
         w, h = struct.unpack("<HH", payload[6:10])
         return {"format": "gif", "width": w, "height": h}
     if payload[:2] == b"BM" and len(payload) >= 26:
+        (hdr_size,) = struct.unpack("<I", payload[14:18])
+        if hdr_size == 12:  # OS/2 core header: uint16 width/height
+            w, h = struct.unpack("<HH", payload[18:22])
+            return {"format": "bmp", "width": w, "height": h}
         w, h = struct.unpack("<ii", payload[18:26])
         return {"format": "bmp", "width": w, "height": abs(h)}
     return {"format": None, "width": None, "height": None}

@@ -314,14 +314,21 @@ def _encoded_guard(col_name: str, planes: int, tables: int):
     """Validate a ``pre_encoded`` buckets column against the call's
     (planes, tables) spec, per row, in codegen. An encoded input built
     at a different spec would silently degrade recall (wrong table
-    count / bucket widths); instead the scan fails loudly. Two cheap
-    checks: the array length must equal ``tables``, and the offset-
-    encoded bucket values must stay below ``tables * 2^planes`` (table
-    t's buckets live in [t·2^planes, (t+1)·2^planes), so any larger
-    value was encoded at a wider spec)."""
+    count / bucket widths); instead the scan fails loudly. Three cheap
+    checks on the offset-encoded values (table t's buckets live in
+    [t·2^planes, (t+1)·2^planes), and the array is table-ordered):
+    the array length must equal ``tables``; the max value must stay
+    below ``tables · 2^planes`` (catches a WIDER actual spec); and the
+    LAST entry — table ``tables-1``'s bucket — must reach its offset
+    ``(tables-1) · 2^planes`` (catches a NARROWER actual ``planes``,
+    whose last offset sits lower). With tables == 1 the offsets
+    degenerate and a planes mismatch is undetectable from ranges —
+    single-table callers pass dim/planes explicitly anyway."""
     col = F.col(col_name)
-    ok = (F.size(col) == F.lit(tables)) & (
-        F.array_max(col) < F.lit(tables * (1 << planes))
+    ok = (
+        (F.size(col) == F.lit(tables))
+        & (F.array_max(col) < F.lit(tables * (1 << planes)))
+        & (F.element_at(col, tables) >= F.lit((tables - 1) * (1 << planes)))
     )
     return F.when(ok, col).otherwise(
         F.raise_error(

@@ -197,11 +197,16 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # comparison rows (HLL vs exact distinct, two bottom-k quantiles
     # vs exact, Bloom pass-through vs membership) previously each
     # attached their exact counterpart with its own single-row
-    # broadcast join AND re-planned shared subtrees per union leg (8
-    # BNLJs). Now the three exact scalars that share the events scan
-    # fold into ONE aggregate, the four one-row frames chain through
-    # three single-row broadcast attachments, and the four output rows
-    # come from one explode(array(struct...)) — nothing re-planned.
+    # broadcast join AND re-planned shared subtrees per union leg
+    # (the bottom-k TakeOrdered pipeline executed twice). Now the
+    # three exact scalars that share the events scan fold into ONE
+    # aggregate, the one-row frames chain through three single-row
+    # broadcast attachments, and the four output rows come from one
+    # explode(array(struct...)) — nothing re-planned. Wins land in
+    # exchanges/codegen (EXPLAIN.md: 24→22 exchanges, 35→29 spans);
+    # the plan's BNLJ count is unchanged because the remaining
+    # nested-loop joins are the sketch kernels' own one-row probe
+    # attachments plus these three chained scalar attachments.
     exacts = ev.agg(
         F.count_distinct("user_id").cast("long").alias("exact_distinct"),
         F.expr("percentile(value, 0.5)").alias("p50x"),

@@ -153,6 +153,12 @@ def make_server(
 
         def _route(self, method: str, params: dict[str, Any]) -> None:
             path = urlparse(self.path).path.rstrip("/") or "/"
+            # Compute the full response BYTES under the lock, send them
+            # after release: wfile.write can block indefinitely on a
+            # client that stopped reading, and a read lock held through
+            # that stall plus one queued writer (refresh) would wedge
+            # every route server-wide. Spark work and serialization
+            # happen locked; the socket never does.
             try:
                 if method == "POST" and path == "/api/refresh":
                     rwlock.acquire_write()  # drain in-flight queries
@@ -162,30 +168,38 @@ def make_server(
                         api.on_data_loaded()
                     finally:
                         rwlock.release_write()
-                    self._json({"ok": True})
-                    return
-                rwlock.acquire_read()
-                try:
-                    if method == "GET" and path == "/":
-                        self._json(_INDEX)
-                    elif method == "GET" and path == "/api/clusters":
-                        self._json(api.clusters())
-                    elif method == "GET" and path == "/api/users":
-                        self._json(api.users(str(_require(params, "cluster"))))
-                    elif path == "/api/usage" and method in ("GET", "POST"):
-                        self._usage(params)
-                    elif method == "GET" and path == "/api/table":
-                        self._table(params)
-                    else:
-                        self._json({"error": f"no route {method} {path}"}, 404)
-                finally:
-                    rwlock.release_read()
+                    reply = (200, json.dumps({"ok": True}).encode(), "application/json", None)
+                else:
+                    rwlock.acquire_read()
+                    try:
+                        if method == "GET" and path == "/":
+                            reply = (200, json.dumps(_INDEX).encode(), "application/json", None)
+                        elif method == "GET" and path == "/api/clusters":
+                            reply = (200, json.dumps(api.clusters()).encode(), "application/json", None)
+                        elif method == "GET" and path == "/api/users":
+                            body = json.dumps(api.users(str(_require(params, "cluster"))))
+                            reply = (200, body.encode(), "application/json", None)
+                        elif path == "/api/usage" and method in ("GET", "POST"):
+                            reply = (200, self._usage(params), "application/json", None)
+                        elif method == "GET" and path == "/api/table":
+                            reply = (
+                                200,
+                                self._table(params),
+                                "application/octet-stream",
+                                {"Content-Disposition": "attachment;filename=table.csv"},
+                            )
+                        else:
+                            reply = (404, json.dumps({"error": f"no route {method} {path}"}).encode(), "application/json", None)
+                    finally:
+                        rwlock.release_read()
             except _Halt as h:
-                self._json({"error": str(h)}, h.code)
+                reply = (h.code, json.dumps({"error": str(h)}).encode(), "application/json", None)
             except Exception as e:  # handler thread must answer, not die
-                self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+                reply = (500, json.dumps({"error": f"{type(e).__name__}: {e}"}).encode(), "application/json", None)
+            code, body, ctype, extra = reply
+            self._send(code, body, ctype, extra)
 
-        def _usage(self, p: dict[str, Any]) -> None:
+        def _usage(self, p: dict[str, Any]) -> bytes:
             res = api.usage(
                 start_ms=int(_require(p, "start")),
                 end_ms=int(_require(p, "end")),
@@ -198,10 +212,10 @@ def make_server(
             )
             if res["users_aggregated"] is None:
                 res["users_aggregated"] = []  # app.rb default (:92)
-            self._json(res)
+            return json.dumps(res).encode()
 
-        def _table(self, p: dict[str, Any]) -> None:
-            csv = api.table_csv(
+        def _table(self, p: dict[str, Any]) -> bytes:
+            return api.table_csv(
                 start_ms=int(_require(p, "start")),
                 end_ms=int(_require(p, "end")),
                 unit=str(_require(p, "unit")),
@@ -209,12 +223,6 @@ def make_server(
                 users=_split_users(_require(p, "user")),
                 cluster=str(_require(p, "cluster")),
                 metric=str(_require(p, "type")),
-            )
-            self._send(
-                200,
-                csv.encode(),
-                "application/octet-stream",
-                {"Content-Disposition": "attachment;filename=table.csv"},
-            )
+            ).encode()
 
     return ThreadingHTTPServer((host, port), Handler)
