@@ -40,7 +40,14 @@ Regression tripwire, two rules against the most recent committed
 - ``ratio_regressions``: twin-normalized — any query whose
   spark/duckdb ratio grew >1.5x vs the prior artifact's ratio.
   Uniform drift moves both engines and cancels; a Spark-only plan
-  regression does not.
+  regression does not. A ratio comparison is only valid when the
+  TWIN is the same query on both sides — a deliberately rewritten
+  oracle (r8 gave fuzzy_doc_match a 13x-faster blocked twin with
+  Spark's time unchanged) shifts the ratio without any Spark
+  regression — so every artifact records per-query oracle hashes
+  (``oracle_sha``) and the rule compares only hash-matched queries;
+  ``ratio_rule_coverage`` reports how many it actually evaluated
+  (0 against pre-hash artifacts, the full headline set after).
 
 Empty lists are the expected state; a populated one is the first
 thing to investigate next round.
@@ -176,14 +183,15 @@ def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
 
 def prior_bench(
     repo: str, sf: float
-) -> tuple[str | None, dict[str, float], dict[str, float]]:
-    """(filename, per-query Spark times, per-query DuckDB times) of
-    the most recent committed BENCH_r*.json at the same SF — the
-    comparison base for the regression tripwires. When the driver
-    artifact is unrecoverable (its capped tail can truncate anywhere —
-    r7's lost the whole queries dict), the committed full sidecar
-    ``BENCH_full_r{N}.json`` for the same round stands in. (None, {},
-    {}) when no comparable prior exists."""
+) -> tuple[str | None, dict[str, float], dict[str, float], dict[str, str]]:
+    """(filename, per-query Spark times, per-query DuckDB times,
+    per-query oracle hashes) of the most recent committed
+    BENCH_r*.json at the same SF — the comparison base for the
+    regression tripwires. When the driver artifact is unrecoverable
+    (its capped tail can truncate anywhere — r7's lost the whole
+    queries dict), the committed full sidecar
+    ``BENCH_full_r{N}_sf{SF}.json`` for the same round stands in.
+    (None, {}, {}, {}) when no comparable prior exists."""
     cands = []
     for f in os.listdir(repo):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
@@ -202,7 +210,7 @@ def prior_bench(
             if sf_known == sf:
                 times = _bench_times(d)
                 if times:
-                    return f, times, _duck_times(d)
+                    return f, times, _duck_times(d), _oracle_shas(d)
         except (OSError, ValueError):
             d = None  # unreadable wrapper: sidecar may still stand in
         if sf_known is not None and sf_known != sf:
@@ -219,10 +227,20 @@ def prior_bench(
                     os.path.basename(side),
                     {k: float(v) for k, v in sd["queries"].items()},
                     _duck_times(sd),
+                    _oracle_shas(sd),
                 )
         except (OSError, ValueError):
             pass
-    return None, {}, {}
+    return None, {}, {}, {}
+
+
+def _oracle_shas(d: dict) -> dict[str, str]:
+    """Per-query oracle hashes out of a recorded artifact ({} for
+    pre-r8 artifacts that never recorded them)."""
+    for inner in (d.get("parsed"), d):
+        if isinstance(inner, dict) and isinstance(inner.get("oracle_sha"), dict):
+            return {k: str(v) for k, v in inner["oracle_sha"].items()}
+    return {}
 
 
 def _duck_times(d: dict) -> dict[str, float]:
@@ -252,31 +270,43 @@ def compute_regressions(
     duck: dict[str, float],
     prior_times: dict[str, float],
     prior_duck: dict[str, float],
-) -> tuple[list[str], list[str]]:
+    oracle_sha: dict[str, str] | None = None,
+    prior_sha: dict[str, str] | None = None,
+) -> tuple[list[str], list[str], int]:
     """The two tripwires (module docstring): absolute >2x Spark time,
-    and twin-normalized >1.5x growth of the spark/duckdb ratio. The
-    ratio rule only fires where all four measurements exceed a small
-    floor — an oracle timeout (-1.0) disables it for that query rather
-    than fabricating a ratio, and millisecond-scale denominators
-    (DuckDB finishes several twins in ~0.01s) are pure timer jitter:
-    dividing two such numbers would flag noise. Sub-floor queries keep
-    the absolute rule's 2x margin on whole-query times."""
+    and twin-normalized >1.5x growth of the spark/duckdb ratio;
+    returns (absolute, ratio, ratio_rule_coverage).
+
+    The ratio rule only evaluates a query when (a) its oracle hash
+    matches the prior artifact's — a rewritten twin shifts the ratio
+    with zero Spark change, which is not a regression — and (b) all
+    four measurements exceed a small floor: an oracle timeout (-1.0)
+    must not fabricate a ratio, and millisecond-scale denominators
+    (DuckDB finishes several twins in ~0.01s) are pure timer jitter.
+    Skipped queries keep the absolute rule's 2x margin."""
     absolute = sorted(
         n
         for n, t in times.items()
         if n in prior_times and prior_times[n] > 0 and t > 2.0 * prior_times[n]
     )
     floor = 0.05
-    ratio = sorted(
+    shas, prior_shas = oracle_sha or {}, prior_sha or {}
+    covered = {
         n
         for n, t in times.items()
         if t >= floor
         and duck.get(n, -1.0) >= floor
         and prior_times.get(n, 0.0) >= floor
         and prior_duck.get(n, -1.0) >= floor
-        and (t / duck[n]) > 1.5 * (prior_times[n] / prior_duck[n])
+        and n in shas
+        and shas[n] == prior_shas.get(n)
+    }
+    ratio = sorted(
+        n
+        for n in covered
+        if (times[n] / duck[n]) > 1.5 * (prior_times[n] / prior_duck[n])
     )
-    return absolute, ratio
+    return absolute, ratio, len(covered)
 
 
 def next_round(repo: str) -> int:
@@ -440,13 +470,21 @@ def main() -> None:
     duck_total = round(sum(v for v in duck.values() if v >= 0), 3)
     total = round(sum(times.values()), 3)
     repo = os.path.dirname(os.path.abspath(__file__))
+    import hashlib
+
+    oracle_sha = {
+        n: hashlib.sha256((qs[n].oracle or "").encode()).hexdigest()[:12]
+        for n in names
+    }
     if cold:
         # Cold first-run times vs a steady-state artifact would flag
         # every served-model query; the tripwires are steady-vs-steady.
-        prior_file, prior, prior_duck = None, {}, {}
+        prior_file, prior, prior_duck, prior_sha = None, {}, {}, {}
     else:
-        prior_file, prior, prior_duck = prior_bench(repo, sf)
-    regressions, ratio_regressions = compute_regressions(times, duck, prior, prior_duck)
+        prior_file, prior, prior_duck, prior_sha = prior_bench(repo, sf)
+    regressions, ratio_regressions, ratio_cov = compute_regressions(
+        times, duck, prior, prior_duck, oracle_sha, prior_sha
+    )
     result = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -458,9 +496,11 @@ def main() -> None:
         "spark_over_duckdb": round(total / duck_total, 3) if duck_total > 0 else None,
         "regressions": regressions,
         "ratio_regressions": ratio_regressions,
+        "ratio_rule_coverage": ratio_cov,
         "regressions_vs": prior_file,
         "cold": cold,
         "parts": parts,
+        "oracle_sha": oracle_sha,
     }
     # Complete sidecar artifact: the driver caps what it records of
     # stdout, so audits (and the next round's tripwire fallback) read

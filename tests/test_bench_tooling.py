@@ -61,10 +61,10 @@ def test_prior_bench_same_sf_only(tmp_path):
         json.dumps({"sf": 1.0, "queries": {"a": 9.0}})
     )
     # newest artifact is sf1 — an sf0.1 run must skip it and use r03
-    fname, times, _duck = prior_bench(str(tmp_path), 0.1)
+    fname, times, _duck, _sha = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_r03.json" and times == {"a": 1.0}
     # and no comparable prior at an unseen SF
-    assert prior_bench(str(tmp_path), 0.01) == (None, {}, {})
+    assert prior_bench(str(tmp_path), 0.01) == (None, {}, {}, {})
 
 
 def test_prior_bench_prefers_most_recent_round(tmp_path):
@@ -72,7 +72,7 @@ def test_prior_bench_prefers_most_recent_round(tmp_path):
         (tmp_path / f"BENCH_r{r:02d}.json").write_text(
             json.dumps({"sf": 0.1, "queries": {"a": t}})
         )
-    fname, times, _duck = prior_bench(str(tmp_path), 0.1)
+    fname, times, _duck, _sha = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_r10.json" and times == {"a": 7.0}
 
 
@@ -81,7 +81,7 @@ def test_prior_bench_requires_explicit_sf(tmp_path):
     # treating it as wildcard would enable cross-SF comparisons that
     # flag every query
     (tmp_path / "BENCH_r05.json").write_text(json.dumps({"queries": {"a": 1.0}}))
-    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {})
+    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {}, {})
 
 
 def test_prior_bench_falls_back_to_full_sidecar(tmp_path):
@@ -96,14 +96,14 @@ def test_prior_bench_falls_back_to_full_sidecar(tmp_path):
             {"sf": 0.1, "queries": {"a": 1.0}, "duckdb_queries": {"a": 0.5}}
         )
     )
-    fname, times, duck = prior_bench(str(tmp_path), 0.1)
+    fname, times, duck, _sha = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_full_r07_sf0.1.json"
     assert times == {"a": 1.0} and duck == {"a": 0.5}
     # a sidecar at the WRONG SF must not stand in
     (tmp_path / "BENCH_full_r07_sf0.1.json").write_text(
         json.dumps({"sf": 1.0, "queries": {"a": 9.0}})
     )
-    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {})
+    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {}, {})
 
 
 def test_prior_bench_sidecar_covers_unparseable_and_sfless_wrappers(tmp_path):
@@ -113,30 +113,30 @@ def test_prior_bench_sidecar_covers_unparseable_and_sfless_wrappers(tmp_path):
     (tmp_path / "BENCH_full_r09_sf0.1.json").write_text(
         json.dumps({"sf": 0.1, "queries": {"a": 2.0}, "duckdb_queries": {"a": 1.0}})
     )
-    fname, times, duck = prior_bench(str(tmp_path), 0.1)
+    fname, times, duck, _sha = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_full_r09_sf0.1.json" and times == {"a": 2.0}
     # an sf-less wrapper likewise
     (tmp_path / "BENCH_r09.json").write_text(json.dumps({"queries": {"a": 9.9}}))
-    fname, times, _ = prior_bench(str(tmp_path), 0.1)
+    fname, times, _, _ = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_full_r09_sf0.1.json" and times == {"a": 2.0}
     # but a round PROVABLY recorded at a different SF is skipped, not
     # sidecar-substituted
     (tmp_path / "BENCH_r09.json").write_text(
         json.dumps({"sf": 1.0, "queries": {"a": 5.0}})
     )
-    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {})
+    assert prior_bench(str(tmp_path), 0.1) == (None, {}, {}, {})
 
 
 def test_ratio_tripwire_has_noise_floor():
     # millisecond-scale twins: dividing timer jitter must not flag
     # (DuckDB finishes several real twins in ~0.01s)
     assert compute_regressions(
-        {"a": 0.4}, {"a": 0.002}, {"a": 0.4}, {"a": 0.004}
-    ) == ([], [])
+        {"a": 0.4}, {"a": 0.002}, {"a": 0.4}, {"a": 0.004}, SHA, SHA
+    ) == ([], [], 0)
     # at honest magnitudes the same 2x ratio growth still flags
     assert compute_regressions(
-        {"a": 4.0}, {"a": 2.0}, {"a": 4.0}, {"a": 4.0}
-    ) == ([], ["a"])
+        {"a": 4.0}, {"a": 2.0}, {"a": 4.0}, {"a": 4.0}, SHA, SHA
+    ) == ([], ["a"], 1)
 
 
 def test_duck_times_shapes():
@@ -159,8 +159,11 @@ def test_next_round(tmp_path):
 # ------------------------------------------------ regression tripwires
 
 
+SHA = {"a": "h1", "b": "h2"}
+
+
 def test_absolute_tripwire_flags_2x():
-    regress, _ = compute_regressions(
+    regress, _, _ = compute_regressions(
         {"a": 2.1, "b": 1.9}, {}, {"a": 1.0, "b": 1.0}, {}
     )
     assert regress == ["a"]
@@ -173,7 +176,7 @@ def test_ratio_tripwire_is_noise_immune():
     prior_d = {"a": 0.5, "b": 1.0}
     now_t = {k: v * 1.3 for k, v in prior_t.items()}
     now_d = {k: v * 1.3 for k, v in prior_d.items()}
-    assert compute_regressions(now_t, now_d, prior_t, prior_d) == ([], [])
+    assert compute_regressions(now_t, now_d, prior_t, prior_d, SHA, SHA) == ([], [], 2)
 
 
 def test_ratio_tripwire_catches_spark_only_regression():
@@ -182,19 +185,21 @@ def test_ratio_tripwire_catches_spark_only_regression():
     prior_t = {"a": 1.0, "b": 2.0}
     prior_d = {"a": 0.5, "b": 1.0}
     now_t = {"a": 1.6, "b": 2.0}
-    absolute, ratio = compute_regressions(prior_t | now_t, prior_d, prior_t, prior_d)
-    assert absolute == [] and ratio == ["a"]
+    absolute, ratio, cov = compute_regressions(
+        prior_t | now_t, prior_d, prior_t, prior_d, SHA, SHA
+    )
+    assert absolute == [] and ratio == ["a"] and cov == 2
 
 
 def test_ratio_tripwire_skips_oracle_timeouts():
     # a -1.0 (timed-out oracle) on either side must not fabricate a
     # ratio — the query is simply not ratio-comparable
     assert compute_regressions(
-        {"a": 9.0}, {"a": -1.0}, {"a": 1.0}, {"a": 0.5}
-    ) == (["a"], [])
+        {"a": 9.0}, {"a": -1.0}, {"a": 1.0}, {"a": 0.5}, SHA, SHA
+    ) == (["a"], [], 0)
     assert compute_regressions(
-        {"a": 1.0}, {"a": 0.5}, {"a": 1.0}, {"a": -1.0}
-    ) == ([], [])
+        {"a": 1.0}, {"a": 0.5}, {"a": 1.0}, {"a": -1.0}, SHA, SHA
+    ) == ([], [], 0)
 
 
 # --------------------------------------------- SCALING↔BENCH check
@@ -339,3 +344,19 @@ def test_query_cache_thread_safety():
     persisted = {x for op, x in log if op == "p"}
     unpersisted = {x for op, x in log if op == "u"}
     assert persisted == unpersisted  # nothing leaked in the block manager
+
+
+def test_ratio_tripwire_requires_matching_oracle_hash():
+    # A deliberately rewritten TWIN (r8: fuzzy_doc_match's blocked
+    # oracle, 13x faster with Spark unchanged) shifts the ratio with
+    # zero Spark regression — the rule must abstain on hash mismatch
+    # and on pre-hash priors, and report its actual coverage.
+    t, d = {"a": 2.3}, {"a": 0.33}
+    pt, pd_ = {"a": 2.2}, {"a": 4.3}
+    # same hash -> evaluated (and would flag a genuine ratio jump)
+    assert compute_regressions(t, d, pt, pd_, {"a": "h"}, {"a": "h"}) == ([], ["a"], 1)
+    # rewritten oracle -> abstain
+    assert compute_regressions(t, d, pt, pd_, {"a": "new"}, {"a": "old"}) == ([], [], 0)
+    # pre-hash prior artifact -> abstain
+    assert compute_regressions(t, d, pt, pd_, {"a": "new"}, {}) == ([], [], 0)
+    assert compute_regressions(t, d, pt, pd_, None, None) == ([], [], 0)

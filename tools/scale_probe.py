@@ -103,7 +103,7 @@ def _bench_crosscheck(
         return []
     if repo is None:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    fname, prior, _duck = prior_bench(repo, float(m.group(1).rstrip(".")))
+    fname, prior, _duck, _sha = prior_bench(repo, float(m.group(1).rstrip(".")))
     if not fname:
         return []
     # Apples-to-apples only: the sf1 gate convention runs with

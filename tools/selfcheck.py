@@ -68,12 +68,20 @@ def run(sf_dir: str, only: list[str] | None = None) -> int:
     # map-dedup policy) must be applied by the query path itself
     # (sources/catalog.ensure_engine_confs), or this gate catches it.
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    builder = (
         SparkSession.builder.appName("selfcheck")
         .master(f"local[{cpus}]")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # Driver-heap override for ABOVE-GATE scale factors only: the
+    # driver's gate runs sf0.01 where the 1g default is plenty (and
+    # the default here stays exactly that, preserving the vanilla
+    # mirror); the sf1 re-verification needs the same 8g the bench's
+    # engine session runs with — heap size is capacity, not semantics.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
