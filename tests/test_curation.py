@@ -226,3 +226,23 @@ def test_fuzzy_join_blocked_matches_brute_force(spark):
         if ed(ln, rn) <= 2
     }
     assert got == want
+
+
+def test_mixture_report_null_text_not_counted_as_dups(spark):
+    # NULL text is unknown content: two null-text docs must not count
+    # as exact duplicates of each other (md5(NULL) used to put them in
+    # one digest window), and their token contribution is 0, not
+    # size(NULL) = -1.
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "en", "alpha beta gamma"),
+            (2, "s", "en", None),
+            (3, "s", "en", None),
+            (4, "s", "en", "alpha beta gamma"),  # true exact dup of 1
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    [row] = sampling.mixture_report(docs, group_cols=("source", "lang")).collect()
+    assert row.n_docs == 4
+    assert row.n_tokens == 6  # 3 + 0 + 0 + 3
+    assert row.exact_dup_rate == 0.25  # only doc 4

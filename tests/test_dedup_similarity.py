@@ -465,6 +465,66 @@ def test_fingerprint_clusters_match_doc_level_closure(spark):
     assert via_fp[6][1] == 1 and via_fp[6][2]  # singleton is its own rep
 
 
+def test_connected_components_string_ids(spark):
+    # The local union-find path must handle non-numeric ids (UUIDs,
+    # content digests) — it used to int()-crash on them while the
+    # distributed loop handled them fine, making behavior depend on
+    # data volume. Representative = lexicographic min, matching F.min.
+    from white_elephant_spark.operators import clustering
+
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-c"), ("zz-2", "zz-9")],
+        "id_a string, id_b string",
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in clustering.connected_components(pairs).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+        "zz-2": "zz-2", "zz-9": "zz-2",
+    }
+
+
+def test_attach_clusters_absent_min_still_has_representative(spark):
+    # Incremental dedup: pairs reference corpus ids absent from the
+    # batch docs. The cluster keeps exactly ONE representative — the
+    # min PRESENT member — instead of zero (a keep-representatives
+    # filter used to drop every batch copy).
+    from white_elephant_spark.operators import clustering
+
+    docs = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(3, 10), (10, 11)], "id_a long, id_b long"  # 3 = corpus-only id
+    )
+    rows = {r.doc_id: r for r in clustering.attach_clusters(docs, pairs).collect()}
+    assert rows[10].cluster_id == 3 and rows[11].cluster_id == 3
+    assert rows[10].is_representative and not rows[11].is_representative
+    assert rows[10].cluster_size == 2  # members present in docs
+
+
+def test_fingerprint_clusters_keep_null_text_docs(spark):
+    # A NULL-text doc emits no simhash row; it must still appear in
+    # the output as its own singleton (the attach_clusters contract),
+    # not silently vanish from the curation pipeline.
+    from white_elephant_spark.operators import clustering
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.simhash64(docs)
+    got = {
+        r.doc_id: r for r in clustering.fingerprint_clusters(docs, fps).collect()
+    }
+    assert sorted(got) == [1, 2, 3]
+    assert got[3].cluster_id == 3 and got[3].cluster_size == 1
+    assert got[3].is_representative
+    assert got[1].cluster_id == got[2].cluster_id == 1
+
+
 # ------------------------------------------------- centroid classification
 
 

@@ -188,3 +188,47 @@ def test_rank_cuts_empty_and_all_null_raise(spark):
     allnull = spark.createDataFrame([(None,)] * 10, "v double")
     with pytest.raises(ValueError, match="no non-null"):
         rank_cuts(allnull, "v", num_buckets=4)
+
+
+def test_compact_in_place_is_safe(spark, tmp_path):
+    # The documented self-compaction call: input path == output path.
+    # The staged-rename swap must read the input intact for the whole
+    # job (a plain overwrite either errors or deletes the input
+    # mid-read) and leave exactly the requested file count behind.
+    import glob
+    import os
+
+    p = str(tmp_path / "evts")
+    spark.range(0, 1000).selectExpr("id", "id % 7 AS k").repartition(16).write.parquet(p)
+    before = sorted(map(tuple, spark.read.parquet(p).collect()))
+    compact(spark.read.parquet(p), p, num_files=3)
+    files = glob.glob(os.path.join(p, "part-*.parquet"))
+    assert len(files) == 3
+    assert sorted(map(tuple, spark.read.parquet(p).collect())) == before
+    # and no staged/old residue directories are left around
+    assert not glob.glob(str(tmp_path / "evts.compact-*"))
+
+
+def test_bucket_from_cuts_null_matches_sql_twin(spark):
+    # NULL values must land in bucket 0 on BOTH engines — Spark's
+    # IF-tree used to cascade NULL comparisons to the HIGHEST bucket
+    # while the DuckDB twin counts zero cuts <= NULL.
+    import duckdb
+
+    from white_elephant_spark.sources.layout import bucket_from_cuts, sql_bucket_from_cuts
+
+    cuts = [10.0, 20.0, 30.0]
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 25.0), (4, 99.0)], "id long, v double"
+    )
+    got = {
+        r.id: r.b
+        for r in df.select("id", bucket_from_cuts(F.col("v"), cuts).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    sql = sql_bucket_from_cuts("v", "[10.0, 20.0, 30.0]")
+    want = {
+        i: con.execute(f"SELECT {sql} AS b FROM (SELECT CAST({repr(v) if v is not None else 'NULL'} AS DOUBLE) AS v)").fetchone()[0]
+        for i, v in [(1, 5.0), (2, None), (3, 25.0), (4, 99.0)]
+    }
+    assert got == want and got[2] == 0 and got[4] == 3

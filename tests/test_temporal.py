@@ -85,6 +85,64 @@ def test_interval_join_bounds(spark):
     assert sorted(r.fid for r in out.collect()) == [2, 3]
 
 
+def test_interval_join_coarse_and_fine_buckets_lose_nothing(spark):
+    # Regression: facts used to be truncated to the DAY regardless of
+    # `bucket`, so any coarser bucket dropped pairs whose fact day fell
+    # between window-sequence steps. The epoch grid must be lossless at
+    # every width.
+    wins = spark.createDataFrame(
+        [(T(2024, 1, 1, 0, 0, 0), T(2024, 1, 4, 0, 0, 0))],
+        "ws timestamp_ntz, we timestamp_ntz",
+    )
+    facts = spark.createDataFrame(
+        [(1, T(2024, 1, 2, 12, 0, 0)), (2, T(2024, 1, 3, 6, 0, 0))],
+        "fid long, fts timestamp_ntz",
+    )
+    for bucket in ("2 days", "1 week", "6 hours", "90 minutes"):
+        got = sorted(
+            r.fid
+            for r in temporal.interval_join(
+                facts, wins, "fts", "ws", "we", bucket=bucket
+            ).collect()
+        )
+        assert got == [1, 2], bucket
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket"):
+        temporal.interval_join(facts, wins, "fts", "ws", "we", bucket="1 month")
+
+
+def test_asof_null_times_never_match(spark):
+    # DuckDB ASOF contract: l.t >= NULL is never true. A right row
+    # with a NULL time must not become anyone's match (it used to sort
+    # first under asc_nulls_first and match EVERY backward row), and a
+    # left row with a NULL time keeps a NULL attach in both directions.
+    quotes = spark.createDataFrame(
+        [(1, None, 666.0), (1, T(2024, 1, 1, 10, 0, 0), 100.0)],
+        "key long, qts timestamp_ntz, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 0, 0)), (1, T(2024, 1, 1, 11, 0, 0)), (1, None)],
+        "key long, tts timestamp_ntz",
+    )
+    back = {
+        (r.key, r.tts): r.px
+        for r in temporal.asof_join(trades, quotes, "key", "tts", "qts").collect()
+    }
+    assert back[(1, T(2024, 1, 1, 9, 0, 0))] is None  # not 666.0
+    assert back[(1, T(2024, 1, 1, 11, 0, 0))] == 100.0
+    assert back[(1, None)] is None
+    fwd = {
+        (r.key, r.tts): r.px
+        for r in temporal.asof_join(
+            trades, quotes, "key", "tts", "qts", direction="forward"
+        ).collect()
+    }
+    assert fwd[(1, T(2024, 1, 1, 9, 0, 0))] == 100.0
+    assert fwd[(1, T(2024, 1, 1, 11, 0, 0))] is None
+    assert fwd[(1, None)] is None
+
+
 def test_sessionize_gap_cut(spark):
     ev = spark.createDataFrame(
         [

@@ -68,15 +68,26 @@ def connected_components(
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    # Strategy probe and local-path collection in ONE job: pull at most
-    # threshold+1 edges; an under-threshold graph is thereby already
-    # collected (≤ 16 MB at the 1M default — broadcast-sized), and an
-    # over-threshold graph cost one truncated scan before taking the
-    # distributed loop. Separate count()-then-collect would pay two
-    # full jobs over the same edge plan.
-    sample = edges.limit(local_threshold + 1).toPandas()
-    if len(sample) <= local_threshold:
-        return _cc_local(spark, sample)
+    # The local path is type-gated: the union-find itself is
+    # type-agnostic, but the result frame needs a concrete id type
+    # (integral → inline VALUES; string → createDataFrame). Anything
+    # else (binary, decimal, struct ids) takes the distributed loop,
+    # which is type-agnostic end to end — behavior must not depend on
+    # whether the data happened to fit under the threshold.
+    id_type = pairs.schema[id_a].dataType.simpleString()
+    local_ok = id_type in ("tinyint", "smallint", "int", "bigint", "string") and (
+        id_type == pairs.schema[id_b].dataType.simpleString()
+    )
+    if local_ok:
+        # Strategy probe and local-path collection in ONE job: pull at
+        # most threshold+1 edges; an under-threshold graph is thereby
+        # already collected (≤ 16 MB at the 1M default —
+        # broadcast-sized), and an over-threshold graph cost one
+        # truncated scan before taking the distributed loop. Separate
+        # count()-then-collect would pay two full jobs over the plan.
+        sample = edges.limit(local_threshold + 1).toPandas()
+        if len(sample) <= local_threshold:
+            return _cc_local(spark, sample, id_type)
     edges = edges.localCheckpoint(eager=True)
     _CONSTRAINTS = "spark.sql.constraintPropagation.enabled"
     prev_constraints = spark.conf.get(_CONSTRAINTS, "true")
@@ -92,11 +103,16 @@ def connected_components(
 _LOCAL_RELATION_MAX = 10_000
 
 
-def _cc_local(spark, edges_pdf) -> DataFrame:
+def _cc_local(spark, edges_pdf, id_type: str = "bigint") -> DataFrame:
     """Driver union-find over a broadcast-sized edge list (a pandas
     frame, already collected by the strategy probe). Bounded by
     ``local_threshold`` edges by construction — never linear in the
-    corpus."""
+    corpus. ``id_type`` is the node ids' Spark type (integral or
+    string — enforced by the caller's type gate): the union-find is
+    type-agnostic; only the result frame's schema and the VALUES
+    inlining depend on it. Min-union on strings is lexicographic —
+    the same representative :func:`_cc_loop`'s ``F.min`` picks."""
+    integral = id_type != "string"
     parent: dict = {}
 
     def find(x):
@@ -108,15 +124,19 @@ def _cc_local(spark, edges_pdf) -> DataFrame:
         return root
 
     for src, dst in edges_pdf.itertuples(index=False):
-        src, dst = int(src), int(dst)
+        if integral:
+            src, dst = int(src), int(dst)  # numpy scalars -> plain int
         ra, rb = find(src), find(dst)
         if ra != rb:
             # union by min so the representative is the component min
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = sorted((int(n), int(find(n))) for n in parent.keys() | set(parent.values()))
-    schema = "node long, cluster_id long"
-    if rows and len(rows) <= _LOCAL_RELATION_MAX:
+    nodes = parent.keys() | set(parent.values())
+    if integral:
+        rows = sorted((int(n), int(find(n))) for n in nodes)
+    else:
+        rows = sorted((str(n), str(find(n))) for n in nodes)
+    if integral and rows and len(rows) <= _LOCAL_RELATION_MAX:
         # Inline as a JVM LocalRelation (VALUES): unlike
         # createDataFrame's ExistingRDD — which re-pays a Python
         # pickle round-trip on EVERY downstream action and reports
@@ -125,11 +145,16 @@ def _cc_local(spark, edges_pdf) -> DataFrame:
         # stats, so Catalyst broadcast-joins the label table against
         # the corpus instead of shuffling the corpus. Bounded: the
         # literal text for 10k (long, long) rows is ~200 KB, ~0.1s
-        # parse, paid once per query build.
+        # parse, paid once per query build. (String ids skip the
+        # inline — quoting arbitrary text into SQL literals is not
+        # worth the escape-correctness risk — and pay the
+        # ExistingRDD; integral ids, the dedup pipeline's case, keep
+        # the fast path.)
         vals = ",".join(f"({n}L,{c}L)" for n, c in rows)
         return spark.sql(
             f"SELECT col1 AS node, col2 AS cluster_id FROM VALUES {vals}"
         )
+    schema = f"node {id_type}, cluster_id {id_type}"
     return spark.createDataFrame(rows or [], schema)
 
 
@@ -221,8 +246,16 @@ def attach_clusters(
             F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
         )
     )
+    # Representative = the minimum member PRESENT IN DOCS, computed in
+    # the same aggregate as the size (no extra exchange). Comparing
+    # doc_id == cluster_id instead would leave a cluster with NO
+    # representative when the component min is an id absent from docs
+    # (incremental dedup: pairs reference corpus ids, docs is the new
+    # batch only) — and a keep-representatives filter would then drop
+    # every copy instead of keeping one.
     sizes = labeled.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("_rep"),
     )
     return (
         labeled.join(sizes, "cluster_id")
@@ -230,7 +263,7 @@ def attach_clusters(
             "doc_id",
             "cluster_id",
             "cluster_size",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+            (F.col("doc_id") == F.col("_rep")).alias("is_representative"),
         )
     )
 
@@ -292,18 +325,30 @@ def fingerprint_clusters(
         F.col("simhash"),
         F.coalesce(F.col("cluster_id"), F.col("id")).alias("label"),
     )
+    # LEFT joins keep fingerprint-less docs (NULL text emits no
+    # simhash row): they fall back to their own singleton cluster —
+    # the attach_clusters contract this function promises. An inner
+    # join here silently dropped them from the output entirely.
     labeled = (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(fps, F.col("doc_id") == fps.id)
-        .join(fid_label, "simhash")
-        .select("doc_id", F.col("label").alias("cluster_id"))
+        .join(fps, F.col("doc_id") == fps.id, "left")
+        .join(fid_label, "simhash", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
     )
-    sizes = labeled.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    # min-present-member representative, same rationale (and same
+    # zero-extra-exchange shape) as attach_clusters above.
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("_rep"),
+    )
     return labeled.join(sizes, "cluster_id").select(
         "doc_id",
         "cluster_id",
         "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+        (F.col("doc_id") == F.col("_rep")).alias("is_representative"),
     )
 
 

@@ -111,19 +111,14 @@ def ngram_jaccard_pairs(
     switches to the plain blocked self-join — useful when an exact
     within-block guarantee matters more than hash-bounded skew; tests
     keep the first-token form to pin the Jaccard math."""
-    base = df.select(
-        F.col(id_col).alias("id"),
-        word_ngrams(F.col(text_col), n).alias("grams"),
-    )
-    # base feeds both sides of the candidate join below; cache it so
-    # the shingle construction runs once, not once per join side.
-    base = base.persist()
     if block is not None:
+        # The explicit-block path never touches `base` — building (and
+        # persisting) it first would mark a dead plan cacheable.
         blocked = df.select(
             F.col(id_col).alias("id"),
             block.alias("blk"),
             word_ngrams(F.col(text_col), n).alias("grams"),
-        )
+        ).persist()  # feeds both sides of the self-join below
         a, b = blocked.alias("a"), blocked.alias("b")
         return (
             a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
@@ -134,6 +129,13 @@ def ngram_jaccard_pairs(
             )
             .filter(F.col("jaccard") >= threshold)
         )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), n).alias("grams"),
+    )
+    # base feeds both verify-side re-attach joins below; cache it so
+    # the shingle construction runs once, not once per join side.
+    base = base.persist()
     sigs = minhash_signatures(df, text_col, id_col, k=k, n=n)
     cand = lsh_candidate_pairs(sigs, bands=bands, rows=rows, k=k)
     return (
@@ -427,6 +429,10 @@ def interdoc_repeated_ngrams(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
     ).select("id", F.md5(F.col("g")).alias("g"))
+    # grams feeds BOTH the document-frequency aggregate and the
+    # flag-join back; without the cache the tokenize→shingle→md5
+    # corpus scan — the dominant cost at scale — runs twice.
+    grams = grams.persist()
     gdf = grams.groupBy("g").agg(F.count_distinct("id").alias("gdf"))
     flagged = grams.join(gdf, "g").select(
         "id", (F.col("gdf") >= min_docs).cast("int").alias("rep")

@@ -128,12 +128,21 @@ def mixture_report(
 
     from white_elephant_spark.functions import text as tx
 
-    w = Window.partitionBy(F.md5(F.col(text_col)))
+    # NULL text is UNKNOWN content, not identical content: md5(NULL)
+    # is NULL, so the digest window would lump every null-text doc
+    # into one partition and count them as exact duplicates of each
+    # other; the dup flag is therefore gated on text presence, and a
+    # null-text doc contributes 0 tokens (token_count's size() returns
+    # -1 on NULL under non-ANSI defaults, silently shrinking the sum).
+    t = F.col(text_col)
+    w = Window.partitionBy(F.md5(t))
     base = docs.select(
         *group_cols,
-        tx.token_count(F.col(text_col)).alias("ntok"),
-        tx.quality_score(F.col(text_col)).alias("quality"),
-        (F.min(id_col).over(w) != F.col(id_col)).cast("int").alias("is_dup"),
+        F.when(t.isNotNull(), tx.token_count(t)).otherwise(F.lit(0)).alias("ntok"),
+        tx.quality_score(t).alias("quality"),
+        (t.isNotNull() & (F.min(id_col).over(w) != F.col(id_col)))
+        .cast("int")
+        .alias("is_dup"),
     )
     grouped = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_docs"),

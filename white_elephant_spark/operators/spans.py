@@ -50,6 +50,9 @@ def _covered_positions(base: DataFrame, n: int) -> DataFrame:
         .select("id", "toks", F.explode(starts).alias("s"))
         .select("id", "s", gram(F.col("s")).alias("g"))
     )
+    # grams feeds both the owner aggregate and the join back; cache so
+    # the tokenize->window->md5 scan (the dominant cost) runs once.
+    grams = grams.persist()
     owners = (
         grams.groupBy("g")
         .agg(F.count_distinct("id").alias("gdf"), F.min("id").alias("owner"))
@@ -76,6 +79,7 @@ def span_removed_counts(
     in-order reassembly, which is the expensive stage of the full
     rewrite."""
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    base = base.persist()  # consumed by the span scan AND the size select
     counts = _covered_positions(base, n).groupBy("id").agg(
         F.count(F.lit(1)).alias("n_removed")
     )
@@ -103,6 +107,7 @@ def remove_repeated_spans(
     reassembled document, whitespace-normalized.
     """
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    base = base.persist()  # consumed three times: spans, posexplode, sizes
     covered = _covered_positions(base, n)
     toks = base.select("id", F.posexplode("toks").alias("pos0", "tok")).select(
         "id", (F.col("pos0") + 1).alias("pos"), "tok"

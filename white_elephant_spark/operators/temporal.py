@@ -59,9 +59,18 @@ def asof_join(
     otherwise (ties would make any engine's pick arbitrary). Output:
     all left columns, plus every non-key right column (right's time
     column included, as matched state).
+
+    NULL times never match (the DuckDB ``ASOF JOIN`` contract:
+    ``l.t >= NULL`` is never true): right rows with a NULL time are
+    dropped from the state stream — under ``asc_nulls_first`` they
+    would otherwise sort before everything and become the backward
+    match for every row — and a left row with a NULL time keeps a
+    NULL attach in BOTH directions (forward's ``desc_nulls_last``
+    would otherwise hand it the whole window).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right = right.filter(F.col(right_time).isNotNull())
     r_payload = [c for c in right.columns if c != key]
     l_side = left.select(
         F.col(key).alias("_k"),
@@ -92,7 +101,12 @@ def asof_join(
     )
     matched = (
         l_side.unionByName(r_side)
-        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .withColumn(
+            "_m",
+            F.when(
+                F.col("_t").isNotNull(), F.last("_r", ignorenulls=True).over(w)
+            ),
+        )
         .filter(F.col("_side") == 1)
     )
     if tolerance_ms is not None:
@@ -126,6 +140,33 @@ def sql_asof_join(
     )
 
 
+#: fixed-width bucket units for :func:`interval_join`'s epoch grid
+_BUCKET_UNITS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _bucket_seconds(bucket: str) -> int:
+    """Width in seconds of a fixed-duration bucket spec ('1 day',
+    '6 hours'). Calendar units (month/quarter/year) are rejected:
+    they have no fixed width, so no epoch grid exists for them."""
+    parts = bucket.strip().lower().split()
+    if len(parts) == 1:
+        parts = ["1", parts[0]]
+    if len(parts) != 2 or parts[1] not in _BUCKET_UNITS or not parts[0].isdigit():
+        raise ValueError(
+            f"bucket must be '<n> <second|minute|hour|day|week>[s]', got {bucket!r}"
+        )
+    n = int(parts[0])
+    if n <= 0:
+        raise ValueError(f"bucket width must be positive, got {bucket!r}")
+    return n * _BUCKET_UNITS[parts[1]]
+
+
 def interval_join(
     facts: DataFrame,
     windows: DataFrame,
@@ -143,18 +184,26 @@ def interval_join(
     equi-join on the bucket turns the range predicate into a hash
     join + residual filter — never a cartesian product. Output: all
     window columns, then all fact columns.
+
+    Buckets live on one epoch-aligned integer grid (``floor(epoch_s /
+    bucket_s)``) shared by facts and windows — an earlier form
+    truncated facts to the DAY regardless of ``bucket``, so any
+    coarser bucket silently dropped matching pairs whose fact day
+    fell between window-sequence steps. Fixed-width buckets only
+    (calendar units like ``month`` have no fixed width; pick days).
     """
+    bucket_s = _bucket_seconds(bucket)
+    f_bkt = F.floor(F.unix_timestamp(F.col(fact_time)) / F.lit(bucket_s))
     w_bkts = windows.withColumn(
         "_bkt",
         F.explode(
             F.sequence(
-                F.date_trunc("day", F.col(win_start)),
-                F.date_trunc("day", F.col(win_end)),
-                F.expr(f"interval {bucket}"),
+                F.floor(F.unix_timestamp(F.col(win_start)) / F.lit(bucket_s)),
+                F.floor(F.unix_timestamp(F.col(win_end)) / F.lit(bucket_s)),
             )
         ),
     )
-    f_bkts = facts.withColumn("_bkt", F.date_trunc("day", F.col(fact_time)))
+    f_bkts = facts.withColumn("_bkt", f_bkt)
     return (
         w_bkts.join(f_bkts, "_bkt")
         .filter(

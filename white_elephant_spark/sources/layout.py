@@ -175,7 +175,15 @@ def bucket_from_cuts(c: Column, cuts: list[float]) -> Column:
     exact-percentile entry point for oracle-checked layout keys —
     :func:`write_zordered` itself uses ``approxQuantile`` cuts, whose
     Greenwald-Khanna sketch no other engine reproduces."""
-    return _bucket_tree(c.cast("double"), [float(x) for x in cuts], 0, len(cuts))
+    # NULL → bucket 0, matching the SQL twin (len(list_filter(cuts,
+    # x <= NULL)) is 0 there); without the guard every comparison in
+    # the IF-tree is NULL and the cascade of otherwise() branches
+    # lands NULLs in the HIGHEST bucket — an engine divergence on
+    # every NULL row.
+    cd = c.cast("double")
+    return F.when(cd.isNull(), F.lit(0).cast("long")).otherwise(
+        _bucket_tree(cd, [float(x) for x in cuts], 0, len(cuts))
+    )
 
 
 def sql_bucket_from_cuts(expr: str, cuts_list_expr: str) -> str:
@@ -219,8 +227,10 @@ def _quantile_buckets(
     n = 1 << bits
     probes = [i / n for i in range(1, n)]
     all_cuts = df.approxQuantile(cols, probes, rel_err)
+    # bucket_from_cuts applies the shared NULL→bucket-0 rule, so NULL
+    # key rows cluster at the curve origin instead of the top corner.
     return [
-        _bucket_tree(F.col(c).cast("double"), [float(x) for x in cuts], 0, n - 1)
+        bucket_from_cuts(F.col(c), [float(x) for x in cuts])
         for c, cuts in zip(cols, all_cuts)
     ]
 
@@ -284,16 +294,46 @@ def compact(
     ``repartition`` just evens out file sizes. ``maxRecordsPerFile``
     caps any single file regardless of partitioning.
 
-    This is the idempotent-overwrite pattern (same committer semantics
-    as the reference's staged rename, StagedOutputJob.java:170-214):
-    the rewrite lands atomically per directory, readers never see a
-    half-compacted mix.
+    Staged rename, like the reference's committer
+    (StagedOutputJob.java:170-214): the job writes to a sibling
+    ``.compact-tmp-*`` directory FIRST — the natural self-compaction
+    call ``compact(spark.read.parquet(p), p, n)`` therefore reads its
+    input intact for the whole job (a direct ``mode("overwrite")`` to
+    ``path`` either hits Spark's cannot-overwrite-a-path-being-read
+    guard or, through a catalog indirection, deletes the input
+    mid-read), and a mid-write failure leaves the target untouched —
+    then swaps directories with Hadoop ``FileSystem.rename`` (atomic
+    per rename on HDFS-like filesystems; the instant between the two
+    renames is the only residue — object stores without atomic rename
+    need their committer instead). The old data is deleted only after
+    the new directory is in place; a failed swap restores it.
     """
+    import uuid as _uuid
+
+    spark = df.sparkSession
     if sort_cols:
         out = df.repartitionByRange(num_files, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         out = df.repartition(num_files)
+    token = _uuid.uuid4().hex[:8]
+    tmp = path.rstrip("/") + f".compact-tmp-{token}"
     w = out.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)
-    w.parquet(path)
+    w.parquet(tmp)
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    dst = jpath(path)
+    fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+    src = jpath(tmp)
+    old = jpath(path.rstrip("/") + f".compact-old-{token}")
+    moved_away = fs.exists(dst) and fs.rename(dst, old)
+    if not fs.rename(src, dst):
+        if moved_away:
+            fs.rename(old, dst)  # restore the pre-compact data
+        fs.delete(src, True)
+        raise IOError(f"compact: could not move staged output into {path!r}")
+    if moved_away:
+        fs.delete(old, True)
+    # Drop any cached file listing of the old generation.
+    spark.catalog.refreshByPath(path)
