@@ -234,7 +234,7 @@ def test_all_disk_backed_call_sites_carry_version_tokens():
                 src = open(os.path.join(dirpath, f)).read()
                 tokens.update(re.findall(r'"([a-z]+-v\d+)"', src))
     assert tokens >= {
-        "copies-v1", "semjit-v1", "ivf-v1", "km-v1", "pca-v1", "kmap-v1"
+        "copies-v1", "semjit-v2", "semcnt-v1", "ivf-v1", "km-v1", "pca-v1", "kmap-v1"
     }
 
 

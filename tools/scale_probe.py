@@ -103,7 +103,29 @@ def _bench_crosscheck(
         return []
     if repo is None:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    fname, prior, _duck, _sha = prior_bench(repo, float(m.group(1).rstrip(".")))
+    sf = float(m.group(1).rstrip("."))
+    fname, prior, _duck, _sha = prior_bench(repo, sf)
+    # The reproducibility reference is the NEWEST committed run at
+    # this SF — unlike the regression tripwire (which must compare
+    # across rounds), the cross-check wants the artifact closest to
+    # the current tree. The full sidecar written this round (round =
+    # max driver round + 1) postdates every BENCH_r*.json, so it wins
+    # when present; prior_bench covers everything older.
+    mprior = _re.search(r"_r(\d+)", fname) if fname else None
+    best_round = int(mprior.group(1)) if mprior else -1
+    for f in sorted(os.listdir(repo)):
+        mm = _re.fullmatch(r"BENCH_full_r(\d+)_sf([0-9.]+)\.json", f)
+        if not mm or float(mm.group(2)) != sf or int(mm.group(1)) <= best_round:
+            continue
+        try:
+            with open(os.path.join(repo, f)) as fh:
+                sd = json.load(fh)
+            if sd.get("sf") == sf and isinstance(sd.get("queries"), dict):
+                best_round = int(mm.group(1))
+                fname = f
+                prior = {k: float(v) for k, v in sd["queries"].items()}
+        except (OSError, ValueError):
+            pass
     if not fname:
         return []
     # Apples-to-apples only: the sf1 gate convention runs with

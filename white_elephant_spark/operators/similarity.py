@@ -1256,17 +1256,30 @@ def sql_ivf_refined_centroids(
     table: str = "embeddings",
     scale: int = 1_000_000,
     train_per_centroid: int = TRAIN_PER_CENTROID,
+    k_cte: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`ivf_refined_centroids`: CTE chain ending
     in ``cents`` (cid, cvec). Embed under WITH. The ``ivftrain`` CTE
-    is the bounded hash sample the Lloyd steps run over."""
-    n_sample = ncentroids * train_per_centroid
+    is the bounded hash sample the Lloyd steps run over.
+
+    ``k_cte`` names a one-row CTE with a ``k`` column to make the
+    centroid count DATA-DEPENDENT (DuckDB accepts scalar-subquery
+    LIMITs): the corpus-scaled-k callers (semantic dedup) must derive
+    k from the data on both engines or the blocking wouldn't match.
+    The Lloyd-step CTEs are k-independent either way."""
+    if k_cte:
+        lim_sample = f"(SELECT k * {train_per_centroid} FROM {k_cte})"
+        lim_k = f"(SELECT k FROM {k_cte})"
+    else:
+        lim_sample = str(ncentroids * train_per_centroid)
+        lim_k = str(ncentroids)
     chain = [
         f"""ivftrain AS (
   SELECT vec_id, embedding FROM {table}
-  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_sample}
+  ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {lim_sample}
 )""",
-        f"c0 AS ({sql_ivf_centroids(ncentroids, 'ivftrain')})",
+        "c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM ivftrain "
+        f"ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {lim_k})",
     ]
     name = "c0"
     for i in range(1, iters + 1):

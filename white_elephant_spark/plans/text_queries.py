@@ -176,10 +176,20 @@ _SEM_JITTER = _sem_jitter()
 _SEM_JIT_SQL = "[" + ", ".join(f"CAST({f!r} AS DOUBLE)" for f in _SEM_JITTER) + "]"
 
 # Semantic-leg CTE chain (embedded under the WITH RECURSIVE below):
-# planted jittered copies -> k-means cells (the shared quantizer
-# builder) -> in-cell sign-sketch candidates -> exact cosine >= 0.95
-# -> transitive closure (renamed CTEs; the fingerprint chain already
-# owns edges/reach/components).
+# planted jittered copies -> corpus-scaled k-means cells (the shared
+# quantizer builder) -> in-cell sign-sketch candidates -> exact cosine
+# >= 0.95 -> transitive closure (renamed CTEs; the fingerprint chain
+# already owns edges/reach/components).
+
+#: SemDeDup cell-count rule, shared verbatim by both engines: target
+#: ~SEM_CELL_TARGET vectors per cell, floor 8 cells. A FIXED k makes
+#: in-cell candidate volume quadratic in corpus growth (measured 103x
+#: candidates on 10x data at k=8); scaling k with N — the SemDeDup
+#: paper's own recipe — keeps cell population (and therefore per-cell
+#: sketch-bucket mass) constant, so candidates grow linearly.
+SEM_CELL_TARGET = 250
+SEM_K_FLOOR = 8
+
 _SEM_ORACLE_CTES = f"""
 sem_vecs AS MATERIALIZED (
   SELECT vec_id, embedding FROM embeddings
@@ -189,7 +199,12 @@ sem_vecs AS MATERIALIZED (
                         p -> CAST(CAST(p[1] AS DOUBLE) * p[2] AS FLOAT)) AS embedding
   FROM embeddings WHERE vec_id % 20 = 0
 ),
-{similarity.sql_ivf_refined_centroids(8, dim=64, iters=1, table='sem_vecs').strip()},
+semk AS (
+  SELECT greatest({SEM_K_FLOOR},
+                  CAST(ceil(COUNT(*) / {SEM_CELL_TARGET}.0) AS BIGINT)) AS k
+  FROM sem_vecs
+),
+{similarity.sql_ivf_refined_centroids(dim=64, iters=1, table='sem_vecs', k_cte='semk').strip()},
 semassign AS MATERIALIZED (
   SELECT v.vec_id, v.embedding, c.cid,
          ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -308,13 +323,27 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from white_elephant_spark import models
     from white_elephant_spark.operators import clustering_kmeans as km
 
+    # Corpus-scaled cell count (SEM_CELL_TARGET/SEM_K_FLOOR — the
+    # oracle's semk CTE re-derives the same k from the same count).
+    # The count itself is registry-memoized: a deterministic scalar of
+    # the corpus, not worth one job per call.
+    n_vecs = models.get_or_train(
+        spark,
+        sf_dir,
+        "embeddings",
+        "semdedup_count",
+        ("semcnt-v1",),
+        lambda: vecs.count(),
+        disk=True,
+    )
+    k_cells = max(SEM_K_FLOOR, -(-n_vecs // SEM_CELL_TARGET))
     cell_model = models.get_or_train(
         spark,
         sf_dir,
         "embeddings",
         "semdedup_cells",
-        (8, 64, 1, "semjit-v1"),
-        lambda: km.kmeans_fit(vecs, 8, iters=1, dim=64),
+        (k_cells, 64, 1, "semjit-v2"),
+        lambda: km.kmeans_fit(vecs, k_cells, iters=1, dim=64),
         disk=True,
     )
 
@@ -347,13 +376,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "embeddings",
         "semdedup_blocked",
-        (8, 64, 1, "semjit-v1"),
+        (k_cells, 64, 1, "semjit-v2"),
         _build_blocked,
         save=models.df_save,
         load=models.df_load(),
     )
     sem = similarity.semantic_dedup(
-        vecs, threshold=0.95, k_clusters=8, dim=64, planes=6, tables=8,
+        vecs, threshold=0.95, k_clusters=k_cells, dim=64, planes=6, tables=8,
         model=cell_model, blocked=blocked, with_sizes=True,
     )
     sem_leg = sem.select(
