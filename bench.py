@@ -107,13 +107,17 @@ HEADLINE = [
     "event_funnel_cohorts",
 ]
 
-# Spark wall time above which a query runs once instead of twice (the
-# second run only exists to shed one-time codegen compile cost, which
-# is noise for a query this long). 20s keeps the borderline iterative
-# queries (dedup_clusters first run ~10s, steady-state ~3s) eligible
-# for their steady-state measurement while still single-running a
-# pathological regression.
-SINGLE_RUN_ABOVE = 20.0
+# A first run up to this cap always gets one confirmation rerun (best
+# is reported): when the driver regenerates the corpus, the first
+# query to touch each registry artifact pays a one-time retrain —
+# recording that as the query's time misstated ann_lsh_topk by 40x in
+# round 9 (76s cold-train-first-run vs 1.9s steady, under the old
+# rule that single-ran anything over 20s). The confirmation rerun is
+# warm and cheap precisely when the first run was cold; when the
+# first run was a genuine regression, one duplicate run is the price
+# of confirming it. Above the cap nothing reruns — a wall-clock
+# guard, not a measurement policy.
+SLOW_RERUN_CAP = 120.0
 # Hard per-oracle DuckDB ceiling: one intractable oracle must degrade
 # to a flagged -1.0, never hang the whole artifact (the round-2 bench
 # died rc=124 inside an unbounded recursive-CTE oracle). Overridable
@@ -127,6 +131,31 @@ ORACLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_ORACLE_TIMEOUT", "60"))
 THIRD_RUN_BELOW = 8.0
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def best_time(run_once, cold: bool = False) -> float:
+    """Best-of-N measurement policy, shared in spirit by both engines
+    (the DuckDB loop re-implements it around its timeout plumbing):
+    every first run up to SLOW_RERUN_CAP gets a confirmation rerun
+    (sheds one-time codegen compile AND one-time registry retrains —
+    round 9's ann_lsh_topk recorded 76s cold-train vs 1.9s steady
+    under the old 20s no-rerun rule), and a best so far under
+    THIRD_RUN_BELOW gets a third (run-to-run variance at small scale
+    is a large fraction of the measurement). Beyond the cap: one run,
+    as a wall-clock guard.
+
+    Cold mode records the FIRST run only: a repeat would serve the
+    just-trained artifacts from the session memo and min() would
+    throw the cold number away. (Artifacts shared across queries
+    still memo-serve within the run — cold means "no pre-built
+    store", not "amnesia between queries".)"""
+    best = run_once()
+    if not cold:
+        if best <= SLOW_RERUN_CAP:
+            best = min(best, run_once())
+        if best <= THIRD_RUN_BELOW:
+            best = min(best, run_once())
+    return best
 
 
 def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
@@ -173,7 +202,7 @@ def duckdb_times(sf_dir: str, names: list[str], qs) -> dict[str, float]:
                 break  # timed out or not runnable standalone
             finally:
                 timer.cancel()
-            if best > SINGLE_RUN_ABOVE:
+            if best > SLOW_RERUN_CAP:
                 break
             if attempt >= 1 and best > THIRD_RUN_BELOW:
                 break
@@ -432,34 +461,18 @@ def main() -> None:
     )
     warm.write.format("noop").mode("overwrite").save()
 
-    # Two runs per query, report the faster: the first run pays
-    # one-time whole-stage-codegen compilation (~2-5s/plan), which
-    # amortizes to zero at real scale; steady-state is the honest
-    # throughput number. Queries whose first run already exceeds
-    # SINGLE_RUN_ABOVE run once — the compile cost is noise there and
-    # doubling them is what blew the round-2 wall-clock budget.
+    # Run policy: best_time (steady-state reporting; one-time compile
+    # and registry-retrain costs shed by the confirmation rerun).
     times: dict[str, float] = {}
     import gc
 
     for name in names:
-        t0 = time.time()
-        qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = time.time() - t0
-        # Cold mode records the FIRST run only: a repeat would serve
-        # the just-trained artifacts from the session memo and min()
-        # would throw the cold number away. (Artifacts shared across
-        # queries still memo-serve within the run — cold means "no
-        # pre-built store", not "amnesia between queries".)
-        if not cold:
-            if best <= SINGLE_RUN_ABOVE:
-                t0 = time.time()
-                qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            if best <= THIRD_RUN_BELOW:
-                t0 = time.time()
-                qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        def _once(name=name):
+            t0 = time.time()
+            qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        times[name] = round(best_time(_once, cold=cold), 3)
         # Release block-cache leftovers (persisted lookup sides,
         # localCheckpoints) between queries so later measurements
         # don't pay earlier queries' storage/GC pressure.

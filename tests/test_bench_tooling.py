@@ -360,3 +360,40 @@ def test_ratio_tripwire_requires_matching_oracle_hash():
     # pre-hash prior artifact -> abstain
     assert compute_regressions(t, d, pt, pd_, {"a": "new"}, {}) == ([], [], 0)
     assert compute_regressions(t, d, pt, pd_, None, None) == ([], [], 0)
+
+
+def test_best_time_reruns_cold_train_first_runs():
+    # Round-9 regression: a one-time registry retrain inflated
+    # ann_lsh_topk's recorded time 40x (76s cold first run vs 1.9s
+    # steady) because the old rule single-ran anything over 20s. The
+    # policy now confirms every first run up to SLOW_RERUN_CAP.
+    import bench
+
+    calls = []
+
+    def runner(seq):
+        it = iter(seq)
+
+        def run_once():
+            v = next(it)
+            calls.append(v)
+            return v
+
+        return run_once
+
+    # cold-train first run, warm confirmation, warm third (<= 8s)
+    calls.clear()
+    assert bench.best_time(runner([76.0, 1.9, 1.8])) == 1.8
+    assert len(calls) == 3
+    # mid-range steady query: two runs, no third above THIRD_RUN_BELOW
+    calls.clear()
+    assert bench.best_time(runner([10.0, 9.0])) == 9.0
+    assert len(calls) == 2
+    # beyond the wall-clock cap: single run, unconfirmed
+    calls.clear()
+    assert bench.best_time(runner([150.0])) == 150.0
+    assert len(calls) == 1
+    # cold mode records the first run only
+    calls.clear()
+    assert bench.best_time(runner([76.0]), cold=True) == 76.0
+    assert len(calls) == 1

@@ -246,3 +246,80 @@ def test_mixture_report_null_text_not_counted_as_dups(spark):
     assert row.n_docs == 4
     assert row.n_tokens == 6  # 3 + 0 + 0 + 3
     assert row.exact_dup_rate == 0.25  # only doc 4
+
+
+def test_fuzzy_join_indexed_matches_plain(spark):
+    # The registry-served corpus-side index (corpus-only gram order,
+    # probe grams defaulting to frequency 0) must reproduce the plain
+    # union-frequency join exactly — the post-verify result is
+    # blocking-order-independent.
+    from white_elephant_spark.operators.fuzzy import build_fuzzy_index, fuzzy_join
+
+    names = [
+        (1, "jonathan smith"),
+        (2, "jonathon smith"),
+        (3, "j smith"),
+        (4, "totally different"),
+        (5, "abc"),
+        (6, "abd"),
+        (7, "abcdef"),
+        (8, "abcde"),
+        (9, "xbc"),
+        (10, "ab"),
+        (11, "b"),
+        (12, "zq"),
+        (13, "qqqqq"),  # probe-only grams on the left side below
+    ]
+    left = spark.createDataFrame(names, "lid long, lname string")
+    right = spark.createDataFrame(
+        [(i + 100, n) for i, n in names if i != 13], "rid long, rname string"
+    )
+    plain = {
+        (r.lid, r.rid, r.edit_dist)
+        for r in fuzzy_join(left, right, "lname", "rname", max_dist=2, q=2).collect()
+    }
+    idx = build_fuzzy_index(right, "rname", q=2, max_dist=2)
+    indexed = {
+        (r.lid, r.rid, r.edit_dist)
+        for r in fuzzy_join(
+            left, right, "lname", "rname", max_dist=2, q=2, index=idx
+        ).collect()
+    }
+    assert indexed == plain
+
+
+def test_fuzzy_join_min_rl_stat_prunes_without_loss(spark):
+    # With every corpus string at or above q*(d+1) chars, passing the
+    # corpus min-length stat prunes the short/ultra legs statically —
+    # and still matches the un-pruned indexed join, including probes
+    # BELOW the bound (covered by the main leg's completeness, which
+    # needs only the longer side at the bound).
+    from white_elephant_spark.operators.fuzzy import build_fuzzy_index, fuzzy_join
+
+    right = spark.createDataFrame(
+        [(100, "jonathan smith"), (101, "jonathon smith"), (102, "abcdefgh")],
+        "rid long, rname string",
+    )
+    left = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "abcdefg"), (3, "abcdef"), (4, "zz")],
+        "lid long, lname string",
+    )
+    q, d = 2, 2
+    idx = build_fuzzy_index(right, "rname", q=q, max_dist=d)
+    min_rl = min(len(n) for _, n in right.collect())
+    assert min_rl >= q * (d + 1)
+    unpruned = {
+        (r.lid, r.rid, r.edit_dist)
+        for r in fuzzy_join(
+            left, right, "lname", "rname", max_dist=d, q=q, index=idx
+        ).collect()
+    }
+    pruned = {
+        (r.lid, r.rid, r.edit_dist)
+        for r in fuzzy_join(
+            left, right, "lname", "rname", max_dist=d, q=q, index=(*idx, min_rl)
+        ).collect()
+    }
+    assert pruned == unpruned
+    # sanity: the at-bound matches exist (abcdefg ~ abcdefgh, ed 1)
+    assert (2, 102, 1) in pruned

@@ -46,17 +46,70 @@ def _grams(col, q: int):
     return F.transform(idx, lambda i: col.substr(i, F.lit(q)))
 
 
-def _prefix_grams(df: DataFrame, scol: str, lcol: str, freq: DataFrame, q: int, k: int) -> DataFrame:
+def _prefix_grams(
+    df: DataFrame,
+    scol: str,
+    lcol: str,
+    freq: DataFrame,
+    q: int,
+    k: int,
+    default_zero: bool = False,
+) -> DataFrame:
     """Explode ``df[scol]`` to its ``k`` rarest grams (global
-    frequency order, gram text as tie-break): (scol, lcol, _gram)."""
+    frequency order, gram text as tie-break): (scol, lcol, _gram).
+
+    ``default_zero`` ranks grams ABSENT from ``freq`` at frequency 0
+    (rarest) — the indexed path, where ``freq`` counts corpus grams
+    only and a probe-side gram may be unseen. Prefix-filter
+    completeness needs only that both sides rank by the SAME total
+    order, which (coalesce(freq, 0), gram) is."""
     g = df.select(scol, lcol, F.explode(_grams(F.col(scol), q)).alias("_gram"))
-    ranked = g.join(freq, "_gram")
+    if default_zero:
+        ranked = g.join(freq, "_gram", "left").withColumn(
+            "_freq", F.coalesce(F.col("_freq"), F.lit(0).cast("long"))
+        )
+    else:
+        ranked = g.join(freq, "_gram")
     # Regroup per string, order grams by (freq, gram), keep first k.
     return (
         ranked.groupBy(scol, lcol)
         .agg(F.slice(F.array_sort(F.collect_list(F.struct("_freq", "_gram"))), 1, k).alias("_pre"))
         .select(scol, lcol, F.explode("_pre._gram").alias("_gram"))
     )
+
+
+def build_fuzzy_index(
+    right: DataFrame, right_col: str, q: int = 2, max_dist: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """Corpus-side Ed-Join artifacts — the train-once/serve-many half
+    of :func:`fuzzy_join`. Returns ``(freq, rpre)``:
+
+    - ``freq``: (_gram, _freq) — positional q-gram frequencies over
+      the DISTINCT corpus strings. This is the global gram order both
+      sides rank prefixes by (probe grams unseen in the corpus rank
+      rarest at 0 — see :func:`_prefix_grams`).
+    - ``rpre``: (_rs, _rl, _gram) — each distinct corpus string's
+      ``max_dist·q + 1`` rarest grams, pre-exploded for the candidate
+      equi-join.
+
+    Both are deterministic artifacts of the corpus alone (probe-side
+    frequencies no longer perturb the order — any consistent total
+    order preserves the Ed-Join completeness guarantee, and the
+    post-verify result is blocking-independent), so they belong in
+    the model registry next to the LSH sketch index: maintained with
+    the corpus, served from parquet, never recomputed per query."""
+    rs = (
+        right.select(F.col(right_col).alias("_rs"))
+        .distinct()
+        .withColumn("_rl", F.length("_rs"))
+    )
+    freq = (
+        rs.select(F.explode(_grams(F.col("_rs"), q)).alias("_gram"))
+        .groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+    )
+    rpre = _prefix_grams(rs, "_rs", "_rl", freq, q, max_dist * q + 1)
+    return freq, rpre
 
 
 def _prefix_candidates(
@@ -84,16 +137,80 @@ def _prefix_candidates(
 
 
 def _match_pairs(
-    left: DataFrame, right: DataFrame, left_col: str, right_col: str, max_dist: int, q: int
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int,
+    q: int,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Distinct (left_col → _ls, right_col → _rs, edit_dist) value
     pairs within edit distance ``max_dist``. Only the string columns
     are shuffled, and every join is an equi-join — no nested-loop
-    band join at any length."""
-    ls = left.select(F.col(left_col).alias("_ls")).distinct().withColumn("_ll", F.length("_ls"))
-    rs = right.select(F.col(right_col).alias("_rs")).distinct().withColumn("_rl", F.length("_rs"))
+    band join at any length.
 
-    cand = _prefix_candidates(ls, rs, q, max_dist)
+    ``index`` is a prebuilt ``(freq, rpre)`` — optionally
+    ``(freq, rpre, min_rl)`` — from :func:`build_fuzzy_index` at the
+    SAME (q, max_dist): the corpus scan, gram-frequency aggregate,
+    and corpus-prefix regroup are then served instead of recomputed,
+    and only the probe side is processed per call. ``min_rl`` is the
+    corpus-wide minimum string length (a registry-memoized scalar):
+    when it is ≥ q·(max_dist+1), the short/ultra legs' CORPUS sides
+    are provably empty — a below-bound probe against an at-or-above-
+    bound corpus string is already covered by the main leg's
+    completeness guarantee (it needs only max(|a|,|b|) ≥ q·(d+1)) —
+    so both legs prune out of the plan statically."""
+    ls = (
+        left.select(F.col(left_col).alias("_ls"))
+        .distinct()
+        .withColumn("_ll", F.length("_ls"))
+        # feeds the main-leg prefix regroup AND the short/ultra legs —
+        # without the cache the probe scan+distinct exchange runs 3x
+        .persist()
+    )
+    min_complete = q * (max_dist + 1)
+    min_rl = None
+    if index is not None:
+        freq, rpre = index[0], index[1]
+        if len(index) > 2:
+            min_rl = index[2]
+        lpre = _prefix_grams(
+            ls, "_ls", "_ll", freq, q, max_dist * q + 1, default_zero=True
+        )
+        cand = (
+            lpre.join(rpre, "_gram")
+            .filter(F.abs(F.col("_ll") - F.col("_rl")) <= max_dist)
+            .select("_ls", "_rs")
+        )
+        if min_rl is not None and min_rl >= min_complete:
+            # Stats-pruned: no corpus string below the completeness
+            # bound, so the short/ultra legs are empty by construction
+            # — drop their ~8 stages from the plan entirely.
+            return (
+                cand.distinct()
+                .withColumn("edit_dist", F.levenshtein(F.col("_ls"), F.col("_rs")))
+                .filter(F.col("edit_dist") <= max_dist)
+            )
+        # Corpus sides of the short/ultra legs derive from the served
+        # index (every string, short ones included, carries prefix
+        # rows in rpre); the filtered distinct is bounded by the
+        # below-completeness-length tail, not the corpus.
+        rshort = (
+            rpre.filter(F.col("_rl") < min_complete).select("_rs", "_rl").distinct()
+        )
+        sr = rshort
+        ur = rshort.filter(F.col("_rl") <= max_dist)
+    else:
+        rs = (
+            right.select(F.col(right_col).alias("_rs"))
+            .distinct()
+            .withColumn("_rl", F.length("_rs"))
+            .persist()  # feeds the main, short, and ultra legs
+        )
+        cand = _prefix_candidates(ls, rs, q, max_dist)
+        sr = rs.filter(F.col("_rl") < min_complete)
+        ur = rs.filter(F.col("_rl") <= max_dist)
 
     # Pairs with both sides shorter than q·(d+1) have no shared-gram
     # guarantee at width q (a single edit can rewrite every q-gram).
@@ -103,9 +220,7 @@ def _match_pairs(
     # — an equi-join on the character, never all-pairs within the
     # short set (a corpus of millions of short titles stays
     # candidate-bounded by character selectivity).
-    min_complete = q * (max_dist + 1)
     sl = ls.filter(F.col("_ll") < min_complete)
-    sr = rs.filter(F.col("_rl") < min_complete)
     short_cand = _prefix_candidates(sl, sr, 1, max_dist)
 
     # Ultra-short remainder: both sides ≤ d characters (d edits can
@@ -123,7 +238,6 @@ def _match_pairs(
             )
         ).alias("_rl"),
     )
-    ur = rs.filter(F.col("_rl") <= max_dist)
     ultra_cand = ul.join(ur, "_rl").select("_ls", "_rs")
 
     return (
@@ -142,11 +256,14 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 2,
     q: int = 2,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Pairs (all left columns, all right columns, ``edit_dist``) with
     ``levenshtein(left_col, right_col) <= max_dist``. Inputs should
-    carry disjoint column names (alias beforehand)."""
-    pairs = _match_pairs(left, right, left_col, right_col, max_dist, q)
+    carry disjoint column names (alias beforehand). ``index`` serves
+    the corpus-side blocking artifacts (:func:`build_fuzzy_index`,
+    same (q, max_dist)) instead of recomputing them per call."""
+    pairs = _match_pairs(left, right, left_col, right_col, max_dist, q, index=index)
     return (
         left.join(pairs, left[left_col] == pairs["_ls"])
         .join(right, pairs["_rs"] == right[right_col])
