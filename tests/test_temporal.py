@@ -200,3 +200,67 @@ def test_asof_forward_tolerance_nulls_far_matches(spark):
     assert by[10].state == 5.0          # 2 days ahead, inside tolerance
     assert by[11].state is None         # next match is in the past -> none
     assert len(out) == 2                # left rows all preserved
+
+
+def test_asof_both_matches_two_single_direction_joins(quotes, trades):
+    # The fused both-directions pass (one exchange, two sorts) must
+    # agree with the two single-direction joins on every row —
+    # inclusive ties, before-any-state nulls, keys with no right rows.
+    both = temporal.asof_join_both(
+        trades, quotes, key="key", left_time="tts", right_time="qts"
+    ).collect()
+    back = {
+        (r.key, r.tts): r.px
+        for r in temporal.asof_join(
+            trades, quotes, key="key", left_time="tts", right_time="qts"
+        ).collect()
+    }
+    fwd = {
+        (r.key, r.tts): r.px
+        for r in temporal.asof_join(
+            trades, quotes, key="key", left_time="tts", right_time="qts",
+            direction="forward",
+        ).collect()
+    }
+    assert len(both) == 6
+    for r in both:
+        assert r.px == back[(r.key, r.tts)], (r.key, r.tts)
+        assert r.fwd_px == fwd[(r.key, r.tts)], (r.key, r.tts)
+
+
+def test_asof_both_tolerances(quotes, trades):
+    # Per-direction tolerances null out far matches independently.
+    both = {
+        (r.key, r.tts): (r.px, r.fwd_px)
+        for r in temporal.asof_join_both(
+            trades, quotes, key="key", left_time="tts", right_time="qts",
+            backward_tolerance_ms=3_600_000,      # 1h back
+            forward_tolerance_ms=3_600_000,       # 1h fwd
+        ).collect()
+    }
+    # 13:00 trade: backward quote at 12:00 is within 1h, kept
+    assert both[(1, T(2024, 1, 1, 13, 0, 0))] == (110.0, None)
+    # 09:00 trade: forward quote at 10:00 within 1h
+    assert both[(1, T(2024, 1, 1, 9, 0, 0))] == (None, 100.0)
+    # 23:00 trade (key 2): backward quote at 11:00 is 12h away -> null
+    assert both[(2, T(2024, 1, 1, 23, 0, 0))] == (None, None)
+
+
+def test_asof_both_null_times(spark):
+    # NULL right times are dropped from state; NULL left times attach
+    # nothing in either direction but survive.
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0, 0)), (1, None)], "key long, tts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 0, 0), 1.0), (1, None, 99.0)],
+        "key long, qts timestamp_ntz, px double",
+    )
+    rows = {
+        r.tts: (r.px, r.fwd_px)
+        for r in temporal.asof_join_both(
+            left, right, key="key", left_time="tts", right_time="qts"
+        ).collect()
+    }
+    assert rows[T(2024, 1, 1, 10, 0, 0)] == (1.0, None)
+    assert rows[None] == (None, None)

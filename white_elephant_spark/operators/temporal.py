@@ -122,6 +122,89 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def asof_join_both(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    backward_tolerance_ms: int | None = None,
+    forward_tolerance_ms: int | None = None,
+    forward_prefix: str = "fwd_",
+) -> DataFrame:
+    """Both as-of directions in ONE pass: every left row attaches the
+    latest right row at-or-before its time (backward, original column
+    names) AND the earliest right row at-or-after it (forward,
+    columns prefixed ``forward_prefix``).
+
+    Plan shape: the two direction windows share the hash partitioning
+    on ``key``, so Catalyst plans ONE Exchange with two Sorts (t asc
+    / t desc) — versus two full union+window plans PLUS a join of the
+    legs on a unique left id when the directions are computed
+    separately (three exchanges of the fact set). Tie handling per
+    direction matches :func:`asof_join`: right rows sort before left
+    rows at equal times under (t, side) in both sort orders, so both
+    matches are inclusive."""
+    right = right.filter(F.col(right_time).isNotNull())
+    r_payload = [c for c in right.columns if c != key]
+    l_side = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*r_payload).alias("s")).schema["s"].dataType
+        ).alias("_r"),
+    )
+    r_side = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+        ).alias("_l"),
+        F.struct(*r_payload).alias("_r"),
+    )
+    wb = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Forward via the DESCENDING sort of the same partitioning: the
+    # frame [unboundedPreceding, currentRow] then holds exactly the
+    # rows with t >= current (right rows first at ties — inclusive),
+    # and last(_r, ignorenulls) picks the SMALLEST such right time.
+    wf = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").desc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    guard = F.col("_t").isNotNull()
+    matched = (
+        l_side.unionByName(r_side)
+        .withColumn("_mb", F.when(guard, F.last("_r", ignorenulls=True).over(wb)))
+        .withColumn("_mf", F.when(guard, F.last("_r", ignorenulls=True).over(wf)))
+        .filter(F.col("_side") == 1)
+    )
+    lt = F.unix_millis(F.col("_t").cast("timestamp"))
+    if backward_tolerance_ms is not None:
+        bt = F.unix_millis(F.col(f"_mb.{right_time}").cast("timestamp"))
+        matched = matched.withColumn(
+            "_mb", F.when(lt - bt <= F.lit(backward_tolerance_ms), F.col("_mb"))
+        )
+    if forward_tolerance_ms is not None:
+        ft = F.unix_millis(F.col(f"_mf.{right_time}").cast("timestamp"))
+        matched = matched.withColumn(
+            "_mf", F.when(ft - lt <= F.lit(forward_tolerance_ms), F.col("_mf"))
+        )
+    out_cols = (
+        [F.col(f"_l.{c}").alias(c) for c in left.columns]
+        + [F.col(f"_mb.{c}").alias(c) for c in r_payload]
+        + [F.col(f"_mf.{c}").alias(f"{forward_prefix}{c}") for c in r_payload]
+    )
+    return matched.select(*out_cols)
+
+
 def sql_asof_join(
     left_cte: str,
     right_cte: str,

@@ -55,9 +55,10 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics; the oracle emulates it with an inequality join +
     row_number, since DuckDB ASOF is backward-only). Orders are first
     deduped to one row per (custkey, orderdate) via arg-max on
-    orderkey so matches are well-defined. Each direction is the
-    union+window shape — one shuffle on the key; the two legs meet on
-    the unique event id."""
+    orderkey so matches are well-defined. Both directions come out of
+    ONE union+window pass (:func:`temporal.asof_join_both`): a single
+    exchange on the key with two sorts — no per-direction replan and
+    no leg-merging join on the event id."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     od = (
         load_table(spark, sf_dir, "orders")
@@ -70,23 +71,24 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
         )
     )
-    back = temporal.asof_join(
-        ev, od, key="user_id", left_time="ts", right_time="o_orderdate"
-    )
-    fwd = temporal.asof_join(
+    both = temporal.asof_join_both(
         ev,
-        od.select("user_id", "o_orderdate", "o_orderkey"),
+        od,
         key="user_id",
         left_time="ts",
         right_time="o_orderdate",
-        direction="forward",
-        tolerance_ms=30 * 86_400_000,
-    ).select(
-        "event_id",
-        F.col("o_orderdate").alias("next_orderdate"),
-        F.col("o_orderkey").alias("next_orderkey"),
+        forward_tolerance_ms=30 * 86_400_000,
     )
-    return back.join(fwd, "event_id")
+    return both.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+        F.col("fwd_o_orderdate").alias("next_orderdate"),
+        F.col("fwd_o_orderkey").alias("next_orderkey"),
+    )
 
 
 @register(
