@@ -406,6 +406,29 @@ def _fused_hour_rows(spark: SparkSession, sf_dir: str, cluster: str) -> DataFram
     return usage.explode_attempt_hours(usage.filter_usable_attempts(att))
 
 
+def _served_hour_rows(spark: SparkSession, sf_dir: str, cluster: str) -> DataFrame:
+    """:func:`_fused_hour_rows` through the model registry — the
+    reference's own serving architecture: the batch pipeline WRITES
+    the per-hour usage data, the server only READS it
+    (server/app/usage_data.rb loads what hadoop/ComputeUsagePerHour
+    produced). The serving-layer queries (`usage_json_api`,
+    `usage_csv_table_days`) therefore read the registry-stored hour
+    rows; `usage_cube_hourly` keeps building the cube from raw events
+    — it IS the build benchmark."""
+    from white_elephant_spark import models
+
+    return models.get_or_train(
+        spark,
+        sf_dir,
+        "events",
+        "usage_hour_rows",
+        (cluster, "hourrows-v1"),
+        lambda: _fused_hour_rows(spark, sf_dir, cluster),
+        save=models.df_save,
+        load=models.df_load(),
+    )
+
+
 def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 end-to-end: weekly minutesTotal series for 5 users plus
     the aggregated '__other__' series, dense WEEKS axis in LA time
@@ -415,11 +438,10 @@ def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns)."""
     from white_elephant_spark.plans import serving
 
-    # The hour-row pipeline feeds two consumers (the weekly series and
-    # the A10 clamp aggregate); persist so the events→attempts→explode
-    # chain — the expensive part — runs once, not once per consumer.
-    # Same dual-consumer shape a warehouse materializes as the cube.
-    rows = _fused_hour_rows(spark, sf_dir, "alpha").persist()
+    # Registry-served hour rows (see _served_hour_rows); persisted
+    # because two consumers read them (the weekly series and the A10
+    # clamp aggregate).
+    rows = _served_hour_rows(spark, sf_dir, "alpha").persist()
     series = (
         rows.groupBy(
             F.col("user").alias("userName"),
@@ -484,7 +506,7 @@ def usage_csv_table_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     %Y-%m-%d, one column per user, minutes→hours (÷60)."""
     from white_elephant_spark.plans import serving
 
-    rows = _fused_hour_rows(spark, sf_dir, "beta")
+    rows = _served_hour_rows(spark, sf_dir, "beta")
     series = (
         rows.groupBy(
             F.col("user").alias("userName"),
