@@ -202,6 +202,64 @@ def test_ratio_tripwire_skips_oracle_timeouts():
     ) == ([], [], 0)
 
 
+def test_confirm_flags_clears_noise_spike():
+    # A single-run noise spike (2.5x prior) whose reruns land back at
+    # the prior level: the flag clears, the recorded time is the best
+    # of all runs, and the rerun is recorded for the audit trail.
+    from bench import confirm_flags
+
+    times = {"a": 2.5, "b": 1.0}
+    prior = {"a": 1.0, "b": 1.0}
+    t, absolute, ratio, _, reran = confirm_flags(
+        times, {}, prior, {}, None, None, lambda n: 1.05
+    )
+    assert absolute == [] and ratio == []
+    assert t["a"] == 1.05 and reran == ["a"]
+
+
+def test_confirm_flags_keeps_genuine_regression():
+    # Reruns that stay 2.5x prior: the flag survives confirmation.
+    from bench import confirm_flags
+
+    t, absolute, _, _, reran = confirm_flags(
+        {"a": 2.5}, {}, {"a": 1.0}, {}, None, None, lambda n: 2.6
+    )
+    assert absolute == ["a"] and t["a"] == 2.5 and reran == ["a"]
+
+
+def test_confirm_flags_reruns_ratio_flagged_query():
+    # Spark-only ratio spike from noise: confirmation reruns pull the
+    # time back under the 1.5x ratio growth and the flag clears.
+    from bench import confirm_flags
+
+    prior_t, prior_d = {"a": 1.0, "b": 2.0}, {"a": 0.5, "b": 1.0}
+    times, duck = {"a": 1.7, "b": 2.0}, dict(prior_d)
+    t, absolute, ratio, cov, reran = confirm_flags(
+        times, duck, prior_t, prior_d, SHA, SHA, lambda n: 1.0
+    )
+    assert absolute == [] and ratio == [] and cov == 2 and reran == ["a"]
+    assert t["a"] == 1.0
+
+
+def test_confirm_flags_never_reruns_above_cap():
+    # Wall-clock guard: a flagged query over SLOW_RERUN_CAP keeps its
+    # single measurement and its flag — no confirmation runs.
+    from bench import SLOW_RERUN_CAP, confirm_flags
+
+    calls = []
+
+    def rerun(n):
+        calls.append(n)
+        return 1.0
+
+    big = SLOW_RERUN_CAP + 10.0
+    t, absolute, _, _, reran = confirm_flags(
+        {"a": big}, {}, {"a": 1.0}, {}, None, None, rerun
+    )
+    assert absolute == ["a"] and calls == [] and reran == []
+    assert t["a"] == big
+
+
 # --------------------------------------------- SCALING↔BENCH check
 
 
