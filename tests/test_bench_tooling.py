@@ -295,6 +295,28 @@ def test_crosscheck_silent_without_comparable_artifact(tmp_path):
     )
 
 
+def test_probe_best_of_takes_third_run_under_threshold(monkeypatch):
+    # The probe mirrors bench.py's measurement policy: best-of-2 plus
+    # a third run when the best so far is under THIRD_RUN_BELOW. A
+    # transient load spike that hit both of two runs once put a
+    # 2.2x-wrong row into the SCALING cross-check.
+    import scale_probe
+
+    seq = iter([5.0, 4.0, 1.5])
+    monkeypatch.setattr(
+        scale_probe, "run_once", lambda qs, name, sf: (next(seq), 7)
+    )
+    t, rows = scale_probe.best_of(None, "q", "/x")
+    assert t == 1.5 and rows == 7
+
+    slow = iter([50.0, 40.0])
+    monkeypatch.setattr(
+        scale_probe, "run_once", lambda qs, name, sf: (next(slow), 7)
+    )
+    t, _ = scale_probe.best_of(None, "q", "/x")
+    assert t == 40.0  # over THIRD_RUN_BELOW: exactly two runs
+
+
 def test_crosscheck_skips_on_partition_mismatch(tmp_path):
     # the sf1 gate records at 16 shuffle partitions; the probe runs at
     # 8 — shuffle-heavy queries legitimately differ, so the check must

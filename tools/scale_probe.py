@@ -36,6 +36,18 @@ QUADRATIC_BY_DESIGN = {
         "O(queries x corpus) exactness baseline by definition — the"
         " scale paths are ann_lsh_topk / ann_ivf_topk"
     ),
+    "ann_lsh_topk": (
+        "the kNN leg is recall-pinned on an isotropic corpus: nearest"
+        " neighbors sit at cosine ~0.4, so the collision probability is"
+        " p~0.62 and the LSH S-curve forbids finer buckets (4 planes"
+        " already drops recall@10 below the 0.9 floor at 12 tables;"
+        " compensating tables scale as 1/ln(1-p^P) and give back the"
+        " candidates) — candidates necessarily grow as"
+        " queries x corpus / 2^planes. The HIGH-similarity near-dup leg"
+        " (16 planes x 4 tables, cos >= 0.999) is the workload LSH"
+        " sub-scans, and it stays linear; clustered corpora take"
+        " ann_ivf_topk"
+    ),
 }
 
 
@@ -57,10 +69,19 @@ def run_once(qs, name: str, sf_dir: str) -> tuple[float, int]:
 
 
 def best_of(qs, name: str, sf_dir: str, runs: int = 2) -> tuple[float, int]:
+    # Mirrors bench.py's policy: best-of-2, plus a third run when the
+    # best so far is under THIRD_RUN_BELOW (8s). A transient load
+    # spike that hits both of two runs put a 2.2x-wrong row into the
+    # cross-check once; the third run costs seconds and sheds it.
+    from bench import THIRD_RUN_BELOW
+
     best, rows = None, 0
     for _ in range(runs):
         t, rows = run_once(qs, name, sf_dir)
         best = t if best is None else min(best, t)
+    if best is not None and best <= THIRD_RUN_BELOW:
+        t, rows = run_once(qs, name, sf_dir)
+        best = min(best, t)
     return best, rows
 
 
@@ -234,7 +255,8 @@ def main() -> None:
         "",
         *provenance,
         "Generated by `tools/scale_probe.py`. Per headline query: wall",
-        "time (best of 2, count() materialization) and output rows at",
+        "time (best of 2, third run under 8s — bench.py's policy;",
+        "noop-sink materialization) and output rows at",
         "both scale factors, and the growth factors. A time factor",
         f"beyond {FLAG_FACTOR:.0f}x on 10x data is flagged SUPERLINEAR —",
         "the local symptom of a plan that will not survive 100x.",

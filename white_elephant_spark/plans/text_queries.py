@@ -703,13 +703,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two sign-sketch-family operators in one verified result
     (``method`` column):
 
-    - ``lsh`` — scale-path ANN: multi-table hyperplane LSH (12 tables
-      × 3 sign bits) — a neighbor is a candidate if it shares a bucket
-      in ANY table, so one flipped sign bit can't lose it; cosine is
-      ranked over the deduped candidate set. Holds recall@10 ≥ 0.9 vs
-      the exact baseline on this corpus (asserted in tests). At 100 TB
-      the (table, bucket) pair is the shuffle key and the candidate
+    - ``lsh`` — multi-table hyperplane LSH (12 tables × 3 sign bits) —
+      a neighbor is a candidate if it shares a bucket in ANY table, so
+      one flipped sign bit can't lose it; cosine is ranked over the
+      deduped candidate set. Holds recall@10 ≥ 0.9 vs the exact
+      baseline on this corpus (asserted in tests). At 100 TB the
+      (table, bucket) pair is the shuffle key and the candidate
       distinct runs on narrow id pairs only.
+
+      Scaling contract (labeled quadratic-by-design in SCALING.md):
+      this corpus is isotropic — nearest neighbors sit at cosine
+      ≈ 0.4, so the hyperplane collision probability is p ≈ 0.62 and
+      the LSH S-curve pins the plane count: 4 planes already drops
+      recall@10 below the 0.9 floor at 12 tables, and compensating
+      with tables (T ∝ 1/-ln(1−p^P)) hands the candidates straight
+      back. Candidate volume is therefore queries × corpus / 2^planes
+      with planes stuck at 3 — a recall-pinned kNN self-join over
+      unstructured vectors has no sublinear answer, which is LSH
+      theory, not a plan defect. LSH's actual sublinear workload is
+      the HIGH-similarity regime — the ``neardup`` leg below (16
+      planes × 4 tables at cos ≥ 0.999) scales linearly — and
+      clustered corpora take ``ann_ivf_topk``.
     - ``neardup`` — embedding-cosine near-dup pairs blocked by
       16-plane × 4-table sign sketches (``rank`` pinned 0) over the
       corpus plus scaled copies of every 50th vector: scaling
