@@ -69,6 +69,101 @@ def test_explode_invariants(spark, atts):
         assert r["sp"] <= sp and r["sp"] >= sp - r["nb"]
 
 
+def _ref_write_stats(s, e, cpu, sp, sh):
+    """Literal rendering of the documented reference loop semantics
+    (ComputeUsagePerHour.java:270-338 writeStats, per SURVEY §4):
+    walk hour buckets while currentTime < end; prorate cpu/spilled by
+    overlap fraction with a per-bucket (long) cast on spilled; repeat
+    shuffle bytes unprorated; inclusive boundary tests for
+    started/finished. Returns [(bucket_ms, started, finished,
+    elapsed_ms, cpu_ms_floored, spilled, shuffle)]."""
+    out = []
+    cur = s
+    while cur < e:
+        bucket = (cur // HOUR) * HOUR
+        nxt = min(bucket + HOUR, e)
+        pct = (nxt - cur) / (e - s)
+        started = 1 if (bucket + HOUR >= s and s >= bucket) else 0
+        finished = 1 if (bucket + HOUR >= e and e >= bucket) else 0
+        out.append(
+            (
+                bucket,
+                started,
+                finished,
+                nxt - cur,
+                int(pct * cpu),
+                int(pct * sp),
+                sh,
+            )
+        )
+        cur = nxt
+    return out
+
+
+# Boundary-heavy timings: mix arbitrary ms with exactly-hour-aligned
+# start/end values — the quirk cases (end on a boundary books
+# `finished` into the PRECEDING hour; the boundary bucket itself is
+# never emitted) only occur at alignment, which uniform ms sampling
+# essentially never hits.
+_time = st.one_of(
+    st.integers(min_value=1, max_value=90 * 24 * HOUR),
+    st.integers(min_value=1, max_value=90 * 24).map(lambda h: h * HOUR),
+)
+aligned_attempt = st.tuples(
+    _time,
+    st.one_of(
+        st.integers(min_value=1, max_value=30 * HOUR),
+        st.integers(min_value=1, max_value=30).map(lambda h: h * HOUR),
+    ),
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=0, max_value=10**6),
+    st.integers(min_value=0, max_value=10**9),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(aligned_attempt, min_size=1, max_size=12))
+def test_explode_matches_reference_loop_per_bucket(spark, atts):
+    # Row-for-row differential: the declarative explode must equal the
+    # reference's imperative walk on every bucket — values, flags, and
+    # which bucket carries them.
+    got = (
+        usage.explode_attempt_hours(_df(spark, atts))
+        .select(
+            "user",
+            "time",
+            "started",
+            "finished",
+            "elapsedMs",
+            "cpuMsProrated",
+            "spilledRecords",
+            "reduceShuffleBytes",
+        )
+        .collect()
+    )
+    from datetime import datetime, timezone
+
+    def _ms(dt):  # naive NTZ datetime -> epoch ms (UTC semantics)
+        return int(dt.replace(tzinfo=timezone.utc).timestamp() * 1000)
+
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user"], []).append(
+            (
+                _ms(r["time"]),
+                r["started"],
+                r["finished"],
+                r["elapsedMs"],
+                r["cpuMsProrated"],
+                r["spilledRecords"],
+                r["reduceShuffleBytes"],
+            )
+        )
+    for i, (s, d, cpu, sp, sh) in enumerate(atts):
+        want = _ref_write_stats(s, s + d, cpu, sp, sh)
+        assert sorted(by_user.get(f"u{i}", [])) == sorted(want)
+
+
 def test_zero_duration_attempt_emits_nothing(spark):
     df = _df(spark, [(HOUR, 0, 5, 5, 5)])
     assert usage.explode_attempt_hours(df).count() == 0

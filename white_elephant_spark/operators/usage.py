@@ -25,6 +25,17 @@ Reference quirks preserved exactly (SURVEY §4):
   :324-332.
 - hour truncation is GMT (``timeZone`` static, :60), so bucketing is
   pure epoch-ms arithmetic — no calendar, no DST.
+
+Deliberate deviation: the reference THROWS on ``finishTime <
+startTime`` (ComputeUsagePerHour.java:275-278), killing the whole
+job for one bad record; this pipeline's drop-don't-error contract
+drops the row instead (the ``end > start`` filter subsumes both the
+reverse-order and zero-duration cases). Neither engine guards
+against a wildly corrupt finishTime (the reference walks its loop
+once per hour of the bogus span; ``sequence``+``explode``
+materializes the same per-row bucket list) — on pathological input
+both degrade, in the same O(span) way, rather than silently
+altering clean-data semantics with a cap.
 """
 
 from __future__ import annotations
