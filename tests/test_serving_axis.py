@@ -56,3 +56,29 @@ def test_days_la_uses_local_calendar(spark):
         datetime(2024, 5, 2, 7),
         datetime(2024, 5, 3, 7),
     ]
+
+
+def test_queries_self_heal_non_utc_default_session(spark):
+    """The external driver runs queries on a VANILLA session whose
+    default timezone is the machine's — the engine's naive-UTC
+    timestamp math must not depend on it. Every query path resets the
+    session to UTC via ensure_engine_confs (load_table), so a session
+    that starts in Asia/Tokyo must produce bit-identical results to a
+    UTC one. Pins the contract end-to-end on the most tz-sensitive
+    registered query (tz-parameterized week/quarter rollups) plus a
+    serving query (clamped dense axis + local-date rendering)."""
+    from white_elephant_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs = all_queries()
+    for name in ("rollup_time_units_tz", "usage_csv_table_days"):
+        fn = qs[name].fn
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        want = sorted(map(tuple, fn(spark, sf).collect()))
+        # A caller-mangled session: the query must self-heal.
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        try:
+            got = sorted(map(tuple, fn(spark, sf).collect()))
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert got == want, name
