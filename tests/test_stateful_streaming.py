@@ -28,6 +28,50 @@ def _run(spark, inp, out, ckpt):
     q.awaitTermination()
 
 
+def test_null_gated_trigger_with_stale_timeout_does_not_kill_query(spark, tmp_path):
+    """Regression: when EVERY row of a trigger for a key dies on the
+    null gate, the state's `last` is stale while the watermark —
+    advanced by other keys — may already exceed last+gap. An unclamped
+    setTimeoutTimestamp then raises INVALID_TIMEOUT_TIMESTAMP inside
+    the UDF and one malformed row kills the whole streaming query
+    (reproduced before the clamp). Two single-file triggers in ONE run
+    so no no-data batch closes the session in between: file 1 = A's
+    valid session + a far-future key C (watermark to ~4h); file 2 = an
+    admitted A row with null startTime. The query must survive, drop
+    the row, and still close A by timeout."""
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(
+        [("A", 0, HOUR // 2), ("C", 5 * HOUR, 5 * HOUR + 60000)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inp)
+    spark.createDataFrame(
+        [("A", None, 4 * HOUR + 30 * 60000)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inp)
+    # file 3 advances the watermark past A's clamped timeout so the
+    # session still closes inside this run (via the no-data batch).
+    spark.createDataFrame(
+        [("C", 6 * HOUR, 6 * HOUR + 60000)], SCHEMA
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    q = (
+        stateful.sessionize_jobs(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(lambda df, _e: df.write.mode("append").parquet(out))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # unclamped: raises StreamingQueryException here
+
+    rows = spark.read.parquet(out).collect()
+    a_final = [r for r in rows if r["jobId"] == "A" and r["final"]]
+    # A closed by the clamped timeout; the null-timed row never counted
+    assert len(a_final) == 1
+    assert a_final[0]["nAttempts"] == 1 and a_final[0]["lastFinish"] == HOUR // 2
+
+
 def test_sessionize_running_then_final(spark, tmp_path):
     inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
     # job A: two attempts ending by t=1h; job B: active out at t=5h

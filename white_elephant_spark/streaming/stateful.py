@@ -99,8 +99,18 @@ def _make_update(gap_ms: int):
             # state exists: nothing to bound a session with
             return
         state.update((first, last, n))
-        # close when event time moves `gap` past the last activity
-        state.setTimeoutTimestamp(last + gap_ms)
+        # Close when event time moves `gap` past the last activity —
+        # clamped just past the current watermark: when every row of a
+        # trigger dies on the null gate, `last` stays at the prior
+        # trigger's value while the watermark (advanced by OTHER keys)
+        # may already exceed last+gap, and Spark rejects a timeout at
+        # or before the watermark with INVALID_TIMEOUT_TIMESTAMP —
+        # one malformed row would kill the whole query. Clamping means
+        # "this session is already quiet past its close: time it out
+        # at the next opportunity", which is the semantics the timeout
+        # would have had anyway.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
         yield pd.DataFrame(
             [
                 {
