@@ -172,6 +172,13 @@ def test_hadoopfs_listing_matches_local(spark, tmp_path):
     (d / "cluster=a" / "day=2024-01-01" / "x.parquet").write_bytes(b"d")
     (d / "cluster=a" / "day=2024-01-01" / "_SUCCESS").write_bytes(b"")
     (d / "cluster=a" / "day=2024-01-01" / ".hidden.parquet").write_bytes(b"h")
+    # In-flight committer output: part files inside a _temporary tree
+    # have non-hidden NAMES — the hidden rule must apply per path
+    # segment (the reference's PathFilter runs per directory level),
+    # or another writer's uncommitted data gets ingested.
+    tmp = d / "cluster=a" / "day=2024-01-02" / "_temporary" / "attempt_0"
+    tmp.mkdir(parents=True)
+    (tmp / "part-00000.parquet").write_bytes(b"inflight")
 
     local, hfs = LocalListing(), HadoopFsListing(spark)
     assert sorted(hfs.list_subdirs(str(d))) == sorted(local.list_subdirs(str(d)))

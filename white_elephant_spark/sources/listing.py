@@ -42,8 +42,12 @@ class Listing(Protocol):
     def walk_files(self, path: str, suffix: str) -> dict[str, float]:
         """All non-hidden files under ``path`` (recursive) whose name
         ends with ``suffix`` → modification time (epoch seconds).
-        Hidden = basename starting with ``_`` or ``.`` (the
-        reference's S5 filter, StagedOutputJob.java:244-253)."""
+        Hidden = basename starting with ``_`` or ``.``, applied to
+        EVERY path segment below ``path``, not just the file name —
+        the reference's HiddenFilePathFilter
+        (StagedOutputJob.java:244-253) runs per directory level during
+        Hadoop input listing, so a ``part-00000`` inside an in-flight
+        ``_temporary/`` tree is excluded there and must be here."""
         ...
 
 
@@ -61,7 +65,11 @@ class LocalListing:
 
     def walk_files(self, path: str, suffix: str) -> dict[str, float]:
         out: dict[str, float] = {}
-        for root, _dirs, files in os.walk(path):
+        for root, dirs, files in os.walk(path):
+            # Prune hidden directories from the walk itself — the
+            # reference's filter runs per level, so files inside an
+            # in-flight _temporary/ tree never surface.
+            dirs[:] = [d for d in dirs if not _hidden(d)]
             for name in files:
                 if _hidden(name) or not name.endswith(suffix):
                     continue
@@ -96,12 +104,20 @@ class HadoopFsListing:
         fs, p = self._resolve(path)
         if not fs.exists(p):
             return {}
+        # listFiles(recursive) keeps the object-store paged listing;
+        # the per-level hidden rule is applied by checking every path
+        # segment BELOW the root (the root itself may legitimately be
+        # hidden-named), matching Hadoop's per-directory PathFilter.
+        root_uri = str(fs.makeQualified(p)).rstrip("/") + "/"
         out: dict[str, float] = {}
         it = fs.listFiles(p, True)  # recursive; pages on object stores
         while it.hasNext():
             st = it.next()
-            name = st.getPath().getName()
-            if _hidden(name) or not name.endswith(suffix):
+            full = str(st.getPath())
+            rel = full[len(root_uri):] if full.startswith(root_uri) else st.getPath().getName()
+            if any(_hidden(seg) for seg in rel.split("/")):
                 continue
-            out[str(st.getPath())] = st.getModificationTime() / 1000.0
+            if not full.endswith(suffix):
+                continue
+            out[full] = st.getModificationTime() / 1000.0
         return out
