@@ -35,3 +35,29 @@ def test_chunk_then_pack(spark):
     # bins (fewer bins than chunks by a wide margin).
     n_bins = packed.select("shard", "bin").distinct().count()
     assert n_bins * 2 < n_chunks
+
+
+def test_pack_linear_is_partition_independent(spark):
+    """The packer's docstring contract: exact integer math over a
+    (shard, id-ordered) window means ANY partitioning of the input
+    produces the identical (shard, bin, bin_offset) per document —
+    the property that makes the assignment reproducible across
+    cluster sizes and engines. Pin it by packing the same chunk set
+    under three adversarial partitionings."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    chunks = chunk_documents(docs, size=CHUNK, overlap=8).select(
+        (F.col("id") * 1000 + F.col("chunk_idx")).alias("doc_id"),
+        F.col("n_tokens"),
+    )
+    want = sorted(
+        map(tuple, pack_linear(chunks, "n_tokens", budget=BUDGET, shards=4).collect())
+    )
+    for variant in (
+        chunks.repartition(17),
+        chunks.repartition(3, "n_tokens"),
+        chunks.coalesce(1),
+    ):
+        got = sorted(
+            map(tuple, pack_linear(variant, "n_tokens", budget=BUDGET, shards=4).collect())
+        )
+        assert got == want
