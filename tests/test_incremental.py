@@ -230,6 +230,17 @@ def test_late_onboarded_cluster_gets_existing_days(spark, tmp_path):
     assert cube.filter((F.col("cluster") == "ca")).count() > 0
 
 
+def test_foreign_partition_dirs_do_not_crash_planning(tmp_path):
+    # A hand-created or hive-null dir under the cube root must not
+    # crash-loop every future refresh: unparseable day dirs simply
+    # aren't high-water-mark state (drop-don't-error).
+    root = tmp_path / "cube" / "cluster=a"
+    for day in ("day=2024-01-01", "day=__HIVE_DEFAULT_PARTITION__", "day=backup"):
+        (root / day).mkdir(parents=True)
+    got = inc.existing_cluster_days(str(tmp_path / "cube"))
+    assert got == {("a", date(2024, 1, 1))}
+
+
 def test_plan_cluster_days_is_per_cluster():
     existing = {("ca", D(0)), ("ca", D(1)), ("cb", D(1))}
     got = inc.plan_cluster_days(D(0), D(2), ["ca", "cb"], existing, num_days_forced=1)

@@ -73,8 +73,16 @@ def existing_cluster_days(
             continue
         cluster = cluster_dir[len("cluster=") :]
         for day_dir in listing.list_subdirs(os.path.join(path, cluster_dir)):
-            if day_dir.startswith("day="):
+            if not day_dir.startswith("day="):
+                continue
+            try:
                 out.add((cluster, date.fromisoformat(day_dir[len("day=") :])))
+            except ValueError:
+                # A foreign/hand-created dir (day=__HIVE_DEFAULT_
+                # PARTITION__, day=backup) must not crash-loop every
+                # future refresh — an unparseable partition simply
+                # isn't high-water-mark state (drop-don't-error).
+                continue
     return out
 
 
