@@ -80,3 +80,20 @@ def test_driver_input_bounded_by_reduce_width(spark, emb):
     m1 = fit_pca(emb.repartition(1), K)
     assert np.allclose(m.mean, m1.mean, atol=1e-9)
     assert dc.REDUCE_WIDTH < dc.DIRECT_COLLECT_MAX
+
+
+def test_null_vectors_dropped_not_errored(spark):
+    # A NULL embedding row must not kill the fit or the projection
+    # (np.array over a None-bearing column degrades to dtype object):
+    # drop-don't-error, like every other operator boundary.
+    import numpy as np
+
+    rows = [(1, [1.0, 2.0]), (2, None), (3, [3.0, 4.0]), (4, [5.0, 6.0])]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    model = fit_pca(df, k=1)
+    clean = df.filter(df.embedding.isNotNull())
+    want = fit_pca(clean, k=1)
+    assert np.allclose(model.mean, want.mean)
+    assert np.allclose(model.components, want.components)
+    out = project_pca(df, model).collect()
+    assert sorted(r["id"] for r in out) == [1, 3, 4]

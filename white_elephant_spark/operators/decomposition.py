@@ -75,6 +75,10 @@ def fit_pca(df: DataFrame, k: int, vec_col: str = "embedding") -> PCAModel:
 
         n, s, xtx = 0, None, None
         for pdf in batches:
+            # NULL vectors can't contribute to the covariance and
+            # np.array over a None-bearing column degrades to dtype
+            # object (killing the whole fit): drop, don't error.
+            pdf = pdf.dropna(subset=[vec_col])
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             if x.size == 0:
                 continue
@@ -155,8 +159,14 @@ def project_pca(
 
     def proj(batches: Iterator) -> Iterator:
         for pdf in batches:
+            pdf = pdf.dropna(subset=[vec_col])  # same drop rule as fit
+            if len(pdf) == 0:
+                # An emptied batch must be skipped, not yielded: an
+                # empty list assignment creates a float64 column that
+                # Arrow cannot convert to list<double>.
+                continue
             x = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            red = (x - mean) @ comps.T if x.size else np.zeros((0, comps.shape[0]))
+            red = (x - mean) @ comps.T
             out = pdf[names].copy()
             out[out_col] = [row.tolist() for row in red]
             yield out
