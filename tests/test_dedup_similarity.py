@@ -725,3 +725,19 @@ def test_interdoc_repeated_ngrams(spark):
     assert out[2][0] == 4 and abs(out[2][1] - 0.75) < 1e-12
     assert out[3] == (3, 0.0)
     assert out[4] == (0, 0.0)
+
+
+def test_null_vectors_dropped_at_numpy_boundaries(spark):
+    # One NULL embedding must not kill the Arrow/numpy kernels:
+    # encode_for_lsh and cosine_topk drop it (same rule as the PCA
+    # boundary), and results equal the pre-filtered corpus's.
+    rows = [(1, [1.0, 0.0, 0.0]), (2, None), (3, [0.9, 0.1, 0.0]), (4, [0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = df.filter(F.col("embedding").isNotNull())
+
+    enc = similarity.encode_for_lsh(df, dim=3, planes=2, tables=2)
+    assert sorted(r["vec_id"] for r in enc.collect()) == [1, 3, 4]
+
+    got = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=1, dim=3)
+    want = similarity.cosine_topk(clean, clean.filter(F.col("vec_id") == 1), k=1, dim=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -128,6 +128,10 @@ def kmeans_pca_map(
 
     def kern(batches):
         for pdf in batches:
+            # NULL vectors degrade the Arrow batch to dtype object and
+            # kill the kernel in numpy: drop, don't error (same rule
+            # as the PCA boundary in decomposition.py).
+            pdf = pdf.dropna(subset=[vec_col])
             if len(pdf) == 0:
                 continue
             x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)

@@ -119,6 +119,10 @@ def cosine_topk(
     break on corpus id for determinism. Pass ``dim`` when known so the
     dot products compile as explicit codegen sums (:func:`_dot_expr`)
     instead of interpreted folds."""
+    # NULL vectors can't rank and would kill the pair-cosine Arrow
+    # kernel in numpy: drop, don't error.
+    queries = queries.filter(F.col(vec_col).isNotNull())
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     # Norms are computed once per row, not once per pair — at
     # |Q|×|corpus| pair counts that's the dominant saving.
     norm = (
@@ -302,6 +306,9 @@ def encode_for_lsh(
     doubles and bucket ints exactly). Pass the result to
     :func:`lsh_cosine_topk` / :func:`neardup_pairs_lsh` with
     ``pre_encoded=True`` to skip re-encoding on every call."""
+    # NULL vectors carry no buckets and would kill the Arrow encoder
+    # in numpy (dtype-object batch): drop, don't error.
+    df = df.filter(F.col(vec_col).isNotNull())
     return df.select(
         F.col(id_col),
         F.col(vec_col),
