@@ -741,3 +741,13 @@ def test_null_vectors_dropped_at_numpy_boundaries(spark):
     got = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=1, dim=3)
     want = similarity.cosine_topk(clean, clean.filter(F.col("vec_id") == 1), k=1, dim=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_null_vectors_dropped(spark):
+    rows = [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = df.filter(F.col("embedding").isNotNull())
+    got = similarity.ivf_cosine_topk(df, df.filter(F.col("vec_id") % 10 == 0), dim=3, k=2, ncentroids=4, nprobe=2)
+    want = similarity.ivf_cosine_topk(clean, clean.filter(F.col("vec_id") % 10 == 0), dim=3, k=2, ncentroids=4, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -575,6 +575,9 @@ def ivf_build_index(
     index a vector store builds once and serves from; callers that
     serve repeatedly should persist the result and reuse it
     (:mod:`white_elephant_spark.models`)."""
+    # NULL vectors can't be assigned a cell and would kill the Arrow
+    # ranking kernel in numpy: drop, don't error.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     norm = _norm_expr(vec_col, dim)
     ranked = centroid_ranking_arrow(cents, dim)
     return corpus.select(
@@ -660,7 +663,8 @@ def ivf_cosine_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(id_col, vec_col).collect()
+    # NULL query vectors can't rank (same drop rule as cosine_topk).
+    qrows = queries.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col).collect()
     cid_arr = np.array([c[0] for c in cents], dtype=np.int64)
     cmat = np.array([c[1] for c in cents], dtype=np.float64).T  # (dim, C)
     cnorm_arr = np.array([c[2] for c in cents], dtype=np.float64)
