@@ -304,6 +304,41 @@ def _duck_times(d: dict) -> dict[str, float]:
     return {}
 
 
+# Tripwire thresholds — single source for compute_regressions AND
+# confirm_flags' early-stop check (they drifted apart once; the
+# early-stop also omitted the sha-match condition, wasting confirmation
+# reruns on a ratio rule that could never fire for sha-reset queries).
+ABS_FACTOR = 2.0  # absolute rule: slower than 2x prior Spark time
+RATIO_FACTOR = 1.5  # ratio rule: spark/duckdb ratio grew >1.5x
+TIME_FLOOR = 0.05  # below this, measurements are timer jitter
+
+
+def _abs_flagged(t: float, prior_t: float) -> bool:
+    """Absolute tripwire for one query."""
+    return prior_t > 0 and t > ABS_FACTOR * prior_t
+
+
+def _ratio_eligible(
+    t: float, d: float, prior_t: float, prior_d: float, sha_match: bool
+) -> bool:
+    """Whether the twin-normalized rule can evaluate this query: the
+    oracle hash must match the prior artifact's (a rewritten twin
+    shifts the ratio with zero Spark change — not a regression), and
+    all four measurements must exceed the floor (an oracle timeout
+    records -1.0 and must not fabricate a ratio; millisecond-scale
+    denominators are pure timer jitter)."""
+    return sha_match and min(t, d, prior_t, prior_d) >= TIME_FLOOR
+
+
+def _ratio_flagged(
+    t: float, d: float, prior_t: float, prior_d: float, sha_match: bool
+) -> bool:
+    """Twin-normalized tripwire for one query (False when ineligible)."""
+    return _ratio_eligible(t, d, prior_t, prior_d, sha_match) and (t / d) > (
+        RATIO_FACTOR * (prior_t / prior_d)
+    )
+
+
 def compute_regressions(
     times: dict[str, float],
     duck: dict[str, float],
@@ -314,36 +349,35 @@ def compute_regressions(
 ) -> tuple[list[str], list[str], int]:
     """The two tripwires (module docstring): absolute >2x Spark time,
     and twin-normalized >1.5x growth of the spark/duckdb ratio;
-    returns (absolute, ratio, ratio_rule_coverage).
-
-    The ratio rule only evaluates a query when (a) its oracle hash
-    matches the prior artifact's — a rewritten twin shifts the ratio
-    with zero Spark change, which is not a regression — and (b) all
-    four measurements exceed a small floor: an oracle timeout (-1.0)
-    must not fabricate a ratio, and millisecond-scale denominators
-    (DuckDB finishes several twins in ~0.01s) are pure timer jitter.
-    Skipped queries keep the absolute rule's 2x margin."""
+    returns (absolute, ratio, ratio_rule_coverage). Per-query
+    predicates live in _abs_flagged/_ratio_flagged — shared with the
+    confirmation loop's early-stop check so the thresholds can't
+    drift. Ratio-skipped queries keep the absolute rule's 2x margin."""
     absolute = sorted(
         n
         for n, t in times.items()
-        if n in prior_times and prior_times[n] > 0 and t > 2.0 * prior_times[n]
+        if n in prior_times and _abs_flagged(t, prior_times[n])
     )
-    floor = 0.05
     shas, prior_shas = oracle_sha or {}, prior_sha or {}
+
+    def _sha_match(n: str) -> bool:
+        return n in shas and shas[n] == prior_shas.get(n)
+
     covered = {
         n
         for n, t in times.items()
-        if t >= floor
-        and duck.get(n, -1.0) >= floor
-        and prior_times.get(n, 0.0) >= floor
-        and prior_duck.get(n, -1.0) >= floor
-        and n in shas
-        and shas[n] == prior_shas.get(n)
+        if _ratio_eligible(
+            t,
+            duck.get(n, -1.0),
+            prior_times.get(n, 0.0),
+            prior_duck.get(n, -1.0),
+            _sha_match(n),
+        )
     }
     ratio = sorted(
         n
         for n in covered
-        if (times[n] / duck[n]) > 1.5 * (prior_times[n] / prior_duck[n])
+        if _ratio_flagged(times[n], duck[n], prior_times[n], prior_duck[n], True)
     )
     return absolute, ratio, len(covered)
 
@@ -380,20 +414,21 @@ def confirm_flags(
             continue
         reran.append(name)
         best = times[name]
+        shas, prior_shas = oracle_sha or {}, prior_sha or {}
+        sha_match = name in shas and shas[name] == prior_shas.get(name)
         for _ in range(max_extra):
             best = min(best, rerun(name))
-            # Already below both thresholds: stop early.
+            # Already below both thresholds: stop early. Same
+            # per-query predicates as compute_regressions — including
+            # the sha-match gate, so a sha-reset absolute-only flag
+            # stops as soon as the absolute rule clears instead of
+            # rerunning for a ratio rule that can never fire for it.
             p = prior_times.get(name, 0.0)
             pd = prior_duck.get(name, -1.0)
             d = duck.get(name, -1.0)
-            abs_ok = not (p > 0 and best > 2.0 * p)
-            ratio_ok = not (
-                d >= 0.05
-                and pd >= 0.05
-                and p >= 0.05
-                and (best / d) > 1.5 * (p / pd)
-            )
-            if abs_ok and ratio_ok:
+            if not _abs_flagged(best, p) and not _ratio_flagged(
+                best, d, p, pd, sha_match
+            ):
                 break
         times[name] = round(best, 3)
     if reran:
@@ -560,8 +595,17 @@ def main() -> None:
         prior_file, prior, prior_duck, prior_sha = None, {}, {}, {}
     else:
         prior_file, prior, prior_duck, prior_sha = prior_bench(repo, sf)
+    def _rerun(name):
+        # Same measurement conditions as the primary loop, which
+        # clears cache + collects between queries: without this a
+        # later query's confirmation rerun inherits an earlier rerun's
+        # cached lookup sides/localCheckpoints.
+        spark.catalog.clearCache()
+        gc.collect()
+        return _measure(name)
+
     times, regressions, ratio_regressions, ratio_cov, confirm_reruns = confirm_flags(
-        times, duck, prior, prior_duck, oracle_sha, prior_sha, _measure
+        times, duck, prior, prior_duck, oracle_sha, prior_sha, _rerun
     )
     total = round(sum(times.values()), 3)
     result = {

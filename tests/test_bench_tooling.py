@@ -241,6 +241,33 @@ def test_confirm_flags_reruns_ratio_flagged_query():
     assert t["a"] == 1.0
 
 
+def test_confirm_flags_early_stop_is_sha_gated():
+    # A sha-RESET query (oracle rewritten) flagged only by the
+    # absolute rule: the early-stop must consult the same sha-gated
+    # ratio predicate as compute_regressions — once the absolute rule
+    # clears, no second rerun should be spent on a ratio rule that can
+    # never fire for a sha-mismatched query. (The old inline check
+    # omitted the sha condition and kept rerunning.)
+    from bench import confirm_flags
+
+    calls = []
+
+    def rerun(n):
+        calls.append(n)
+        return 1.8  # clears the absolute rule (2x=2.0) on rerun 1
+
+    prior_t, prior_d = {"a": 1.0}, {"a": 0.1}
+    times, duck = {"a": 2.5}, {"a": 0.1}
+    # At best=1.8 the raw ratio (18 vs prior 10) would still exceed
+    # 1.5x — the ungated check kept rerunning here; the sha gate makes
+    # one rerun suffice because the ratio rule can't apply.
+    t, absolute, ratio, cov, reran = confirm_flags(
+        times, duck, prior_t, prior_d, {"a": "new"}, {"a": "old"}, rerun
+    )
+    assert absolute == [] and ratio == [] and cov == 0
+    assert reran == ["a"] and len(calls) == 1 and t["a"] == 1.8
+
+
 def test_confirm_flags_never_reruns_above_cap():
     # Wall-clock guard: a flagged query over SLOW_RERUN_CAP keeps its
     # single measurement and its flag — no confirmation runs.

@@ -744,10 +744,28 @@ def test_null_vectors_dropped_at_numpy_boundaries(spark):
 
 
 def test_ivf_null_vectors_dropped(spark):
+    # vec_id 101's md5('ivf:101') sorts BELOW every hash of ids 0..39,
+    # so the null lands inside the top-4 centroid hash sample — the
+    # drop rule must hold structurally, not by hash luck (the old
+    # vec_id-99 null happened to miss the sample).
     rows = [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(40)]
     rows.append((99, None))
+    rows.append((101, None))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     clean = df.filter(F.col("embedding").isNotNull())
     got = similarity.ivf_cosine_topk(df, df.filter(F.col("vec_id") % 10 == 0), dim=3, k=2, ncentroids=4, nprobe=2)
     want = similarity.ivf_cosine_topk(clean, clean.filter(F.col("vec_id") % 10 == 0), dim=3, k=2, ncentroids=4, nprobe=2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_refined_null_vectors_dropped(spark):
+    # refine>0 trains on ncentroids*TRAIN_PER_CENTROID rows — with a
+    # 41-row corpus the whole corpus IS the sample, so ANY null would
+    # have crashed the driver-local Lloyd step before the r9 fix.
+    rows = [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(40)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    clean = df.filter(F.col("embedding").isNotNull())
+    got = similarity.ivf_refined_centroids(df, ncentroids=4, dim=3, iters=1)
+    want = similarity.ivf_refined_centroids(clean, ncentroids=4, dim=3, iters=1)
+    assert got == want

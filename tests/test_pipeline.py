@@ -150,6 +150,43 @@ def test_excess_labeling(spark, statuses, expected):
     assert [r.excess for r in out] == expected
 
 
+def test_excess_labeling_tie_on_start_time(spark):
+    # All-failed task whose attempts TIE on startTime: the un-mark
+    # must resolve by taskAttemptId alone (the J5 order is startTime
+    # then attemptId — ParseJobsFromLogs.java:709-748).
+    rows = [
+        ("job_1", "task_1", a, "FAILED", 100, 1000)
+        for a in ("a3", "a1", "a2")
+    ]
+    df = spark.createDataFrame(
+        rows, "jobId string, taskId string, taskAttemptId string, taskStatus string, startTime long, finishTime long"
+    )
+    out = {r.taskAttemptId: r.excess for r in reconstruct.label_excess(df).collect()}
+    assert out == {"a1": False, "a2": True, "a3": True}
+
+
+def test_excess_attempt_labeling_query_exercises_edge_cases(spark):
+    # The registered J5 query must actually CONTAIN the edge cases it
+    # claims: at least one all-failed task with an un-marked first
+    # attempt, and at least one all-failed task whose attempts tie on
+    # startTime.
+    from white_elephant_spark.plans.registry import all_queries
+
+    q = all_queries()["excess_attempt_labeling"]
+    out = q.fn(spark, "/root/testdata/sf0.001")
+    agg = out.groupBy("jobId", "taskId").agg(
+        F.max((F.col("taskStatus") == "SUCCESS").cast("int")).alias("any_success"),
+        F.sum((~F.col("excess")).cast("int")).alias("n_unmarked"),
+        (F.count_distinct("startTime") == 1).cast("int").alias("tied"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    allfail = agg.filter((F.col("any_success") == 0) & (F.col("n") > 1))
+    assert allfail.count() > 0
+    # exactly one un-marked attempt per all-failed task
+    assert allfail.filter(F.col("n_unmarked") != 1).count() == 0
+    assert allfail.filter(F.col("tied") == 1).count() > 0
+
+
 def test_job_fragment_merge_terminal_status(spark):
     # quirk 4: jobStatus only from lines that also carry FINISH_TIME.
     df = _lines(

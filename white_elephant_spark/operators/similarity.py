@@ -501,7 +501,8 @@ def ivf_centroids(
     re-derives it exactly (``ORDER BY md5(...) LIMIT C``)."""
     key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
     rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), key.alias("hk"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), key.alias("hk"))
         .orderBy("hk", "cid")
         .limit(ncentroids)
         .collect()
@@ -516,6 +517,7 @@ def sql_ivf_centroids(ncentroids: int = 32, table: str = "embeddings") -> str:
     """DuckDB twin of :func:`ivf_centroids` (before norm attachment)."""
     return (
         f"SELECT vec_id AS cid, embedding AS cvec FROM {table} "
+        f"WHERE embedding IS NOT NULL "
         f"ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {ncentroids}"
     )
 
@@ -1223,7 +1225,8 @@ def ivf_refined_centroids(
     n_sample = ncentroids * train_per_centroid
     key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
     rows = (
-        corpus.select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tvec"), key.alias("hk"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tvec"), key.alias("hk"))
         .orderBy("hk", "tid")
         .limit(n_sample)
         .collect()
@@ -1287,6 +1290,7 @@ def sql_ivf_refined_centroids(
     chain = [
         f"""ivftrain AS (
   SELECT vec_id, embedding FROM {table}
+  WHERE embedding IS NOT NULL
   ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT {lim_sample}
 )""",
         "c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM ivftrain "

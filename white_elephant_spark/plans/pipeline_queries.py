@@ -39,11 +39,15 @@ from white_elephant_spark.sources.catalog import load_table
 # --------------------------------------------------------------------------
 
 
-def _attempts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _attempts_from_events(
+    spark: SparkSession, sf_dir: str, keep_event_id: bool = False
+) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = F.col("event_id")
     start = F.unix_millis(F.col("ts").cast("timestamp"))
+    extra = [e.alias("event_id")] if keep_event_id else []
     return ev.select(
+        *extra,
         F.concat(F.lit("job_"), (e / 40).cast("long").cast("string")).alias("jobId"),
         F.concat(F.lit("task_"), (e / 4).cast("long").cast("string")).alias("taskId"),
         F.concat(F.lit("attempt_"), e.cast("string")).alias("taskAttemptId"),
@@ -190,6 +194,74 @@ def usage_metric_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(m.name)
             for m in METRICS.values()
         ]
+    )
+
+
+# --------------------------------------------------------------------------
+# J5 — dedicated excess-attempt labeling query (its own labeled output,
+# not embedded in cube totals)
+# --------------------------------------------------------------------------
+
+# The base attempt stream gives every task (4 consecutive event_ids)
+# at least one SUCCESS (ids n..n+3 mod 3 cover {0,1,2}), so the J5
+# all-failed un-mark rule (ParseJobsFromLogs.java:709-748) would never
+# execute on it. Two deterministic overrides, mirrored in both
+# engines, force the rule's edge cases:
+#   - every 7th task: all attempts FAILED → no SUCCESS → the FIRST
+#     attempt by (startTime, taskAttemptId) must be un-marked;
+#   - every 5th task: one task-constant startTime → all four attempts
+#     TIE on startTime and the ordering falls to taskAttemptId alone
+#     (tasks ≡ 0 mod 35 hit both: the un-mark must resolve the tie).
+_J5_CTE = f"""
+{_ATT_CTE},
+attx AS (
+  SELECT jobId, taskId, taskAttemptId,
+         CASE WHEN CAST(substr(taskId, 6) AS BIGINT) % 7 = 0 THEN 'FAILED'
+              ELSE taskStatus END AS taskStatus,
+         CASE WHEN CAST(substr(taskId, 6) AS BIGINT) % 5 = 0
+              THEN CAST(substr(taskId, 6) AS BIGINT) * 1000
+              ELSE startTime END AS startTime
+  FROM att
+)
+"""
+
+
+@register(
+    "excess_attempt_labeling",
+    oracle=f"""
+WITH {_J5_CTE.lstrip()}
+SELECT jobId, taskId, taskAttemptId, taskStatus, startTime,
+  CASE WHEN taskStatus = 'SUCCESS' THEN FALSE
+       WHEN MAX(CASE WHEN taskStatus = 'SUCCESS' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY jobId, taskId) = 1 THEN TRUE
+       ELSE ROW_NUMBER() OVER (PARTITION BY jobId, taskId
+                               ORDER BY startTime, taskAttemptId) <> 1
+  END AS excess
+FROM attx
+""",
+    tags=("pipeline", "window"),
+)
+def excess_attempt_labeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — per-attempt excess labels as their own output
+    (ParseJobsFromLogs.java:709-748): non-SUCCESS attempts of a task
+    with any SUCCESS are excess; in an all-failed task the first
+    attempt (startTime, then taskAttemptId — ties included) is
+    un-marked. The oracle re-derives the labels with independent
+    window SQL over the same edge-case-bearing attempt stream."""
+    att = _attempts_from_events(spark, sf_dir, keep_event_id=True)
+    tno = (F.col("event_id") / 4).cast("long")
+    att = att.withColumns(
+        {
+            "taskStatus": F.when(tno % 7 == 0, F.lit("FAILED")).otherwise(
+                F.col("taskStatus")
+            ),
+            "startTime": F.when(tno % 5 == 0, tno * 1000).otherwise(
+                F.col("startTime")
+            ),
+        }
+    )
+    return reconstruct.label_excess(att).select(
+        "jobId", "taskId", "taskAttemptId", "taskStatus", "startTime", "excess"
     )
 
 

@@ -108,14 +108,26 @@ class HadoopFsListing:
         # the per-level hidden rule is applied by checking every path
         # segment BELOW the root (the root itself may legitimately be
         # hidden-named), matching Hadoop's per-directory PathFilter.
-        root_uri = str(fs.makeQualified(p)).rstrip("/") + "/"
+        # Segments are derived STRUCTURALLY — getPath().getParent()
+        # walked up to the listing root — never by string-prefix
+        # slicing a URI: makeQualified(root) and listFiles output can
+        # disagree on URI form (authority casing, trailing encoding)
+        # on some filesystems, and a silent fallback to name-only
+        # filtering would quietly ingest another writer's in-flight
+        # _temporary/ output.
+        root_depth = fs.makeQualified(p).depth()
         out: dict[str, float] = {}
         it = fs.listFiles(p, True)  # recursive; pages on object stores
         while it.hasNext():
             st = it.next()
-            full = str(st.getPath())
-            rel = full[len(root_uri):] if full.startswith(root_uri) else st.getPath().getName()
-            if any(_hidden(seg) for seg in rel.split("/")):
+            jp = st.getPath()
+            full = str(jp)
+            segs: list[str] = []
+            node = jp
+            while node is not None and node.depth() > root_depth:
+                segs.append(node.getName())
+                node = node.getParent()
+            if any(_hidden(seg) for seg in segs):
                 continue
             if not full.endswith(suffix):
                 continue
