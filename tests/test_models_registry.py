@@ -427,3 +427,133 @@ def test_missing_corpus_never_servable(spark, tmp_path, disk_store):
     ck = models.corpus_key(str(tmp_path), "ghost")
     models._write_meta(d, (ck[0], "missing:otherprocess"), "m", ("x-v1",))
     assert all(not e["servable"] for e in models.disk_entries())
+
+
+# ------------------------------------------- multi-PROCESS store soak
+#
+# The r8 race tests pin two callers in ONE process; the serving daemon
+# makes two PROCESSES sharing one disk store the real deployment shape
+# (r8 verdict #5). Two true daemon processes soak the store —
+# concurrent cold-train, concurrent gc_disk walks, and a corpus
+# refresh landing mid-soak — and must end with exactly one servable
+# artifact, zero worker errors, and no retrain storm (each process
+# trains at most once per corpus version; everything else memo- or
+# disk-serves).
+
+_SOAK_WORKER_SRC = '''
+import os, sys, time
+
+repo, store, corpus_dir, log_path, start_marker, run_s = (
+    sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5],
+    float(sys.argv[6]),
+)
+os.environ["SPARK_GRAFT_MODEL_DIR"] = store
+sys.path.insert(0, repo)
+from white_elephant_spark import models
+
+
+class _Ctx:
+    applicationId = "soak-app"
+
+
+class _FakeSpark:  # disk-tier soak needs no JVM: only _session_key touches it
+    sparkContext = _Ctx()
+
+
+spark = _FakeSpark()
+
+
+def trainer():
+    with open(log_path, "a") as f:
+        f.write("T %d\\n" % os.getpid())
+    time.sleep(0.05)  # widen the cold-train race window
+    return {"k": 42}
+
+
+with open(start_marker, "w") as f:
+    f.write("up")
+end = time.time() + run_s
+i = 0
+while time.time() < end:
+    got = models.get_or_train(
+        spark, corpus_dir, "tbl", "m", ("soak-v1",), trainer, disk=True
+    )
+    assert got == {"k": 42}, got
+    if i % 5 == 2:
+        models.gc_disk()  # concurrent store walk (default grace)
+    i += 1
+    time.sleep(0.01)
+print("WORKER-DONE iters=%d" % i)
+'''
+
+
+def test_multi_process_store_soak(tmp_path, disk_store):
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "tbl.parquet").write_text("v1")
+    log = tmp_path / "trains.log"
+    log.write_text("")
+    script = tmp_path / "soak_worker.py"
+    script.write_text(_SOAK_WORKER_SRC)
+
+    procs, markers = [], []
+    for w in range(2):
+        marker = tmp_path / f"up-{w}"
+        markers.append(marker)
+        procs.append(
+            subprocess.Popen(
+                [
+                    _sys.executable, str(script), repo, str(disk_store),
+                    str(corpus), str(log), str(marker), "5",
+                ],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    # wait until BOTH daemons are inside their soak loops, then land a
+    # corpus refresh mid-query: the freshness token changes, the old
+    # artifact stops validating, and each process must retrain (or
+    # disk-load the other's retrain) exactly once.
+    deadline = time.time() + 60
+    while not all(m.exists() for m in markers):
+        assert time.time() < deadline, "workers failed to start"
+        time.sleep(0.05)
+    time.sleep(1.5)
+    later = time.time() + 5
+    os.utime(corpus / "tbl.parquet", (later, later))
+
+    outs = [p.communicate(timeout=120)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    assert all("WORKER-DONE" in o for o in outs), outs
+
+    # exactly one servable artifact dir, no .tmp-* orphans — and it
+    # carries the POST-refresh freshness token (proof the mid-soak
+    # corpus rewrite was observed and retrained, not served stale)
+    entries = models.disk_entries()
+    assert [e["servable"] for e in entries] == [True], entries
+    assert not [e for e in entries if e["tmp"]]
+    ck = models.corpus_key(str(corpus), "tbl")
+    assert entries[0]["meta"]["token"] == ck[1]
+
+    # no retrain storm: at most (2 processes) x (2 corpus versions)
+    trains = [ln for ln in log.read_text().splitlines() if ln.startswith("T ")]
+    assert 1 <= len(trains) <= 4, trains
+
+    # a fresh cold "session" (this process) warm-loads, zero retrains
+    _wipe_memo()
+
+    class _Ctx:
+        applicationId = "soak-main"
+
+    class _FakeSpark:
+        sparkContext = _Ctx()
+
+    calls = []
+    got = models.get_or_train(
+        _FakeSpark(), str(corpus), "tbl", "m", ("soak-v1",),
+        lambda: calls.append(1) or {"k": -1}, disk=True,
+    )
+    assert calls == [] and got == {"k": 42}

@@ -112,3 +112,88 @@ def test_funnel_query_is_one_fused_pipeline(spark):
     # tagged (funnel half, once) + the cohort leg's first-seen (used
     # by both the join and the sizes branch) and active scans
     assert len(re.findall(r"Scan parquet", plan)) <= 4
+
+
+# ------------------------------------------- EXPLAIN.md drift tripwire
+# (round-9 VERDICT #4: a silent broadcast→SMJ fallback or an exchange
+# regression must fail CI instead of hiding inside bench noise)
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_REPO, "tools"))
+
+from explain_audit import (  # noqa: E402
+    audit,
+    drift_violations,
+    formatted_plan,
+    parse_explain_md,
+)
+
+_EXPLAIN_MD = os.path.join(_REPO, "EXPLAIN.md")
+
+
+def _static_audit(spark, df) -> dict:
+    """Audit the statically-planned shape, AQE off — the same
+    conditions tools/explain_audit.py recorded EXPLAIN.md under."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return audit(formatted_plan(df))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_no_plan_shape_drift_vs_explain_md(spark):
+    """Every bench headline query's plan must stay within the
+    committed EXPLAIN.md ceilings: total Exchange count, and per
+    hazard join strategy (SMJ/SHJ/BNLJ/Cartesian) count. EXPLAIN.md
+    is recorded at sf0.1; this runs at sf0.001, where size-estimate
+    driven decisions can only move TOWARD broadcast (smaller sides),
+    so the ceilings hold and a structural regression — a plan change
+    adding a shuffle, an explicit broadcast lost to a threshold
+    change — still trips. Regenerate EXPLAIN.md (tools/
+    explain_audit.py) when a plan legitimately changes."""
+    from bench import HEADLINE
+    from white_elephant_spark.plans.registry import all_queries
+
+    expected = parse_explain_md(_EXPLAIN_MD)
+    qs = all_queries()
+    names = [n for n in HEADLINE if n in qs and n in expected]
+    assert len(names) >= 30, f"EXPLAIN.md lost headline coverage: {len(names)}"
+    violations: list[str] = []
+    for name in names:
+        actual = _static_audit(spark, qs[name].fn(spark, SF))
+        violations += drift_violations(name, expected[name], actual)
+    assert violations == []
+
+
+def test_drift_tripwire_is_red_on_broadcast_fallback(spark):
+    """Self-check of the tripwire's teeth: replanning q5 with
+    autoBroadcastJoinThreshold=-1 (the silent-fallback failure mode —
+    non-hinted joins degrade to SortMergeJoin and grow exchanges) must
+    produce violations against the committed artifact."""
+    from white_elephant_spark.plans.registry import all_queries
+
+    expected = parse_explain_md(_EXPLAIN_MD)["q5_nation_revenue"]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = all_queries()["q5_nation_revenue"].fn(spark, SF)
+        actual = _static_audit(spark, df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    v = drift_violations("q5_nation_revenue", expected, actual)
+    assert any("SortMergeJoin" in x for x in v)
+    assert any("exchanges" in x for x in v)
+
+
+def test_parse_explain_md_roundtrip():
+    got = parse_explain_md(_EXPLAIN_MD)
+    assert len(got) >= 45
+    q5 = got["q5_nation_revenue"]
+    assert q5["joins"].get("BroadcastHashJoin", 0) > 0
+    assert q5["exchanges"] >= 1
+    # 'none' joins parse to an empty dict
+    assert got["q1_pricing_summary"]["joins"] == {}

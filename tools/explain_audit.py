@@ -56,6 +56,76 @@ def audit(plan: str) -> dict:
     }
 
 
+# Join strategies that indicate a scale hazard when they APPEAR where
+# the committed artifact had none (broadcast→SMJ fallback after a
+# threshold-crossing change, a new nested loop, a cartesian): the
+# drift tripwire bounds their counts by the artifact's.
+DRIFT_BOUNDED_JOINS = (
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+)
+
+
+def parse_explain_md(path: str) -> dict[str, dict]:
+    """Parse the committed EXPLAIN.md back into per-query audit dicts
+    ({name: {joins, exchanges, reused_exchanges, codegen_spans}}) —
+    the comparison base for the plan-shape drift tripwire
+    (tests/test_plan_shapes_new.py)."""
+    out: dict[str, dict] = {}
+    name = None
+    with open(path) as f:
+        for line in f:
+            m = re.match(r"^## (\S+)\s*$", line)
+            if m:
+                name = m.group(1)
+                continue
+            m = re.match(
+                r"^- joins: (.+); exchanges: (\d+)(?: \(\+(\d+) reused\))?; "
+                r"codegen spans: (\d+)",
+                line,
+            )
+            if m and name:
+                joins: dict[str, int] = {}
+                if m.group(1) != "none":
+                    for part in m.group(1).split(", "):
+                        k, _, v = part.partition("×")
+                        joins[k] = int(v)
+                out[name] = {
+                    "joins": joins,
+                    "exchanges": int(m.group(2)),
+                    "reused_exchanges": int(m.group(3) or 0),
+                    "codegen_spans": int(m.group(4)),
+                }
+                name = None
+    return out
+
+
+def drift_violations(name: str, expected: dict, actual: dict) -> list[str]:
+    """Plan-shape drift rules, ceilings taken from the committed
+    artifact (slack 0 — the artifact is regenerated whenever a plan
+    legitimately changes):
+
+    - total Exchange count must not exceed the artifact's;
+    - each DRIFT_BOUNDED_JOINS strategy's count must not exceed the
+      artifact's — in particular, a SortMergeJoin appearing where the
+      artifact records broadcast-only joins (a silent broadcast→SMJ
+      fallback) is a violation even when the exchange count happens
+      to stay within bounds."""
+    v: list[str] = []
+    if actual["exchanges"] > expected["exchanges"]:
+        v.append(
+            f"{name}: exchanges {actual['exchanges']} > committed "
+            f"{expected['exchanges']}"
+        )
+    for k in DRIFT_BOUNDED_JOINS:
+        a, e = actual["joins"].get(k, 0), expected["joins"].get(k, 0)
+        if a > e:
+            v.append(f"{name}: {k}×{a} > committed {k}×{e}")
+    return v
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 

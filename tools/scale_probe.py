@@ -91,8 +91,13 @@ def _label(path: str) -> str:
 
 
 #: shuffle partitions for the probe session — must match the bench
-#: config for the cross-check below to be apples-to-apples.
-PROBE_PARTS = 8
+#: config for the cross-check below to be apples-to-apples. The sf0.1
+#: bench records at the default 8; the sf1 gate convention is
+#: SPARK_GRAFT_BENCH_PARTS=16, so the sf1 --append probe runs with
+#: SPARK_GRAFT_PROBE_PARTS=16 (the cross-check SKIPS on a mismatch
+#: rather than flag healthy shuffle-heavy rows — r8 left the sf1
+#: check skipped by running the probe at 8).
+PROBE_PARTS = int(os.environ.get("SPARK_GRAFT_PROBE_PARTS", "8"))
 
 # Factor beyond which a SCALING row disagreeing with the committed
 # bench artifact of record is flagged stale/irreproducible. Both runs
@@ -254,7 +259,8 @@ def main() -> None:
         header,
         "",
         *provenance,
-        "Generated by `tools/scale_probe.py`. Per headline query: wall",
+        f"Generated by `tools/scale_probe.py` at shuffle-partitions="
+        f"{PROBE_PARTS}. Per headline query: wall",
         "time (best of 2, third run under 8s — bench.py's policy;",
         "noop-sink materialization) and output rows at",
         "both scale factors, and the growth factors. A time factor",
