@@ -115,6 +115,7 @@ HEADLINE = [
     "corpus_chunk_pack",
     "embedding_cluster_map",
     "event_funnel_cohorts",
+    "excess_attempt_labeling",
 ]
 
 # A first run up to this cap always gets one confirmation rerun (best

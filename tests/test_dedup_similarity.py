@@ -769,3 +769,75 @@ def test_ivf_refined_null_vectors_dropped(spark):
     got = similarity.ivf_refined_centroids(df, ncentroids=4, dim=3, iters=1)
     want = similarity.ivf_refined_centroids(clean, ncentroids=4, dim=3, iters=1)
     assert got == want
+
+
+# ----------------------------- r9 third-decade cliff fixes (IVF/SemDeDup)
+
+
+def test_top1_cells_tie_and_nan_semantics():
+    # (cos DESC, cid ASC) with NaN-ranked-last — the lexsort/ROW_NUMBER
+    # rule the chunked argmax kernel must reproduce exactly.
+    import numpy as np
+
+    cids = np.array([3, 7, 9], dtype=np.int64)
+    C = np.array([[1.0, 0.0], [0.0, 1.0], [0.0, 1.0]], dtype=np.float64).T
+    cnorms = np.array([1.0, 1.0, 1.0])
+    V = np.array(
+        [
+            [0.0, 2.0],   # ties between cid 7 and 9 -> lowest cid wins
+            [2.0, 0.0],   # plain nearest -> cid 3
+            [0.0, 0.0],   # zero vector: all-NaN cosines -> first cid
+        ]
+    )
+    got = similarity._top1_cells(V, cids, C, cnorms, 2)
+    assert got.tolist() == [7, 3, 3]
+
+
+def test_lloyd_chunking_invariant(spark, monkeypatch):
+    # Row-chunked assignment must not change trained centroids (each
+    # row's arithmetic is independent).
+    rows = [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = similarity.ivf_refined_centroids(df, ncentroids=4, dim=3, iters=2)
+    monkeypatch.setattr(similarity, "_ASSIGN_CHUNK", 3)
+    assert similarity.ivf_refined_centroids(df, ncentroids=4, dim=3, iters=2) == base
+
+
+def test_train_sample_cap_binds(spark, monkeypatch):
+    # With a corpus-scaled centroid count the per-centroid sample rule
+    # alone grows the driver Lloyd quadratically; the cap must bound
+    # the sample to the top-CAP hash prefix — identical to training on
+    # the pre-filtered top-CAP corpus.
+    rows = [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    monkeypatch.setattr(similarity, "TRAIN_SAMPLE_CAP", 8)
+    capped = similarity.ivf_refined_centroids(df, ncentroids=2, dim=3, iters=1)
+    # hash-top-8 subset as its own corpus trains identically
+    import hashlib as _h
+
+    def hk(i):
+        return _h.md5(f"ivf:{i}".encode()).hexdigest()
+
+    top8 = sorted(range(40), key=lambda i: (hk(i), i))[:8]
+    sub = df.filter(F.col("vec_id").isin(top8))
+    monkeypatch.setattr(similarity, "TRAIN_SAMPLE_CAP", 131072)
+    want = similarity.ivf_refined_centroids(sub, ncentroids=2, dim=3, iters=1)
+    assert capped == want
+
+
+def test_sql_twin_mirrors_sample_cap():
+    sql = similarity.sql_ivf_refined_centroids(dim=4, iters=1, k_cte="kk")
+    assert f"least(k * {similarity.TRAIN_PER_CENTROID}, {similarity.TRAIN_SAMPLE_CAP})" in sql
+
+
+def test_ivf_build_index_emits_scalar_cell(spark):
+    # The assignment kernel returns ONE cell id per row (bigint), not
+    # the full C-length ranking — the O(N*C) UDF output was the r9
+    # third-decade memory cliff.
+    rows = [(i, [float(i % 3 + 1), float(i % 5), 1.0]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.ivf_centroids(df, 4, "vec_id", "embedding")
+    idx = similarity.ivf_build_index(df, cents, 3)
+    assert dict(idx.dtypes)["cid"] == "bigint"
+    valid = {c[0] for c in cents}
+    assert all(r.cid in valid for r in idx.select("cid").collect())

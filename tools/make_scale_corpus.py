@@ -133,19 +133,39 @@ def main() -> None:
     _ALPHA = "abcdefghijklmnopqrstuvwxyz"
     _DIGIT = "0123456789"
 
+    def _perm(chars: str, seed: str) -> str:
+        """Deterministic md5-seeded permutation of a character class —
+        the general form of the rotation cipher for copy counts past
+        26: rotations repeat mod 26/10, so copies 0 and 26 would share
+        letter content and plant cross-copy duplicates that real
+        corpus growth does not have (the same artifact class the
+        per-token-suffix first cut had)."""
+        out = list(chars)
+        for i in range(len(out) - 1, 0, -1):
+            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+            j = h % (i + 1)
+            out[i], out[j] = out[j], out[i]
+        return "".join(out)
+
     def doc_copy(d, c: int):
         if c == 0:
             return d
-        # rotate within each character class — a bijection, so
-        # lengths, edit distances and within-copy shingle equalities
-        # are preserved bit-for-bit; n_chars stays valid
+        # bijection within each character class — lengths, edit
+        # distances and within-copy shingle equalities are preserved
+        # bit-for-bit; n_chars stays valid. Copies 1..25 rotate (byte
+        # compatible with the committed sf1 corpus); copies >=26 use
+        # seeded permutations so every copy pair stays content-disjoint.
         src = _ALPHA + _ALPHA.upper() + _DIGIT
-        rl, rd = c % 26, c % 10
-        dst = (
-            _ALPHA[rl:] + _ALPHA[:rl]
-            + (_ALPHA[rl:] + _ALPHA[:rl]).upper()
-            + _DIGIT[rd:] + _DIGIT[:rd]
-        )
+        if c < 26:
+            rl, rd = c % 26, c % 10
+            dst = (
+                _ALPHA[rl:] + _ALPHA[:rl]
+                + (_ALPHA[rl:] + _ALPHA[:rl]).upper()
+                + _DIGIT[rd:] + _DIGIT[:rd]
+            )
+        else:
+            lo = _perm(_ALPHA, f"alpha:{c}")
+            dst = lo + lo.upper() + _perm(_DIGIT, f"digit:{c}")
         return d.withColumn("text", F.translate(F.col("text"), src, dst))
 
     write(amplified(docs, {"doc_id": u_d}, doc_copy), "documents")

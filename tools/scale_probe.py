@@ -212,13 +212,29 @@ def _bench_crosscheck(
 
 
 def main() -> None:
-    global _SPARK
-    args = [a for a in sys.argv[1:] if a != "--append"]
-    append = "--append" in sys.argv[1:]
+    global _SPARK, FLAG_FACTOR
+    argv = sys.argv[1:]
+    append = "--append" in argv
+    only: set[str] | None = None
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--append":
+            pass
+        elif a == "--queries":
+            i += 1
+            only = set(argv[i].split(","))
+        elif a == "--flag-factor":
+            i += 1
+            FLAG_FACTOR = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     if len(args) == 1:
         sys.exit(
             "usage: scale_probe.py [sf_small_dir sf_big_dir] [--append]"
-            " — both dirs or neither"
+            " [--queries a,b,c] [--flag-factor N] — both dirs or neither"
         )
     sf_small = args[0] if args else "/root/testdata/sf0.01"
     sf_big = args[1] if args else "/root/testdata/sf0.1"
@@ -235,6 +251,11 @@ def main() -> None:
     )
     qs = all_queries()
     names = [n for n in HEADLINE if n in qs]
+    if only is not None:
+        unknown = only - set(names)
+        if unknown:
+            sys.exit(f"--queries not in headline set: {sorted(unknown)}")
+        names = [n for n in names if n in only]
     # warmup
     _SPARK.read.parquet(os.path.join(sf_small, "region.parquet")).count()
 

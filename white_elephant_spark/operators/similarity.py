@@ -522,20 +522,57 @@ def sql_ivf_centroids(ncentroids: int = 32, table: str = "embeddings") -> str:
     )
 
 
+#: row-chunk size for centroid-assignment kernels: bounds the
+#: transient (chunk × C) cosine matrix — at the corpus-scaled cell
+#: counts SemDeDup reaches past sf1 (k ≈ N/250), an unchunked
+#: (arrow-batch × k) matrix is hundreds of MB per Python worker and
+#: grows linearly with the corpus.
+_ASSIGN_CHUNK = 2048
+
+
+def _top1_cells(V, cids, C, cnorms, dim: int):
+    """Nearest-centroid assignment for a row block: (cos DESC, cid
+    ASC), exactly the lexsort/ROW_NUMBER rule — NaN cosines rank last,
+    ties break to the lowest cid (``cids`` is ascending, argmax takes
+    the first maximum). Strict left fold over element index keeps the
+    IEEE op sequence of the expression/oracle form."""
+    import numpy as np
+
+    n = V.shape[0]
+    dots = np.zeros((n, cids.shape[0]), dtype=np.float64)
+    vv = np.zeros(n, dtype=np.float64)
+    for i in range(dim):  # strict left fold, element order
+        col = V[:, i]
+        dots += col[:, None] * C[i]
+        vv += col * col
+    cos = dots / (np.sqrt(vv)[:, None] * cnorms)
+    cos = np.where(np.isnan(cos), -np.inf, cos)
+    return cids[np.argmax(cos, axis=1)]
+
+
 def centroid_ranking_arrow(cents: list[tuple[int, list[float], float]], dim: int):
-    """Arrow-batched centroid ranking: array<bigint> of centroid ids
-    ordered by (cosine to the row's vector DESC, cid ASC). Element 1
-    is the row's IVF cell; elements 1..nprobe are a query's probe
-    list.
+    """Arrow-batched nearest-centroid assignment: the centroid id
+    ranked first by (cosine to the row's vector DESC, cid ASC) — the
+    row's IVF cell.
 
     Replaces a C-wide array of interpreted ``aggregate``-lambda
     cosine structs (C=N/stride expressions × dim elements per row —
     the same non-codegen hot spot as the LSH sketches; see
     :func:`encoded_buckets_arrow`). Accumulation is in element index
     order and the cosine is ``dot / (norm·cnorm)`` with the exact
-    operation sequence of the expression form, so cell assignment and
-    probe order match the DuckDB oracle's
-    ``ROW_NUMBER ... ORDER BY ccos DESC, cid ASC`` bit-for-bit."""
+    operation sequence of the expression form, so cell assignment
+    matches the DuckDB oracle's
+    ``ROW_NUMBER ... ORDER BY ccos DESC, cid ASC`` bit-for-bit.
+
+    Scale notes (the r9 third-decade fix): the kernel returns ONLY the
+    top-1 cell id — the old form materialized the full C-length
+    ranking per row and serialized it back through Arrow so the caller
+    could take element 1, which at SemDeDup's corpus-scaled C
+    (≈N/250) made the UDF output itself O(N·C); and rows are processed
+    in :data:`_ASSIGN_CHUNK` blocks so the transient (rows × C) cosine
+    matrix stays bounded regardless of Arrow batch size. Query-side
+    probe lists (top-nprobe) are computed driver-side over the bounded
+    query collect in :func:`ivf_cosine_topk`, not here."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -544,22 +581,18 @@ def centroid_ranking_arrow(cents: list[tuple[int, list[float], float]], dim: int
     C = np.array([c[1] for c in cents], dtype=np.float64).T  # (dim, ncents)
     cnorms = np.array([c[2] for c in cents], dtype=np.float64)
 
-    @pandas_udf("array<bigint>")
+    @pandas_udf("bigint")
     def _rank(v):  # v: pd.Series of array<float> (hints omitted, see
         # encoded_buckets_arrow)
         if len(v) == 0:
-            return pd.Series([], dtype=object)
+            return pd.Series([], dtype="int64")
         V = np.asarray(v.tolist(), dtype=np.float64)
-        n = V.shape[0]
-        dots = np.zeros((n, cids.shape[0]), dtype=np.float64)
-        vv = np.zeros(n, dtype=np.float64)
-        for i in range(dim):  # strict left fold, element order
-            col = V[:, i]
-            dots += col[:, None] * C[i]
-            vv += col * col
-        cos = dots / (np.sqrt(vv)[:, None] * cnorms)
-        order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos))
-        return pd.Series(list(cids[order]))
+        out = np.empty(V.shape[0], dtype=np.int64)
+        for s in range(0, V.shape[0], _ASSIGN_CHUNK):
+            out[s : s + _ASSIGN_CHUNK] = _top1_cells(
+                V[s : s + _ASSIGN_CHUNK], cids, C, cnorms, dim
+            )
+        return pd.Series(out)
 
     return _rank
 
@@ -586,7 +619,7 @@ def ivf_build_index(
         F.col(id_col).alias("nbr_id"),
         F.col(vec_col).alias("nvec"),
         norm.alias("nnorm"),
-        F.element_at(ranked(F.col(vec_col)), 1).alias("cid"),
+        ranked(F.col(vec_col)).alias("cid"),
     )
 
 
@@ -1186,6 +1219,15 @@ WHERE rank <= {k}
 #: centroid suffice to place cell means; more adds cost, not recall).
 TRAIN_PER_CENTROID = 64
 
+#: Hard cap on the total Lloyd training sample. With a corpus-scaled
+#: centroid count (SemDeDup) the per-centroid rule alone makes the
+#: sample — and the driver's S×C assignment work — grow quadratically
+#: with the corpus; the cap keeps training O(cap·C·d) (linear in N
+#: through C). 131072 = 2048 centroids at the full 64/centroid; past
+#: that, vectors-per-centroid thins gracefully (faiss behaves the
+#: same way when its max training points bound binds).
+TRAIN_SAMPLE_CAP = 131072
+
 
 def ivf_refined_centroids(
     corpus: DataFrame,
@@ -1219,10 +1261,24 @@ def ivf_refined_centroids(
     arithmetic on a ~1 MB matrix. Corpora smaller than S train on
     everything — identical to the full-corpus form. Cells that lose
     every member drop out (their seed attracted nothing — standard
-    k-means behavior, deterministic here)."""
+    k-means behavior, deterministic here).
+
+    Scale bound (the r9 third-decade fix): callers with a
+    CORPUS-SCALED centroid count (SemDeDup: k ≈ N/250) make
+    ``S = k·64`` itself linear in N, so the driver Lloyd's S×k work
+    grew QUADRATICALLY — 36 GB of cosine matrix at a 2.1M-vector
+    corpus, measured dead one decade past sf1. ``S`` is therefore
+    capped at :data:`TRAIN_SAMPLE_CAP` (the DuckDB twin mirrors the
+    cap with ``least()``), and the assignment runs in
+    :data:`_ASSIGN_CHUNK` row blocks, bounding driver work at
+    O(cap·k·d) compute / O(chunk·k) memory — linear in N through k,
+    never quadratic. The cap only binds once k·64 > 131072 (k > 2048:
+    corpora past ~512k vectors at the SemDeDup cell target), far above
+    every correctness/bench SF, so trained centroids are unchanged
+    everywhere the oracle runs."""
     import numpy as np
 
-    n_sample = ncentroids * train_per_centroid
+    n_sample = min(ncentroids * train_per_centroid, TRAIN_SAMPLE_CAP)
     key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
     rows = (
         corpus.filter(F.col(vec_col).isNotNull())
@@ -1241,16 +1297,15 @@ def ivf_refined_centroids(
         cmat = np.array([c[1] for c in cents], dtype=np.float64).T  # (dim, C)
         cnorms = np.array([c[2] for c in cents], dtype=np.float64)
         n = sample.shape[0]
-        dots = np.zeros((n, cids.shape[0]), dtype=np.float64)
-        vv = np.zeros(n, dtype=np.float64)
-        for i in range(dim):  # strict left fold, element order — the
-            # exact op sequence of centroid_ranking_arrow / sql_cosine
-            col = sample[:, i]
-            dots += col[:, None] * cmat[i]
-            vv += col * col
-        cos = dots / (np.sqrt(vv)[:, None] * cnorms)
-        order = np.lexsort((np.broadcast_to(cids, cos.shape), -cos))
-        top1 = cids[order[:, 0]]
+        # chunked assignment: the transient (rows × C) cosine matrix is
+        # the quadratic-memory term the r9 cap/chunk fix removes; the
+        # per-row arithmetic (_top1_cells) keeps the exact op sequence
+        # of centroid_ranking_arrow / sql_cosine.
+        top1 = np.empty(n, dtype=np.int64)
+        for s0 in range(0, n, _ASSIGN_CHUNK):
+            top1[s0 : s0 + _ASSIGN_CHUNK] = _top1_cells(
+                sample[s0 : s0 + _ASSIGN_CHUNK], cids, cmat, cnorms, dim
+            )
         q = np.floor(sample * scale).astype(np.int64)  # micro-units
         new: list[tuple[int, list[float], float]] = []
         for cid in sorted(set(top1.tolist())):
@@ -1282,10 +1337,16 @@ def sql_ivf_refined_centroids(
     k from the data on both engines or the blocking wouldn't match.
     The Lloyd-step CTEs are k-independent either way."""
     if k_cte:
-        lim_sample = f"(SELECT k * {train_per_centroid} FROM {k_cte})"
+        # least() mirrors TRAIN_SAMPLE_CAP for corpus-scaled k — the
+        # cap never binds at oracle scales but the twin must state the
+        # same sampling rule the engine runs.
+        lim_sample = (
+            f"(SELECT least(k * {train_per_centroid}, {TRAIN_SAMPLE_CAP})"
+            f" FROM {k_cte})"
+        )
         lim_k = f"(SELECT k FROM {k_cte})"
     else:
-        lim_sample = str(ncentroids * train_per_centroid)
+        lim_sample = str(min(ncentroids * train_per_centroid, TRAIN_SAMPLE_CAP))
         lim_k = str(ncentroids)
     chain = [
         f"""ivftrain AS (
