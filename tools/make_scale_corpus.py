@@ -19,19 +19,26 @@ genuinely bigger data rather than a degenerate pile of duplicates):
 - **Dimension tables stay fixed.** region/nation are genuinely
   dimension-sized at every sf; nationkey references are untouched.
 - **Copies are content-disjoint.** Texts go through a copy-specific
-  alphanumeric substitution cipher (``translate`` with a rotated
-  alphabet) and embeddings a deterministic per-(copy, dim) diagonal
-  scale in [0.8, 1.2]. A per-character bijection preserves EVERY
-  intra-copy relationship exactly — lengths, token boundaries, edit
-  distances, shingle equalities — so each copy carries the same
-  planted duplicate/near-duplicate/fuzzy-typo structure as the
-  original, while cross-copy q-grams and shingles are disjoint and
-  same-origin cosines drop to ~0.993 < the 0.999 near-dup threshold.
+  alphanumeric substitution cipher (``translate`` with a rotated or
+  md5-permuted alphabet) and embeddings a deterministic per-copy
+  ORTHOGONAL ROTATION. A per-character bijection preserves EVERY
+  intra-copy text relationship exactly — lengths, token boundaries,
+  edit distances, shingle equalities — and an orthogonal transform
+  preserves every intra-copy cosine/norm exactly, so each copy
+  carries the same planted duplicate/near-duplicate/fuzzy-typo
+  structure as the original, while cross-copy q-grams and shingles
+  are disjoint and same-origin cosines drop to ~N(0, 1/dim) ≈ 0.
   Without this, every dedup/ANN/fuzzy candidate set would grow
   quadratically in ``copies`` — a data artifact real corpus growth
-  does not have, which would flag honest plans as superlinear (the
-  first cut used per-token suffixes: cross-copy grams stayed ~shared
-  and the Ed-Join candidate volume grew 45x instead of 10x).
+  does not have, which would flag honest plans as superlinear. Two
+  measured instances of that artifact class drove the current rules:
+  the first cut used per-token text suffixes (cross-copy grams
+  stayed ~shared; Ed-Join candidates grew 45x instead of 10x), and
+  the second used a per-(copy, dim) diagonal scale in [0.8, 1.2] for
+  embeddings (same-origin cross-copy cosines stayed ~0.993 — below
+  the 0.999 near-dup threshold but ABOVE SemDeDup's 0.95, planting
+  origins x C(copies, 2) semantic pairs: 9.9M of the 11.2M pairs at
+  100 copies, found by the r9 third-decade probe).
 
 Usage: python tools/make_scale_corpus.py [src_dir out_dir copies]
        (defaults: /root/testdata/sf0.1 <repo>/.scratch/sf1 10)
@@ -63,14 +70,18 @@ def _shift(df, cols: dict[str, int], c: int):
     return out
 
 
-def _emb_factors(c: int, dim: int) -> list[float]:
-    """Per-(copy, dim) diagonal in [0.8, 1.2] from md5 — reproducible
-    everywhere, no RNG state."""
-    vals = []
-    for i in range(dim):
-        h = hashlib.md5(f"scale:{c}:{i}".encode()).hexdigest()
-        vals.append(0.8 + 0.4 * (int(h[:8], 16) / 0xFFFFFFFF))
-    return vals
+def _emb_rotation(c: int, dim: int):
+    """Deterministic per-copy orthogonal matrix: md5-seeded Gaussian →
+    QR, columns sign-fixed on R's diagonal so the result is unique
+    regardless of LAPACK's QR sign convention. Orthogonality preserves
+    every intra-copy cosine and norm bit-for-float32, while a random
+    rotation sends cross-copy same-origin cosines to ~N(0, 1/dim)."""
+    import numpy as np
+
+    seed = int(hashlib.md5(f"scale-rot:{c}".encode()).hexdigest()[:8], 16)
+    g = np.random.RandomState(seed).standard_normal((dim, dim))
+    q, r = np.linalg.qr(g)
+    return q * np.sign(np.diag(r))
 
 
 def main() -> None:
@@ -173,14 +184,22 @@ def main() -> None:
     def emb_copy(d, c: int):
         if c == 0:
             return d
-        lits = ", ".join(f"CAST({f!r} AS DOUBLE)" for f in _emb_factors(c, dim))
-        return d.withColumn(
-            "embedding",
-            F.expr(
-                f"zip_with(embedding, array({lits}),"
-                " (x, f) -> CAST(CAST(x AS DOUBLE) * f AS FLOAT))"
-            ),
-        )
+        rot = _emb_rotation(c, dim)
+
+        def _apply(batches, _rot=rot):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+                y = (x @ _rot.T).astype(np.float32)
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "embedding": list(y)}
+                )
+
+        return d.mapInPandas(_apply, schema=d.schema)
 
     write(amplified(emb, {"vec_id": u_v}, emb_copy), "embeddings")
     print(f"amplified {src} x{copies} -> {out_root}")

@@ -273,7 +273,7 @@ def fingerprint_clusters(
     fps: DataFrame,
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bands: int = 8,
+    bands: int = 4,
     max_iter: int = 50,
 ) -> DataFrame:
     """Duplicate clusters from SimHash fingerprints, **collapsed to
@@ -291,7 +291,11 @@ def fingerprint_clusters(
        templates pairs O(M²) at doc level but O(D·bands) here.
     2. radix-band candidate join over *distinct* fingerprints only
        (complete for ``max_hamming ≤ bands - 1`` by pigeonhole),
-       exact ``bit_count(XOR)`` filter.
+       exact ``bit_count(XOR)`` filter. Bands default to the minimum
+       complete count (widest slices) — see
+       :func:`~white_elephant_spark.operators.dedup.
+       simhash_neardup_pairs` for the keyspace-scaling argument (the
+       r9 third-decade fix).
     3. iterative min-label :func:`connected_components` over the
        fingerprint graph — node count = distinct fingerprints, not
        corpus rows.
@@ -378,7 +382,7 @@ components AS (
 
 
 def sql_fingerprint_clusters(
-    docs_cte: str, fp_sql: str, max_hamming: int = 3, bands: int = 8
+    docs_cte: str, fp_sql: str, max_hamming: int = 3, bands: int = 4
 ) -> str:
     """DuckDB twin of :func:`fingerprint_clusters`: CTE chain from a
     docs CTE (doc_id, text) and a fingerprint SELECT ``fp_sql``

@@ -298,7 +298,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       re-derives, so even the approximation is hash-checked."""
     docs = _docs_with_copies(spark, sf_dir)
     fps = dedup.simhash64(docs)
-    sim_leg = clustering.fingerprint_clusters(docs, fps, max_hamming=3, bands=8).select(
+    sim_leg = clustering.fingerprint_clusters(docs, fps, max_hamming=3).select(
         F.lit("simhash").alias("kind"),
         "doc_id",
         "cluster_id",
