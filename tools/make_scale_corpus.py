@@ -188,16 +188,14 @@ def main() -> None:
 
         def _apply(batches, _rot=rot):
             import numpy as np
-            import pandas as pd
 
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
-                y = (x @ _rot.T).astype(np.float32)
-                yield pd.DataFrame(
-                    {"vec_id": pdf["vec_id"], "embedding": list(y)}
-                )
+                pdf = pdf.copy()
+                pdf["embedding"] = list((x @ _rot.T).astype(np.float32))
+                yield pdf
 
         return d.mapInPandas(_apply, schema=d.schema)
 
