@@ -227,11 +227,16 @@ def prior_bench(
     """(filename, per-query Spark times, per-query DuckDB times,
     per-query oracle hashes) of the most recent committed
     BENCH_r*.json at the same SF — the comparison base for the
-    regression tripwires. When the driver artifact is unrecoverable
-    (its capped tail can truncate anywhere — r7's lost the whole
-    queries dict), the committed full sidecar
-    ``BENCH_full_r{N}_sf{SF}.json`` for the same round stands in.
-    (None, {}, {}, {}) when no comparable prior exists."""
+    regression tripwires. When the driver artifact can't serve —
+    unrecoverable (its capped tail can truncate anywhere — r7's lost
+    the whole queries dict), sf-less, or PROVABLY recorded at a
+    different SF (the driver's gate runs sf0.1; the sf1 leg only ever
+    exists as a sidecar, which is why r9's sf1 run had no prior and
+    ``ratio_rule_coverage: 0``) — the committed full sidecar
+    ``BENCH_full_r{N}_sf{SF}.json`` for the same round stands in: it
+    is the complete record of a real same-SF run in that round, and it
+    validates its own sf field. (None, {}, {}, {}) when no comparable
+    prior exists."""
     cands = []
     for f in os.listdir(repo):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", f)
@@ -240,24 +245,19 @@ def prior_bench(
     for n, f in sorted(cands, reverse=True):
         # Strict SF match on the driver artifact: a wrapper that lost
         # its top-level "sf" key must not match any SF — a cross-SF
-        # comparison flags everything. A recorded round at a DIFFERENT
-        # sf is also not a prior for this one.
-        sf_known = None
+        # comparison flags everything.
         try:
             with open(os.path.join(repo, f)) as fh:
                 d = json.load(fh)
-            sf_known = d.get("sf")
-            if sf_known == sf:
+            if d.get("sf") == sf:
                 times = _bench_times(d)
                 if times:
                     return f, times, _duck_times(d), _oracle_shas(d)
         except (OSError, ValueError):
-            d = None  # unreadable wrapper: sidecar may still stand in
-        if sf_known is not None and sf_known != sf:
-            continue  # provably a different-SF round — skip entirely
-        # Driver artifact unusable (unrecoverable tail, bad JSON, or
-        # sf-less wrapper): the committed full sidecar for the SAME
-        # round stands in. It validates its own sf field.
+            pass  # unreadable wrapper: sidecar may still stand in
+        # Driver artifact unusable FOR THIS SF: the committed full
+        # sidecar for the same round (named with the requested SF)
+        # stands in.
         side = os.path.join(repo, f"BENCH_full_r{n:02d}_sf{sf}.json")
         try:
             with open(side) as fh:
@@ -627,6 +627,14 @@ def main() -> None:
         "parts": parts,
         "oracle_sha": oracle_sha,
     }
+    # Synthesized-corpus stamp (tools/make_scale_corpus.py writes it):
+    # lets the next round prove its regenerated sf1/sf10 corpus is the
+    # same content before trusting a cross-round time comparison.
+    try:
+        with open(os.path.join(sf_dir, "_CORPUS_MANIFEST.json")) as fh:
+            result["corpus_manifest"] = json.load(fh)
+    except (OSError, ValueError):
+        pass
     # Complete sidecar artifact: the driver caps what it records of
     # stdout, so audits (and the next round's tripwire fallback) read
     # this whole object instead of reconstructing it from a tail.

@@ -119,12 +119,57 @@ def test_prior_bench_sidecar_covers_unparseable_and_sfless_wrappers(tmp_path):
     (tmp_path / "BENCH_r09.json").write_text(json.dumps({"queries": {"a": 9.9}}))
     fname, times, _, _ = prior_bench(str(tmp_path), 0.1)
     assert fname == "BENCH_full_r09_sf0.1.json" and times == {"a": 2.0}
-    # but a round PROVABLY recorded at a different SF is skipped, not
-    # sidecar-substituted
+    # a round recorded at a DIFFERENT SF never serves its own numbers,
+    # but its same-round sidecar AT THE REQUESTED SF does stand in —
+    # that sidecar is the complete record of a real same-SF run
     (tmp_path / "BENCH_r09.json").write_text(
         json.dumps({"sf": 1.0, "queries": {"a": 5.0}})
     )
+    fname, times, _, _ = prior_bench(str(tmp_path), 0.1)
+    assert fname == "BENCH_full_r09_sf0.1.json" and times == {"a": 2.0}
+    # and with no same-SF sidecar either, the round contributes nothing
+    (tmp_path / "BENCH_full_r09_sf0.1.json").unlink()
     assert prior_bench(str(tmp_path), 0.1) == (None, {}, {}, {})
+
+
+def test_prior_bench_sf1_leg_uses_prior_round_sidecar(tmp_path):
+    # The exact r9->r10 sf1 scenario: every driver artifact is the
+    # sf0.1 gate run; the sf1 leg exists only as committed sidecars.
+    # An sf=1.0 run must find the newest round's sf1.0 sidecar so the
+    # ratio tripwire covers the sf1 leg (r9 ran with regressions_vs
+    # null / coverage 0 because this fallback didn't exist).
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.0}})
+    )
+    (tmp_path / "BENCH_r09.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"a": 1.0}})
+    )
+    (tmp_path / "BENCH_full_r08_sf1.0.json").write_text(
+        json.dumps(
+            {
+                "sf": 1.0,
+                "queries": {"a": 8.0},
+                "duckdb_queries": {"a": 4.0},
+                "oracle_sha": {"a": "s8"},
+            }
+        )
+    )
+    (tmp_path / "BENCH_full_r09_sf1.0.json").write_text(
+        json.dumps(
+            {
+                "sf": 1.0,
+                "queries": {"a": 9.0},
+                "duckdb_queries": {"a": 4.5},
+                "oracle_sha": {"a": "s9"},
+            }
+        )
+    )
+    fname, times, duck, sha = prior_bench(str(tmp_path), 1.0)
+    assert fname == "BENCH_full_r09_sf1.0.json"
+    assert times == {"a": 9.0} and duck == {"a": 4.5} and sha == {"a": "s9"}
+    # the sf0.1 gate still prefers the driver artifact, untouched
+    fname, times, _, _ = prior_bench(str(tmp_path), 0.1)
+    assert fname == "BENCH_r09.json" and times == {"a": 1.0}
 
 
 def test_ratio_tripwire_has_noise_floor():
@@ -504,3 +549,26 @@ def test_best_time_reruns_cold_train_first_runs():
     calls.clear()
     assert bench.best_time(runner([76.0]), cold=True) == 76.0
     assert len(calls) == 1
+
+
+def test_http_tripwire_floor_and_factor():
+    from tools.bench_http import compute_regressions as http_regr
+
+    cur = {"miss": {"p95": 0.9}, "hit": {"p95": 0.01}, "post_refresh_miss": {"p95": 0.5}}
+    prior = {"miss": {"p95": 0.2}, "hit": {"p95": 0.002}, "post_refresh_miss": {"p95": 0.4}}
+    # miss grew 4.5x above the floor -> flagged; hit grew 5x but both
+    # sides are under the 20ms floor -> jitter, unflagged; post grew
+    # 1.25x -> unflagged
+    assert http_regr(cur, prior) == ["miss.p95"]
+    # no prior artifact: nothing to compare
+    assert http_regr(cur, {}) == []
+
+
+def test_http_pctl_and_summary():
+    from tools.bench_http import pctl, summarize
+
+    xs = [float(i) for i in range(1, 101)]
+    assert pctl(xs, 0.50) == 50.0 and pctl(xs, 0.95) == 95.0
+    s = summarize([0.5])
+    assert s == {"n": 1, "p50": 0.5, "p95": 0.5}
+    assert pctl([], 0.5) == -1.0

@@ -789,7 +789,14 @@ def test_top1_cells_tie_and_nan_semantics():
             [0.0, 0.0],   # zero vector: all-NaN cosines -> first cid
         ]
     )
-    got = similarity._top1_cells(V, cids, C, cnorms, 2)
+    import warnings
+
+    with warnings.catch_warnings():
+        # The zero-vector row's 0/0 is the DELIBERATE NaN path; the
+        # kernel must produce it silently (np.errstate) so an expected
+        # RuntimeWarning can't mask an unexpected one in the suite.
+        warnings.simplefilter("error", RuntimeWarning)
+        got = similarity._top1_cells(V, cids, C, cnorms, 2)
     assert got.tolist() == [7, 3, 3]
 
 

@@ -174,3 +174,147 @@ def test_sliding_window_stream_counts_match_batch(spark, tmp_path):
     assert len(got) > 0
     for s, e, n in got:
         assert exp_map[(s, e)] == n
+
+
+# ---------------------------------------------------------------------------
+# Fault injection on the I5 upsert sink: the reference loads each file
+# atomically and re-loads changed files idempotently
+# (usage_file_load_task.rb:150-163 delete-then-reload); the streaming
+# twin must survive a kill at every point of the upsert — before the
+# write, mid-write (tasks aborted, nothing committed), after a partial
+# partition rewrite, and a full batch REPLAY after checkpoint loss —
+# with no duplicate keys and no lost partitions.
+# ---------------------------------------------------------------------------
+
+
+def _cube(spark, rows):
+    from white_elephant_spark.operators import usage
+
+    return usage.aggregate_usage_exact(
+        usage.explode_attempt_hours(usage.filter_usable_attempts(_attempts(spark, rows)))
+    )
+
+
+def _snapshot(spark, path):
+    df = spark.read.parquet(path).drop("day")
+    return sorted(map(tuple, df.select(sorted(df.columns)).collect()))
+
+
+def _assert_keys_unique(spark, path):
+    from white_elephant_spark.operators import usage
+
+    dup = (
+        spark.read.parquet(path)
+        .groupBy(*usage.KEY_COLS)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_upsert_kill_midwrite_initial_load_then_retry(spark, tmp_path):
+    # Poisoned rows make write TASKS throw after some tasks already
+    # wrote files — Spark's commit protocol must leave no committed
+    # partition, and the retry must produce exactly the clean result.
+    out = str(tmp_path / "cube")
+    gen = [("a1", 1 * HOUR, 3 * HOUR), ("a2", 30 * HOUR, 31 * HOUR)]  # two days
+    clean = _cube(spark, gen)
+    poisoned = clean.withColumn(
+        "elapsedMs",
+        F.when(
+            F.to_date("time") > F.lit("1970-01-01").cast("date"),
+            F.raise_error(F.lit("injected mid-write kill")).cast("long"),
+        ).otherwise(F.col("elapsedMs")),
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="injected mid-write kill"):
+        cs.upsert_batch(poisoned, out)
+    # no committed partition dirs from the aborted job
+    import os
+
+    committed = [d for d in os.listdir(out) if d.startswith("cluster=")] if os.path.isdir(out) else []
+    assert committed == []
+
+    cs.upsert_batch(clean, out)  # retry of the same epoch, clean
+    got = _snapshot(spark, out)
+    want = sorted(map(tuple, clean.select(sorted(clean.columns)).collect()))
+    assert got == want
+    _assert_keys_unique(spark, out)
+
+
+def test_upsert_kill_mid_merge_leaves_old_cube_intact(spark, tmp_path):
+    # Kill DURING the incremental upsert (the poison fires while the
+    # merge materializes, before any file of the overwrite lands): the
+    # previously-committed cube must read back bit-identical, and the
+    # retried epoch must converge to the batch recompute.
+    out = str(tmp_path / "cube")
+    gen1 = [("a1", 1 * HOUR, 3 * HOUR), ("a2", 30 * HOUR, 31 * HOUR)]
+    cs.upsert_batch(_cube(spark, gen1), out)
+    before = _snapshot(spark, out)
+
+    gen2 = [("a3", 2 * HOUR + 1800_000, 3 * HOUR + 1800_000)]  # updates day 1
+    upd = _cube(spark, gen1 + gen2)
+    poisoned = upd.withColumn(
+        "cpuMsProrated",
+        F.when(
+            F.col("elapsedMs") >= 0,
+            F.raise_error(F.lit("injected upsert kill")).cast("long"),
+        ).otherwise(F.col("cpuMsProrated")),
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="injected upsert kill"):
+        cs.upsert_batch(poisoned, out)
+    assert _snapshot(spark, out) == before  # nothing lost, nothing torn
+
+    cs.upsert_batch(upd, out)  # retry
+    want = sorted(map(tuple, upd.select(sorted(upd.columns)).collect()))
+    assert _snapshot(spark, out) == want
+    _assert_keys_unique(spark, out)
+
+
+def test_upsert_partial_partition_rewrite_then_full_rerun(spark, tmp_path):
+    # The half-committed crash state dynamic overwrite can leave: ONE
+    # affected day partition already rewritten, the other not. Rerunning
+    # the full batch (what Structured Streaming does after a crash —
+    # same epoch, same data) must converge with no duplicates.
+    out = str(tmp_path / "cube")
+    gen1 = [("a1", 1 * HOUR, 3 * HOUR), ("a2", 30 * HOUR, 31 * HOUR)]
+    cs.upsert_batch(_cube(spark, gen1), out)
+
+    gen2 = [
+        ("a3", 2 * HOUR + 1800_000, 3 * HOUR + 1800_000),  # updates day 1
+        ("a4", 30 * HOUR + 600_000, 30 * HOUR + 1_200_000),  # updates day 2
+    ]
+    upd = _cube(spark, gen1 + gen2)
+    # crash after only day-1's partition was rewritten
+    cs.upsert_batch(upd.filter(F.to_date("time") == F.lit("1970-01-01").cast("date")), out)
+    # epoch retry: the full batch again
+    cs.upsert_batch(upd, out)
+
+    want = sorted(map(tuple, upd.select(sorted(upd.columns)).collect()))
+    assert _snapshot(spark, out) == want
+    _assert_keys_unique(spark, out)
+
+
+def test_refresh_replay_after_checkpoint_loss_is_idempotent(spark, tmp_path):
+    # Lose the checkpoint AFTER a successful refresh: the file source
+    # re-reads every input file and the upsert replays every key. The
+    # cube must come out unchanged — replacement semantics, not append.
+    import shutil
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "cube", "ckpt"))
+    gen1 = [("a1", 1 * HOUR, 3 * HOUR)]
+    gen2 = [("a3", 2 * HOUR + 1800_000, 3 * HOUR + 1800_000)]
+    _attempts(spark, gen1).write.mode("append").parquet(inp)
+    cs.run_refresh(spark, inp, out, ckpt)
+    _attempts(spark, gen2).write.mode("append").parquet(inp)
+    cs.run_refresh(spark, inp, out, ckpt)
+    expected = _snapshot(spark, out)
+
+    shutil.rmtree(ckpt)  # checkpoint gone: full replay of all files
+    cs.run_refresh(spark, inp, out, str(tmp_path / "ckpt2"))
+    assert _snapshot(spark, out) == expected
+    _assert_keys_unique(spark, out)

@@ -200,7 +200,21 @@ def main() -> None:
         return d.mapInPandas(_apply, schema=d.schema)
 
     write(amplified(emb, {"vec_id": u_v}, emb_copy), "embeddings")
-    print(f"amplified {src} x{copies} -> {out_root}")
+
+    # Corpus manifest: stamps WHAT this synthesized corpus is (source,
+    # copy count, generator content hash) so a bench sidecar recorded
+    # against it is provably comparable to a later round's regenerated
+    # twin — the r9 sf1 tripwire gap was justified by exactly this
+    # ambiguity ("was the corpus the same?"). bench.py copies the
+    # stamp into its artifact when present.
+    import json
+
+    with open(__file__, "rb") as fh:
+        tool_sha = hashlib.sha256(fh.read()).hexdigest()[:12]
+    manifest = {"src": src, "copies": copies, "tool_sha": tool_sha}
+    with open(os.path.join(out_root, "_CORPUS_MANIFEST.json"), "w") as fh:
+        json.dump(manifest, fh)
+    print(f"amplified {src} x{copies} -> {out_root} (manifest {manifest})")
 
 
 if __name__ == "__main__":
