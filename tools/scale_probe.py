@@ -215,6 +215,7 @@ def main() -> None:
     global _SPARK, FLAG_FACTOR
     argv = sys.argv[1:]
     append = "--append" in argv
+    data_factor = 10.0  # sf ratio between the two dirs; names the header
     only: set[str] | None = None
     args: list[str] = []
     i = 0
@@ -228,6 +229,9 @@ def main() -> None:
         elif a == "--flag-factor":
             i += 1
             FLAG_FACTOR = float(argv[i])
+        elif a == "--data-factor":
+            i += 1
+            data_factor = float(argv[i])
         else:
             args.append(a)
         i += 1
@@ -259,16 +263,23 @@ def main() -> None:
     # warmup
     _SPARK.read.parquet(os.path.join(sf_small, "region.parquet")).count()
 
+    df_lbl = f"{data_factor:g}x data"
     header = (
-        f"## SCALING — measured growth from {lbl_s} to {lbl_b} (10x data)"
+        f"## SCALING — measured growth from {lbl_s} to {lbl_b} ({df_lbl})"
         if append
-        else f"# SCALING — measured growth from {lbl_s} to {lbl_b} (10x data)"
+        else f"# SCALING — measured growth from {lbl_s} to {lbl_b} ({df_lbl})"
     )
     provenance = []
     for d in (sf_small, sf_big):
         if "/testdata/" not in os.path.abspath(d):
+            copies = "N"
+            try:
+                with open(os.path.join(d, "_CORPUS_MANIFEST.json")) as fh:
+                    copies = json.load(fh).get("copies", "N")
+            except (OSError, ValueError):
+                pass
             provenance += [
-                f"`{_label(d)}` is synthesized: deterministic 10x",
+                f"`{_label(d)}` is synthesized: deterministic {copies}x",
                 "amplification of the driver's sf0.1 parquet via",
                 "`tools/make_scale_corpus.py` (coordinated key offsets,",
                 "copy-disjoint text/embeddings — see its docstring).",
@@ -285,7 +296,7 @@ def main() -> None:
         "time (best of 2, third run under 8s — bench.py's policy;",
         "noop-sink materialization) and output rows at",
         "both scale factors, and the growth factors. A time factor",
-        f"beyond {FLAG_FACTOR:.0f}x on 10x data is flagged SUPERLINEAR —",
+        f"beyond {FLAG_FACTOR:g}x on {df_lbl} is flagged SUPERLINEAR —",
         "the local symptom of a plan that will not survive 100x.",
         "Sub-second bases make small factors noisy; the signal is the",
         "absence of blow-ups, not the third decimal.",
