@@ -139,7 +139,15 @@ def main() -> None:
     spark = get_spark(
         "bench-http",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "8")),
-        extra_conf={"spark.sql.adaptive.enabled": "false"},
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            # Serving posture: concurrent requests each run small Spark
+            # jobs; FIFO serializes them behind whichever arrived first
+            # (measured: hit p95 12.4s vs miss p95 5.5s at 8 threads —
+            # queueing, not work). FAIR round-robins tasks across
+            # in-flight jobs, the standard multi-tenant serving config.
+            "spark.scheduler.mode": "FAIR",
+        },
     )
     api = _serving_api(spark, sf_dir)
     # Serving posture: the daemon keeps the cube hot (cmd_serve

@@ -115,6 +115,25 @@ def main() -> None:
     u_o = _unit(orders, "o_orderkey")
     u_e, u_u = _unit(events, "event_id"), _unit(events, "user_id")
     u_d, u_v = _unit(docs, "doc_id"), _unit(emb, "vec_id")
+    # Query-internal planted-copy bands: the text/embedding queries
+    # plant deterministic copies at doc_id + 1e6 and vec_id + 1e6/2e6
+    # (plans/text_queries.py — the duplicate mass the dedup operators
+    # exist to collapse). Amplified REAL ids must never cross into a
+    # planted band, or the queries' 1:1 id joins go 1:many — at 300
+    # copies the auto unit (1e4) pushed real doc_ids over +1e6 and
+    # corpus_curation's output DOUBLED (rows x6 on x3 data; the third
+    # measured instance of this artifact class, after the per-token
+    # suffix grams and the diagonal-jitter cosines). When the copy
+    # range would reach the lowest band, bump the unit to 1e7: still a
+    # power of 10 (the %100 selection patterns survive), and every
+    # copy's (real, planted) band pair stays pairwise disjoint since
+    # all band offsets are < 1e7. Copy counts <= 100 keep the auto
+    # unit, byte-identical with the committed sf1/sf10 corpora.
+    PLANTED_MIN = 1_000_000
+    if copies * u_d > PLANTED_MIN:
+        u_d = max(u_d, 10_000_000)
+    if copies * u_v > PLANTED_MIN:
+        u_v = max(u_v, 10_000_000)
     dim = len(emb.select("embedding").first()[0])
 
     def amplified(df, keyshift: dict[str, int], per_copy=None):

@@ -167,8 +167,18 @@ def cmd_serve(args: argparse.Namespace) -> int:
     """Listening HTTP daemon over the four /api/* routes
     (server/app.rb:29-157) — blocks until interrupted."""
     from white_elephant_spark.server import make_server
+    from white_elephant_spark.session import get_spark
 
-    spark = _spark()
+    # FAIR scheduling for the daemon: each request runs small Spark
+    # jobs from its handler thread; FIFO queues every in-flight
+    # request behind whichever job arrived first (measured at 8
+    # concurrent clients: cache-hit p95 12.4s FIFO vs 3.0s FAIR at
+    # sf0.1 — queueing, not work; BENCH_http_r10.json). FAIR
+    # round-robins tasks across concurrent jobs — the standard
+    # multi-tenant serving posture.
+    spark = get_spark(
+        "white-elephant-serve", extra_conf={"spark.scheduler.mode": "FAIR"}
+    )
     api = _serving_api(spark, args.sf_dir)
     # Materialize the cube once up front so the first request pays
     # query latency, not the full parse/reconstruct pipeline.

@@ -296,15 +296,29 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       miss them and this leg is genuinely distinct). The jitter,
       blocking and verify are all deterministic functions the oracle
       re-derives, so even the approximation is hash-checked."""
+    sim_leg = _dc_simhash_leg(spark, sf_dir)
+    sem_leg = _dc_semantic_leg(spark, sf_dir)
+    return sim_leg.unionByName(sem_leg)
+
+
+def _dc_simhash_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters``' simhash leg as a standalone plan — split
+    out (unchanged) so ``tools/stage_decompose.py`` can time the legs
+    without duplicating query logic."""
     docs = _docs_with_copies(spark, sf_dir)
     fps = dedup.simhash64(docs)
-    sim_leg = clustering.fingerprint_clusters(docs, fps, max_hamming=3).select(
+    return clustering.fingerprint_clusters(docs, fps, max_hamming=3).select(
         F.lit("simhash").alias("kind"),
         "doc_id",
         "cluster_id",
         "cluster_size",
         "is_representative",
     )
+
+
+def _dc_semantic_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters``' SemDeDup leg as a standalone plan (see
+    :func:`_dc_simhash_leg`)."""
     emb = load_table(spark, sf_dir, "embeddings")
     jit = "array(" + ", ".join(f"CAST({f!r} AS DOUBLE)" for f in _SEM_JITTER) + ")"
     copies = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -385,14 +399,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, threshold=0.95, k_clusters=k_cells, dim=64, planes=6, tables=8,
         model=cell_model, blocked=blocked, with_sizes=True,
     )
-    sem_leg = sem.select(
+    return sem.select(
         F.lit("semantic").alias("kind"),
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),
         "cluster_size",
         F.col("keep").alias("is_representative"),
     )
-    return sim_leg.unionByName(sem_leg)
 
 
 # SimHash fingerprints themselves are oracle-verified through
