@@ -352,3 +352,49 @@ def test_refresh_invalidates_cache(base_url, api):
     assert api.cache._generation == gen + 1
     _get_json(base_url + "/api/usage?" + USAGE_QS)
     assert api.cache.misses == misses + 1
+
+
+def test_scheduler_pool_tagged_per_request():
+    # mode=FAIR alone puts every job in the internally-FIFO 'default'
+    # pool; the handler must tag a per-request pool for fair sharing
+    # to actually happen. Stub api: GET / touches no api method, so
+    # only the tagging path runs.
+    class _Rec:
+        def __init__(self):
+            self.calls = []
+
+        def setLocalProperty(self, k, v):
+            self.calls.append((k, v))
+
+    class _Stub:
+        pass
+
+    stub = _Stub()
+    stub.spark = _Stub()
+    stub.spark.sparkContext = _Rec()
+
+    srv = make_server(stub, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        _get("http://{}:{}/".format(*srv.server_address[:2]))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    calls = stub.spark.sparkContext.calls
+    assert len(calls) == 1
+    k, v = calls[0]
+    assert k == "spark.scheduler.pool" and v.startswith("req-")
+
+    # scheduler_pools=False (the FIFO-baseline posture bench_http
+    # measures): no tagging at all
+    stub.spark.sparkContext.calls.clear()
+    srv = make_server(stub, host="127.0.0.1", port=0, scheduler_pools=False)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        _get("http://{}:{}/".format(*srv.server_address[:2]))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert stub.spark.sparkContext.calls == []

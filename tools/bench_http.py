@@ -22,10 +22,20 @@ $SPARK_GRAFT_SF_DIR, default sf0.1):
   request; post-barrier requests are first-touch misses again and are
   tagged separately instead of polluting the hit numbers.
 
+A fourth phase, **hit_fifo_baseline**, re-runs the hit workload
+against a second server built with ``scheduler_pools=False`` — the
+FIFO-equivalent posture (all jobs in Spark's internally-FIFO
+``default`` pool) — so the committed artifact carries both scheduler
+postures side by side.
+
 Workload is deterministic (seeded key order, fixed counts) so the
 sidecar is comparable round-over-round. Tripwire: against the newest
-committed ``BENCH_http_r*.json``, flag any phase whose p95 grew >3x
-(floor 20 ms — below that, thread-scheduling jitter dominates).
+committed ``BENCH_http_r*.json`` **at the same SF and thread count**
+(a prior at a different SPARK_GRAFT_SF_DIR or thread count is a
+different workload — treated as no prior), flag any phase whose p95
+grew >3x (floor 20 ms — below that, thread-scheduling jitter
+dominates). Failed requests never shrink a phase's sample silently:
+each phase records a ``failures`` count and the run warns on any.
 Empty ``regressions`` is the expected state.
 
 Usage: python tools/bench_http.py   (env: SPARK_GRAFT_SF_DIR,
@@ -67,25 +77,45 @@ def summarize(xs: list[float]) -> dict:
     return {"n": len(xs), "p50": pctl(xs, 0.50), "p95": pctl(xs, 0.95)}
 
 
-def prior_http(repo: str) -> tuple[str | None, dict]:
-    best: tuple[int, str] | None = None
+def prior_http(
+    repo: str,
+    sf: float | None = None,
+    threads: int | None = None,
+    exclude: str | None = None,
+) -> tuple[str | None, dict]:
+    """Newest committed sidecar COMPARABLE to this run: same SF and
+    same thread count (bench.py's strict sf gating, extended with the
+    concurrency knob — p95 at 2 threads vs 8 is a different workload
+    and would false-flag or silently mask). ``exclude`` skips the
+    run's OWN output file so a re-run within a round still compares
+    against the prior round, not its first attempt. ``None``
+    sf/threads keeps the legacy newest-wins behavior for tooling
+    tests."""
+    cands: list[tuple[int, str]] = []
     for f in os.listdir(repo):
         m = re.fullmatch(r"BENCH_http_r(\d+)\.json", f)
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), f)
-    if best is None:
-        return None, {}
-    try:
-        with open(os.path.join(repo, best[1])) as fh:
-            return best[1], json.load(fh)
-    except (OSError, ValueError):
-        return None, {}
+        if m and f != exclude:
+            cands.append((int(m.group(1)), f))
+    for _, fname in sorted(cands, reverse=True):
+        try:
+            with open(os.path.join(repo, fname)) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if sf is not None and doc.get("sf") != sf:
+            continue
+        if threads is not None and doc.get("threads") != threads:
+            continue
+        return fname, doc
+    return None, {}
 
 
 def compute_regressions(cur: dict, prior: dict) -> list[str]:
-    """Phase-level p95 tripwire: >3x growth above a 20 ms floor."""
+    """Phase-level p95 tripwire: >3x growth above a 20 ms floor.
+    ``hit_fifo_baseline`` joins the comparison once both sides carry
+    it (r10's artifact predates the phase — the guard skips None)."""
     out = []
-    for phase in ("miss", "hit", "post_refresh_miss"):
+    for phase in ("miss", "hit", "post_refresh_miss", "hit_fifo_baseline"):
         a, b = cur.get(phase, {}).get("p95"), prior.get(phase, {}).get("p95")
         if (
             a is not None
@@ -97,11 +127,17 @@ def compute_regressions(cur: dict, prior: dict) -> list[str]:
     return sorted(out)
 
 
-def run_phase(urls: list[str], threads: int) -> list[float]:
+def run_phase(urls: list[str], threads: int) -> tuple[list[float], list[str]]:
     """Issue every URL exactly once across a fixed-size thread pool;
     per-request wall seconds in issue order (order is deterministic,
-    completion interleaving is not — stats are order-free)."""
+    completion interleaving is not — stats are order-free). A failed
+    request (HTTP error, timeout, socket reset) must NOT silently
+    shrink the sample — it is recorded and surfaced in the artifact's
+    per-phase ``failures`` count; a worker survives it and keeps
+    draining (the old code let the worker thread die, so a phase
+    could quietly summarize partial data and look green)."""
     lats: list[float] = []
+    fails: list[str] = []
     lock = threading.Lock()
     it = iter(urls)
 
@@ -112,8 +148,13 @@ def run_phase(urls: list[str], threads: int) -> list[float]:
             if u is None:
                 return
             t0 = time.time()
-            with urllib.request.urlopen(u, timeout=300) as r:
-                r.read()
+            try:
+                with urllib.request.urlopen(u, timeout=300) as r:
+                    r.read()
+            except Exception as e:
+                with lock:
+                    fails.append(f"{type(e).__name__}: {e}")
+                continue
             dt = time.time() - t0
             with lock:
                 lats.append(dt)
@@ -123,7 +164,7 @@ def run_phase(urls: list[str], threads: int) -> list[float]:
         t.start()
     for t in ts:
         t.join()
-    return lats
+    return lats, fails
 
 
 def main() -> None:
@@ -142,10 +183,13 @@ def main() -> None:
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
             # Serving posture: concurrent requests each run small Spark
-            # jobs; FIFO serializes them behind whichever arrived first
-            # (measured: hit p95 12.4s vs miss p95 5.5s at 8 threads —
-            # queueing, not work). FAIR round-robins tasks across
-            # in-flight jobs, the standard multi-tenant serving config.
+            # jobs; FIFO serializes them behind whichever arrived first.
+            # mode=FAIR is necessary but NOT sufficient — fair sharing
+            # only happens across pools, and without assignments every
+            # job is in the one internally-FIFO 'default' pool. The
+            # server tags a per-request pool (server.py
+            # scheduler_pools=True); the hit_fifo_baseline phase below
+            # measures the no-pools posture alongside for the record.
             "spark.scheduler.mode": "FAIR",
         },
     )
@@ -195,9 +239,69 @@ def main() -> None:
     miss_urls = [usage_url(*k) for k in keys]
 
     # phase 1 — misses (each key's first touch builds the roll-up)
-    miss = run_phase(miss_urls, THREADS)
+    miss, miss_fail = run_phase(miss_urls, THREADS)
     # phase 2 — hits (cache warmed by phase 1)
-    hit = run_phase(miss_urls * HIT_ROUNDS, THREADS)
+    hit, hit_fail = run_phase(miss_urls * HIT_ROUNDS, THREADS)
+
+    # phase 2b — FIFO-equivalent baseline, committed alongside: a
+    # second server over the SAME api (cache stays warm) built with
+    # scheduler_pools=False, so every request's jobs land in the
+    # single 'default' pool — which Spark schedules FIFO internally
+    # even under spark.scheduler.mode=FAIR. The hit/hit_fifo_baseline
+    # pair is the committed evidence for the per-request-pool posture
+    # (mode=FAIR alone does not fair-share; see server.py).
+    srv_fifo = make_server(api, host="127.0.0.1", port=0, scheduler_pools=False)
+    th_fifo = threading.Thread(target=srv_fifo.serve_forever, daemon=True)
+    th_fifo.start()
+    fbase = "http://{}:{}".format(*srv_fifo.server_address[:2])
+    fifo_urls = [u.replace(base, fbase, 1) for u in miss_urls]
+    hit_fifo, fifo_fail = run_phase(fifo_urls * HIT_ROUNDS, THREADS)
+
+    # phase 2c — light-under-heavy, both postures. For HOMOGENEOUS
+    # concurrent jobs (the hit phase) processor-sharing finishes
+    # everything late, so FAIR pools can't beat FIFO there; the payoff
+    # is HETEROGENEOUS traffic — a light request (/api/clusters, one
+    # tiny job) must not starve behind in-flight heavy roll-up misses.
+    # T-1 threads build fresh-zone misses while one thread loops the
+    # light request; each posture gets its own untouched zone pair so
+    # both measure genuinely cold heavy work.
+    def light_under_heavy(target_base: str, zones: list[str]) -> tuple[dict, int]:
+        heavy_urls = [
+            usage_url(u, z, t).replace(base, target_base, 1)
+            for z in zones
+            for u in UNITS
+            for t in METRICS
+        ]
+        light: list[float] = []
+        lfails: list[str] = []
+        done = threading.Event()
+
+        def light_worker():
+            while not done.is_set():
+                t0 = time.time()
+                try:
+                    with urllib.request.urlopen(
+                        f"{target_base}/api/clusters", timeout=300
+                    ) as r:
+                        r.read()
+                except Exception as e:
+                    lfails.append(f"{type(e).__name__}: {e}")
+                    continue
+                light.append(time.time() - t0)
+
+        lt = threading.Thread(target=light_worker)
+        lt.start()
+        _, hfails = run_phase(heavy_urls, max(1, THREADS - 1))
+        done.set()
+        lt.join()
+        return {**summarize(light), "failures": len(lfails) + len(hfails)}, len(
+            heavy_urls
+        )
+
+    light_fair, heavy_n = light_under_heavy(base, ["Asia/Tokyo", "Europe/Berlin"])
+    light_fifo, _ = light_under_heavy(fbase, ["Asia/Kolkata", "Australia/Sydney"])
+    srv_fifo.shutdown()
+    srv_fifo.server_close()
 
     # phase 3 — refresh barrier under load: hammer warmed keys on T
     # threads; fire one refresh once the hammering is in flight.
@@ -205,12 +309,22 @@ def main() -> None:
     blocked: list[float] = []
     blk_lock = threading.Lock()
 
+    hammer_fail: list[str] = []
+
     def hammer(i: int):
         j = i
         while not stop.is_set():
             t0 = time.time()
-            with urllib.request.urlopen(miss_urls[j % len(miss_urls)], timeout=300) as r:
-                r.read()
+            try:
+                with urllib.request.urlopen(
+                    miss_urls[j % len(miss_urls)], timeout=300
+                ) as r:
+                    r.read()
+            except Exception as e:
+                with blk_lock:
+                    hammer_fail.append(f"{type(e).__name__}: {e}")
+                j += THREADS
+                continue
             with blk_lock:
                 blocked.append(time.time() - t0)
             j += THREADS
@@ -230,10 +344,27 @@ def main() -> None:
         t.join()
 
     # post-refresh: the cache is cold again — first touches are misses
-    post = run_phase(miss_urls, THREADS)
+    post, post_fail = run_phase(miss_urls, THREADS)
 
     srv.shutdown()
     srv.server_close()
+
+    phase_fails = (
+        len(miss_fail)
+        + len(hit_fail)
+        + len(fifo_fail)
+        + len(hammer_fail)
+        + len(post_fail)
+        + light_fair["failures"]
+        + light_fifo["failures"]
+    )
+    all_fail = miss_fail + hit_fail + fifo_fail + hammer_fail + post_fail
+    if phase_fails:
+        first = all_fail[0] if all_fail else "(light/heavy phase)"
+        print(
+            f"WARNING: {phase_fails} failed requests; first: {first}",
+            file=sys.stderr,
+        )
 
     repo = REPO
     result = {
@@ -242,19 +373,30 @@ def main() -> None:
         "sf": sf,
         "threads": THREADS,
         "keys": len(keys),
-        "miss": summarize(miss),
-        "hit": summarize(hit),
+        "scheduler": {"mode": "FAIR", "pools": "per-request"},
+        "miss": {**summarize(miss), "failures": len(miss_fail)},
+        "hit": {**summarize(hit), "failures": len(hit_fail)},
+        "hit_fifo_baseline": {**summarize(hit_fifo), "failures": len(fifo_fail)},
+        "light_under_heavy": {
+            "heavy_n": heavy_n,
+            "fair_pools": light_fair,
+            "fifo_baseline": light_fifo,
+        },
         "refresh": {
             "barrier_sec": round(barrier, 4),
             "inflight_n": len(blocked),
             "inflight_max": pctl(blocked, 1.0),
+            "failures": len(hammer_fail),
         },
-        "post_refresh_miss": summarize(post),
+        "post_refresh_miss": {**summarize(post), "failures": len(post_fail)},
+        "total_failures": phase_fails,
+        "failure_samples": all_fail[:5],
     }
-    prior_file, prior = prior_http(repo)
+    side_name = f"BENCH_http_r{next_round(repo):02d}.json"
+    prior_file, prior = prior_http(repo, sf, THREADS, exclude=side_name)
     result["regressions"] = compute_regressions(result, prior)
     result["regressions_vs"] = prior_file
-    side = os.path.join(repo, f"BENCH_http_r{next_round(repo):02d}.json")
+    side = os.path.join(repo, side_name)
     try:
         with open(side, "w") as fh:
             json.dump(result, fh, indent=1)

@@ -171,11 +171,14 @@ def cmd_serve(args: argparse.Namespace) -> int:
 
     # FAIR scheduling for the daemon: each request runs small Spark
     # jobs from its handler thread; FIFO queues every in-flight
-    # request behind whichever job arrived first (measured at 8
-    # concurrent clients: cache-hit p95 12.4s FIFO vs 3.0s FAIR at
-    # sf0.1 — queueing, not work; BENCH_http_r10.json). FAIR
-    # round-robins tasks across concurrent jobs — the standard
-    # multi-tenant serving posture.
+    # request behind whichever job arrived first. The mode alone is
+    # not enough — without pool assignments every job lands in the
+    # single 'default' pool, which schedules FIFO internally — so the
+    # server additionally tags each request with a per-thread
+    # spark.scheduler.pool (server.py make_server, scheduler_pools=
+    # True); ad-hoc pools are fair-shared at the root, delivering the
+    # round-robin. Both postures measured in BENCH_http_r11.json
+    # (hit vs hit_fifo_baseline) — the standard multi-tenant config.
     spark = get_spark(
         "white-elephant-serve", extra_conf={"spark.scheduler.mode": "FAIR"}
     )

@@ -20,7 +20,9 @@ comma-split with order-preserving de-dup (Ruby ``split(",").uniq``);
 ``start`` / ``end`` are epoch-ms integers; ``type`` is the metric
 name. Everything heavy stays in Spark — each handler thread issues
 DataFrame actions against the shared session (the Spark driver is
-thread-safe; concurrent jobs get FIFO-scheduled).
+thread-safe). Under ``spark.scheduler.mode=FAIR`` each handler tags
+its jobs with a per-request scheduler pool (see ``_route``) so
+concurrent requests round-robin instead of queueing FIFO.
 
 Deviations, both documented non-goals (SURVEY §7): ``GET /`` returns
 a JSON endpoint listing instead of the CoffeeScript dashboard, and
@@ -32,6 +34,7 @@ refresh loop can invalidate cached roll-ups without a restart.
 from __future__ import annotations
 
 import json
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Callable
 from urllib.parse import parse_qs, urlparse
@@ -49,6 +52,16 @@ _INDEX = {
     ],
     "note": "dashboard UI out of scope; data endpoints mirror server/app.rb",
 }
+
+#: Scheduler-pool namespace size for per-request FAIR sharing. Spark
+#: never reaps ad-hoc pools from the root pool, so an unbounded
+#: per-thread name (ThreadingHTTPServer spawns a thread per
+#: connection) would leak pool objects in a long-running daemon;
+#: hashing thread ids into a fixed namespace bounds that while still
+#: giving every concurrently-running request its own pool up to this
+#: many in flight (two requests colliding on a pool degrade to FIFO
+#: between just those two).
+_SCHEDULER_POOLS = 32
 
 
 class _Halt(Exception):
@@ -81,6 +94,7 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 0,
     on_refresh: Callable[[], None] | None = None,
+    scheduler_pools: bool = True,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the server; ``port=0`` picks a free
     port — read it back from ``server.server_address``. Run with
@@ -100,9 +114,34 @@ def make_server(
     mid-query lineage re-reads on a cluster). Requests arriving
     during a refresh queue briefly and then serve the new data —
     which also makes the refresh response a true barrier: anything
-    issued after it returns sees the rewritten corpus."""
+    issued after it returns sees the rewritten corpus.
+
+    ``scheduler_pools``: tag each request's Spark jobs with a
+    per-thread ``spark.scheduler.pool``. ``spark.scheduler.mode=FAIR``
+    alone does NOT fair-share concurrent requests — with no pool
+    assignment every job lands in the single built-in ``default``
+    pool, whose *internal* scheduling is FIFO, so in-flight requests
+    still queue behind whichever job arrived first. Ad-hoc pools
+    named via the local property are created on first use with
+    default settings and fair-shared at the root, which is what
+    delivers the round-robin. PySpark pins each Python thread to its
+    own JVM thread (pinned-thread mode, default since 3.2), so the
+    local property is correctly request-scoped. ``False`` keeps every
+    job in the default pool — the FIFO-equivalent baseline posture
+    that ``tools/bench_http.py`` measures alongside."""
 
     rwlock = ReadWriteLock()
+
+    def _tag_scheduler_pool() -> None:
+        if not scheduler_pools:
+            return
+        try:
+            api.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool",
+                f"req-{threading.get_ident() % _SCHEDULER_POOLS}",
+            )
+        except Exception:
+            pass  # a mocked/closed session must not fail the route
 
     class Handler(BaseHTTPRequestHandler):
         server_version = "white-elephant-spark"
@@ -153,6 +192,7 @@ def make_server(
 
         def _route(self, method: str, params: dict[str, Any]) -> None:
             path = urlparse(self.path).path.rstrip("/") or "/"
+            _tag_scheduler_pool()
             # Compute the full response BYTES under the lock, send them
             # after release: wfile.write can block indefinitely on a
             # client that stopped reading, and a read lock held through
