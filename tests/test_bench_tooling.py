@@ -564,6 +564,49 @@ def test_http_tripwire_floor_and_factor():
     assert http_regr(cur, {}) == []
 
 
+def test_http_tripwire_boundary_and_fifo_phase():
+    from tools.bench_http import compute_regressions as http_regr
+
+    # exactly 3.0x is NOT a regression (strict >); 3.1x flags
+    assert http_regr({"hit": {"p95": 0.30}}, {"hit": {"p95": 0.10}}) == []
+    assert http_regr({"hit": {"p95": 0.31}}, {"hit": {"p95": 0.10}}) == ["hit.p95"]
+    # the FIFO baseline phase joins the tripwire once both sides
+    # carry it; a prior predating the phase (r10) is skipped silently
+    assert http_regr(
+        {"hit_fifo_baseline": {"p95": 1.0}}, {"hit_fifo_baseline": {"p95": 0.1}}
+    ) == ["hit_fifo_baseline.p95"]
+    assert http_regr({"hit_fifo_baseline": {"p95": 1.0}}, {}) == []
+
+
+def test_http_prior_requires_same_sf_and_threads(tmp_path):
+    # p95 at a different SF or thread count is a different workload —
+    # comparing against it would false-flag or silently mask.
+    from tools.bench_http import prior_http
+
+    (tmp_path / "BENCH_http_r09.json").write_text(
+        json.dumps({"sf": 0.1, "threads": 8, "hit": {"p95": 1.0}})
+    )
+    (tmp_path / "BENCH_http_r10.json").write_text(
+        json.dumps({"sf": 1.0, "threads": 8, "hit": {"p95": 9.0}})
+    )
+    # newest artifact is sf1 — an sf0.1 run must skip back to r09
+    fname, doc = prior_http(str(tmp_path), 0.1, 8)
+    assert fname == "BENCH_http_r09.json" and doc["hit"]["p95"] == 1.0
+    # thread-count or sf mismatch everywhere: treated as no prior
+    assert prior_http(str(tmp_path), 0.1, 2) == (None, {})
+    assert prior_http(str(tmp_path), 0.01, 8) == (None, {})
+
+
+def test_http_run_phase_survives_and_counts_failures():
+    # A dead endpoint: every request fails fast (ECONNREFUSED); the
+    # workers must survive, drain the queue, and report the failures
+    # instead of silently summarizing a shrunken sample.
+    from tools.bench_http import run_phase
+
+    lats, fails = run_phase(["http://127.0.0.1:9/x"] * 5, 2)
+    assert lats == [] and len(fails) == 5
+
+
 def test_http_pctl_and_summary():
     from tools.bench_http import pctl, summarize
 
@@ -572,3 +615,138 @@ def test_http_pctl_and_summary():
     s = summarize([0.5])
     assert s == {"n": 1, "p50": 0.5, "p95": 0.5}
     assert pctl([], 0.5) == -1.0
+
+
+# ------------------------------------------- cache-mode like-for-like
+
+
+def test_mode_skip_excludes_cold_vs_assisted_pair():
+    # corpus_curation-shaped scenario: reps measured cache-cold this
+    # round vs cache-assisted in the prior artifact — 1.8x "growth"
+    # from measurement policy, not plan. With the query in mode_skip,
+    # neither rule flags it and it drops out of coverage; a
+    # non-persisting query in the same run stays fully covered.
+    t, d = {"cur": 150.0, "plain": 1.0}, {"cur": 50.0, "plain": 0.5}
+    pt, pd_ = {"cur": 85.0, "plain": 1.0}, {"cur": 50.0, "plain": 0.5}
+    sha = {"cur": "h", "plain": "h"}
+    # without the skip: ratio rule fires on the phantom 1.76x
+    assert compute_regressions(t, d, pt, pd_, sha, sha) == ([], ["cur"], 2)
+    # with it: silent, and coverage honestly reports 1
+    assert compute_regressions(
+        t, d, pt, pd_, sha, sha, mode_skip={"cur"}
+    ) == ([], [], 1)
+    # the absolute rule is gated the same way (2.1x cold-vs-assisted)
+    t2, pt2 = {"cur": 2.1}, {"cur": 1.0}
+    assert compute_regressions(t2, {}, pt2, {}, None, None) == (["cur"], [], 0)
+    assert compute_regressions(
+        t2, {}, pt2, {}, None, None, mode_skip={"cur"}
+    ) == ([], [], 0)
+
+
+def test_prior_cache_info_reads_and_defaults(tmp_path):
+    from bench import prior_cache_info
+
+    # pre-r11 artifact: no field -> assisted, no eligibility list
+    (tmp_path / "BENCH_r09.json").write_text(json.dumps({"sf": 1.0, "queries": {}}))
+    assert prior_cache_info(str(tmp_path), "BENCH_r09.json") == ("assisted", set())
+    # stamped artifact (plain and driver-wrapped shapes)
+    (tmp_path / "BENCH_r10.json").write_text(
+        json.dumps(
+            {"sf": 1.0, "reps_cache_mode": "cold", "cache_assist_eligible": ["a", "b"]}
+        )
+    )
+    assert prior_cache_info(str(tmp_path), "BENCH_r10.json") == ("cold", {"a", "b"})
+    (tmp_path / "BENCH_r11.json").write_text(
+        json.dumps({"parsed": {"reps_cache_mode": "cold", "cache_assist_eligible": []}})
+    )
+    assert prior_cache_info(str(tmp_path), "BENCH_r11.json") == ("cold", set())
+    # no prior at all / unreadable file
+    assert prior_cache_info(str(tmp_path), None) == ("assisted", set())
+    assert prior_cache_info(str(tmp_path), "nope.json") == ("assisted", set())
+
+
+def test_best_time_between_hook_runs_between_reps_only():
+    import bench
+
+    calls = []
+
+    def runner(seq):
+        it = iter(seq)
+        return lambda: next(it)
+
+    # 3 reps (cheap query): between runs before rerun 2 and 3, never
+    # before the first (the first run must include any cold cost the
+    # reruns are meant to shed, and clearing before it would be a no-op
+    # anyway on a fresh session)
+    assert (
+        bench.best_time(runner([1.0, 1.0, 0.9]), between=lambda: calls.append(1)) == 0.9
+    )
+    assert len(calls) == 2
+    # cold mode: single run, hook never fires
+    calls.clear()
+    assert bench.best_time(runner([5.0]), cold=True, between=lambda: calls.append(1)) == 5.0
+    assert calls == []
+
+
+def test_crosscheck_mode_mismatch_gating(tmp_path):
+    import scale_probe
+
+    # artifact recorded assisted with an eligibility list; probe at
+    # sf1 runs cold -> eligible rows excluded, others still checked
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps(
+            {
+                "sf": 1.0,
+                "parts": 8,
+                "queries": {"heavy": 85.0, "plain": 1.0},
+                "reps_cache_mode": "assisted",
+                "cache_assist_eligible": ["heavy"],
+            }
+        )
+    )
+    lines = scale_probe._bench_crosscheck(
+        "/x/sf1", {"heavy": 150.0, "plain": 3.0}, repo=str(tmp_path)
+    )
+    text = "\n".join(lines)
+    assert "| heavy |" not in text  # excluded, not flagged
+    assert "| plain | 3.00 | 1.00 | 3.0 |" in text  # still guarded
+    assert "cache-mode mismatch" in text and "`heavy`" in text
+    # artifact predating the eligibility field: whole check skipped
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"sf": 1.0, "parts": 8, "queries": {"heavy": 85.0}})
+    )
+    lines = scale_probe._bench_crosscheck(
+        "/x/sf1", {"heavy": 150.0}, repo=str(tmp_path)
+    )
+    text = "\n".join(lines)
+    assert "skipped" in text and "| heavy |" not in text
+    # like modes (sub-1 SF probe is assisted, artifact assisted):
+    # full check, no exclusions
+    (tmp_path / "BENCH_r06.json").write_text(
+        json.dumps({"sf": 0.1, "queries": {"heavy": 1.0}})
+    )
+    lines = scale_probe._bench_crosscheck(
+        "/x/sf0.1", {"heavy": 3.0}, repo=str(tmp_path)
+    )
+    assert "| heavy | 3.00 | 1.00 | 3.0 |" in "\n".join(lines)
+
+
+def test_scale_corpus_band_safety_predicate():
+    from make_scale_corpus import _band_safe
+
+    # committed sf1 regime: 10 copies x unit 1e4, max id ~9999 —
+    # everything-above (all planted ids > all real ids): safe
+    assert _band_safe(9_999, 10_000, 10)
+    # committed sf10 regime: 100 copies, still everything-above
+    assert _band_safe(9_999, 10_000, 100)
+    # 300 copies at the AUTO unit (the measured r9 artifact: real ids
+    # crossed +1e6 and corpus_curation's rows doubled): unsafe
+    assert not _band_safe(9_999, 10_000, 300)
+    # ...and the 1e7 bump makes it safe (stride clears the span)
+    assert _band_safe(9_999, 10_000_000, 300)
+    # re-amplifying an amplified corpus: max id already past 1e6 — no
+    # unit can save it (planted aliases real within the copy)
+    assert not _band_safe(9_990_000, 100_000_000, 10)
+    # boundary: k*unit landing exactly at 1e6-mx collides
+    assert not _band_safe(0, 1_000_000, 2)
+    assert _band_safe(0, 2_000_001, 2)

@@ -63,6 +63,39 @@ def _unit(df, col: str) -> int:
     return u
 
 
+#: Query-side planted-id offsets (plans/text_queries.py): documents
+#: plant copies at doc_id + 1e6, embeddings at vec_id + 1e6 and + 2e6.
+PLANTED_MIN = 1_000_000
+PLANTED_SPAN = 2_000_000
+
+
+def _band_safe(mx: int, unit: int, copies: int, span: int = PLANTED_SPAN) -> bool:
+    """True iff no copy's planted ids can land inside any copy's REAL
+    id band. Real ids live in ⋃_c [c·unit, c·unit+mx]; planted ids in
+    ⋃_c [c·unit+1e6, c·unit+span+mx]. Two safe regimes exist:
+
+    - *everything-above*: (copies-1)·unit + mx < 1e6 — every planted
+      id exceeds every real id (the committed sf1/sf10 corpora);
+    - *stride-clears-span*: unit > span + mx — each copy's planted
+      band fits strictly inside its own stride (the 1e7 bump).
+
+    The general predicate: a collision needs some inter-copy distance
+    k·unit to fall inside [1e6 − mx, span + mx] (k = 0 covers the
+    within-copy case, safe iff mx < 1e6). Re-amplifying an amplified
+    corpus fails here loudly — its max id already exceeds 1e6, so
+    copy c's planted ids would alias copy c's (or a later copy's)
+    real ids and silently re-plant the id-band artifact that doubled
+    corpus_curation's output at 300 copies."""
+    if mx >= PLANTED_MIN:
+        return False
+    k = 1
+    while k < copies and k * unit <= span + mx:
+        if k * unit >= PLANTED_MIN - mx:
+            return False
+        k += 1
+    return True
+
+
 def _shift(df, cols: dict[str, int], c: int):
     out = df
     for col, unit in cols.items():
@@ -129,11 +162,25 @@ def main() -> None:
     # copy's (real, planted) band pair stays pairwise disjoint since
     # all band offsets are < 1e7. Copy counts <= 100 keep the auto
     # unit, byte-identical with the committed sf1/sf10 corpora.
-    PLANTED_MIN = 1_000_000
     if copies * u_d > PLANTED_MIN:
         u_d = max(u_d, 10_000_000)
     if copies * u_v > PLANTED_MIN:
         u_v = max(u_v, 10_000_000)
+    # Loud guard on the FINAL units (_band_safe): the bump above only
+    # helps while source ids are small — amplifying a source whose max
+    # doc_id/vec_id already nears 1e6 (e.g. re-amplifying an amplified
+    # corpus, where the auto unit is >= 1e7 and the bump is a no-op)
+    # re-plants the id-band collision no unit choice can avoid.
+    max_d = int(docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+    max_v = int(emb.agg(F.max("vec_id")).collect()[0][0] or 0)
+    for label, mx, u in (("doc_id", max_d, u_d), ("vec_id", max_v, u_v)):
+        if copies > 1 and not _band_safe(mx, u, copies):
+            sys.exit(
+                f"unsafe source: max {label}={mx} with unit {u} x"
+                f" {copies} copies puts planted ids (+1e6/+2e6) inside"
+                " a real id band — amplify from the ORIGINAL corpus,"
+                " never from an amplified one."
+            )
     dim = len(emb.select("embedding").first()[0])
 
     def amplified(df, keyshift: dict[str, int], per_copy=None):

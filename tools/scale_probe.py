@@ -68,18 +68,48 @@ def run_once(qs, name: str, sf_dir: str) -> tuple[float, int]:
     return t, int(n)
 
 
+def _probe_cold(sf_dir: str) -> bool:
+    """Reps cache mode for a probe dir — bench.py's rule: SF>=1 clears
+    the block cache between best-of-N reps (cache-COLD times; the
+    assist is eviction-bimodal there), sub-1 SFs keep the
+    deterministic assisted steady state."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", _label(sf_dir))
+    try:
+        return bool(m) and float(m.group(1).rstrip(".")) >= 1.0
+    except ValueError:
+        return False
+
+
 def best_of(qs, name: str, sf_dir: str, runs: int = 2) -> tuple[float, int]:
     # Mirrors bench.py's policy: best-of-2, plus a third run when the
-    # best so far is under THIRD_RUN_BELOW (8s). A transient load
-    # spike that hits both of two runs put a 2.2x-wrong row into the
-    # cross-check once; the third run costs seconds and sheds it.
+    # best so far is under THIRD_RUN_BELOW (8s), and — at SF>=1 —
+    # clearCache between reps so the recorded best is cache-COLD
+    # (persist-heavy queries otherwise record a cache-assisted best
+    # whose availability is eviction-bimodal at sf10; SCALING.md
+    # measurement note). A transient load spike that hits both of two
+    # runs put a 2.2x-wrong row into the cross-check once; the third
+    # run costs seconds and sheds it.
+    import gc
+
     from bench import THIRD_RUN_BELOW
 
+    cold = _probe_cold(sf_dir)
+
+    def _between():
+        if cold and _SPARK is not None:
+            _SPARK.catalog.clearCache()
+            gc.collect()
+
     best, rows = None, 0
-    for _ in range(runs):
+    for i in range(runs):
+        if i > 0:
+            _between()
         t, rows = run_once(qs, name, sf_dir)
         best = t if best is None else min(best, t)
     if best is not None and best <= THIRD_RUN_BELOW:
+        _between()
         t, rows = run_once(qs, name, sf_dir)
         best = min(best, t)
     return best, rows
@@ -160,6 +190,7 @@ def _bench_crosscheck(
     # counts, so a parts mismatch skips the comparison instead of
     # flagging healthy rows. Artifacts predating the "parts" field
     # are only comparable at sf0.1 (always recorded at the default 8).
+    art: dict = {}
     try:
         with open(os.path.join(repo, fname)) as fh:
             art = json.load(fh)
@@ -176,8 +207,33 @@ def _bench_crosscheck(
             f" the probe runs at {PROBE_PARTS} — not comparable.",
             "",
         ]
+    # Like-cache-modes only: the probe measures reps cold at SF>=1
+    # (clearCache between best-of-N runs); an artifact recorded in
+    # assisted mode differs on persist-heavy queries by cache policy,
+    # not plan (corpus_curation: cold ~150s vs assisted ~85s at sf10 —
+    # the SCALING.md bimodality note). Exclude the artifact's
+    # cache_assist_eligible rows on a mode mismatch; with no recorded
+    # eligibility list (pre-r11 artifact), skip the check entirely.
+    probe_mode = "cold" if _probe_cold(sf_big) else "assisted"
+    art_mode = str(art.get("reps_cache_mode", "assisted"))
+    mode_excluded: set[str] = set()
+    if art_mode != probe_mode:
+        eligible = art.get("cache_assist_eligible")
+        if not isinstance(eligible, list):
+            return [
+                f"## Cross-check vs `{fname}`: skipped",
+                "",
+                f"The artifact measured reps cache-{art_mode}, the probe"
+                f" cache-{probe_mode}, and the artifact predates the"
+                " cache_assist_eligible field — persist-heavy rows are"
+                " not attributable, so nothing here is comparable.",
+                "",
+            ]
+        mode_excluded = set(eligible)
     stale = []
     for name, t in sorted(measured.items()):
+        if name in mode_excluded:
+            continue
         p = prior.get(name)
         if (
             p
@@ -208,6 +264,14 @@ def _bench_crosscheck(
         ]
     else:
         lines += ["None — every row reproduces the artifact of record.", ""]
+    if mode_excluded:
+        lines += [
+            f"Excluded (cache-mode mismatch, probe {probe_mode} vs"
+            f" artifact {art_mode}): "
+            + ", ".join(f"`{n}`" for n in sorted(mode_excluded))
+            + ".",
+            "",
+        ]
     return lines
 
 
@@ -287,10 +351,17 @@ def main() -> None:
                 "to measure growth one decade past the shipped testdata.",
                 "",
             ]
+    mode_s = "cold" if _probe_cold(sf_small) else "assisted"
+    mode_b = "cold" if _probe_cold(sf_big) else "assisted"
     lines = [
         header,
         "",
         *provenance,
+        f"Reps cache mode: {lbl_s}={mode_s}, {lbl_b}={mode_b}"
+        " (SF>=1 clears the block cache between best-of-N reps —"
+        " cold; sub-1 SFs keep the deterministic assisted steady"
+        " state, matching bench.py).",
+        "",
         f"Generated by `tools/scale_probe.py` at shuffle-partitions="
         f"{PROBE_PARTS}. Per headline query: wall",
         "time (best of 2, third run under 8s — bench.py's policy;",

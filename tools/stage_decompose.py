@@ -54,12 +54,35 @@ def _t(build, sf_dir: str) -> float:
     return time.time() - t0
 
 
+def _cold(sf_dir: str) -> bool:
+    """bench.py's reps cache-mode rule: SF>=1 measures cache-cold
+    (clearCache between best-of-N reps), sub-1 SFs assisted."""
+    import re
+
+    m = re.search(r"sf([0-9.]+)", os.path.basename(os.path.normpath(sf_dir)))
+    try:
+        return bool(m) and float(m.group(1).rstrip(".")) >= 1.0
+    except ValueError:
+        return False
+
+
 def _best(build, sf_dir: str) -> float:
+    import gc
+
     from bench import THIRD_RUN_BELOW
 
+    cold = _cold(sf_dir)
+
+    def _between():
+        if cold and _SPARK is not None:
+            _SPARK.catalog.clearCache()
+            gc.collect()
+
     best = _t(build, sf_dir)
+    _between()
     best = min(best, _t(build, sf_dir))
     if best <= THIRD_RUN_BELOW:
+        _between()
         best = min(best, _t(build, sf_dir))
     return best
 
@@ -214,6 +237,12 @@ def main() -> None:
     qs = all_queries()
     lbl = lambda p: os.path.basename(os.path.normpath(p))  # noqa: E731
 
+    mode = lambda d: "cold" if _cold(d) else "assisted"  # noqa: E731
+    print(
+        f"Reps cache mode: {lbl(dir_a)}={mode(dir_a)},"
+        f" {lbl(dir_b)}={mode(dir_b)} (SF>=1 clears the block cache"
+        " between best-of-N reps — bench.py's rule)."
+    )
     for name in only or list(STAGES):
         stages = STAGES[name]()
         print(f"\n### `{name}` — per-stage growth {lbl(dir_a)} → {lbl(dir_b)}\n")
