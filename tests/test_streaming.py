@@ -318,3 +318,229 @@ def test_refresh_replay_after_checkpoint_loss_is_idempotent(spark, tmp_path):
     cs.run_refresh(spark, inp, out, str(tmp_path / "ckpt2"))
     assert _snapshot(spark, out) == expected
     _assert_keys_unique(spark, out)
+
+
+# ------------------- fault injection: dedup / join state-store paths
+# (The cube upsert's kill/retry suite above covers the foreachBatch
+# sink; these cover the OTHER recovery mechanism — the keyed state
+# store + file-source WAL. Two real crash windows per stream:
+#   1. task failure MID-BATCH: the offset log has pinned the batch's
+#      file list, no sink commit, no state commit → restart replays
+#      the identical micro-batch against the prior state version;
+#   2. crash BETWEEN sink commit and commit-log write: the parquet
+#      sink's _spark_metadata already records the batch → the replay
+#      must not double its rows.)
+
+
+def _drop_last_commit(commits_dir):
+    """Remove the highest-numbered commit marker plus any sidecar
+    files for it (Spark 4's ChecksumCheckpointFileManager writes
+    ``N.checksum`` next to ``N`` — leaving either half makes the
+    replay see a torn, not missing, commit)."""
+    import os
+
+    last = max(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )
+    for f in os.listdir(commits_dir):
+        # marker "N", checksum "N.checksum", Hadoop CRC ".N.crc"
+        if f == last or f.startswith(last + ".") or f.startswith(f".{last}."):
+            os.remove(os.path.join(commits_dir, f))
+
+
+def _write_events(spark, rows, path, mode="append"):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, t0 + dt.timedelta(minutes=m), uid, etype, 1.0)
+        for eid, m, uid, etype in rows
+    ]
+    from white_elephant_spark.streaming.dedup_stream import EVENT_SCHEMA
+
+    df = spark.createDataFrame(data, EVENT_SCHEMA)
+    df.write.mode(mode).parquet(path)
+    return df
+
+
+def _single_parquet_file(spark, rows, dest, tmp_path, tag):
+    """One self-contained .parquet FILE (not a directory) with the
+    event schema — what the in-place fix of a corrupt file needs.
+    coalesce(1) so the single part file actually HOLDS the rows (a
+    multi-part write puts them in one shard and empties the rest)."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from white_elephant_spark.streaming.dedup_stream import EVENT_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (eid, t0 + dt.timedelta(minutes=m), uid, etype, 1.0)
+        for eid, m, uid, etype in rows
+    ]
+    staging = str(tmp_path / f"_stage_{tag}")
+    spark.createDataFrame(data, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    part = glob.glob(staging + "/part-*.parquet")[0]
+    shutil.copyfile(part, dest)
+
+
+def test_dedup_stream_kill_midbatch_then_replay_exactly_once(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from white_elephant_spark.streaming import dedup_stream as ds
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    # cycle 1: three events, one intra-batch duplicate delivery
+    _write_events(spark, [(1, 0, 1, "a"), (2, 1, 1, "b"), (1, 0, 1, "a")], inp)
+    ds.run_dedup_cycle(spark, inp, out, ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    # cycle 2: new event + re-delivery of event 1, PLUS a file the
+    # batch cannot read — the batch's offset entry pins all three
+    # files, then a read task throws mid-batch: no sink commit, no
+    # state commit.
+    _write_events(spark, [(3, 2, 2, "c"), (1, 0, 1, "a")], inp)
+    poison = os.path.join(inp, "zz-injected.parquet")
+    with open(poison, "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        ds.run_dedup_cycle(spark, inp, out, ckpt)
+    # the aborted batch must not have published rows
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2]
+
+    # operator fixes the file IN PLACE (same path the WAL pinned) with
+    # one more re-delivery of a seen key; restart replays the same
+    # micro-batch against the surviving state.
+    _single_parquet_file(spark, [(2, 1, 1, "b")], poison, tmp_path, "fix")
+    ds.run_dedup_cycle(spark, inp, out, ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3]
+
+    # state not lost: a third cycle of pure re-deliveries emits nothing
+    _write_events(spark, [(1, 0, 1, "a"), (2, 1, 1, "b"), (3, 2, 2, "c")], inp)
+    ds.run_dedup_cycle(spark, inp, out, ckpt)
+    assert sorted(
+        r.event_id for r in spark.read.parquet(out).collect()
+    ) == [1, 2, 3]
+
+
+def test_dedup_stream_commitlog_loss_replays_without_duplicates(spark, tmp_path):
+    # Crash window 2: batch fully processed and the parquet sink's
+    # _spark_metadata committed, but the checkpoint's commit marker was
+    # never written. Restart replays the batch; the sink's own log must
+    # swallow the duplicate delivery (exactly-once end to end).
+    import os
+
+    from white_elephant_spark.streaming import dedup_stream as ds
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    _write_events(spark, [(1, 0, 1, "a"), (2, 1, 1, "b")], inp)
+    ds.run_dedup_cycle(spark, inp, out, ckpt)
+    _write_events(spark, [(3, 2, 2, "c"), (2, 1, 1, "b")], inp)
+    ds.run_dedup_cycle(spark, inp, out, ckpt)
+    expected = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert expected == [1, 2, 3]
+
+    # simulate the crash: drop the LAST commit marker (and its
+    # checksum sidecar — Spark 4's ChecksumCheckpointFileManager)
+    _drop_last_commit(os.path.join(ckpt, "commits"))
+    ds.run_dedup_cycle(spark, inp, out, ckpt)  # replays the batch
+    assert (
+        sorted(r.event_id for r in spark.read.parquet(out).collect()) == expected
+    )
+
+
+def _join_cycle(spark, ldir, rdir, out, ckpt):
+    from white_elephant_spark.streaming.dedup_stream import (
+        EVENT_SCHEMA,
+        read_event_stream,
+    )
+    from white_elephant_spark.streaming.join_stream import windowed_stream_join
+
+    joined = windowed_stream_join(
+        read_event_stream(spark, ldir), read_event_stream(spark, rdir)
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_join_stream_kill_midbatch_replay_pairs_once_state_intact(spark, tmp_path):
+    import os
+
+    import pytest
+
+    ldir, rdir, out, ckpt = (str(tmp_path / d) for d in ("l", "r", "out", "ckpt"))
+    # cycle 1: a click buffers in left state; no right side yet
+    _write_events(spark, [(10, 0, 1, "click")], ldir)
+    _write_events(spark, [(90, 0, 9, "error")], rdir)  # user 9: never pairs
+    _join_cycle(spark, ldir, rdir, out, ckpt)
+    assert spark.read.parquet(out).count() == 0
+
+    # cycle 2: the matching error arrives — but a corrupt right-side
+    # file kills the batch after the WAL pinned it
+    _write_events(spark, [(20, 5, 1, "error")], rdir)
+    poison = os.path.join(rdir, "zz-injected.parquet")
+    with open(poison, "wb") as fh:
+        fh.write(b"garbage")
+    with pytest.raises(Exception):
+        _join_cycle(spark, ldir, rdir, out, ckpt)
+    assert spark.read.parquet(out).count() == 0  # nothing published
+
+    # fix in place (another error for the SAME click — both must pair,
+    # proving the click survived in buffered state across the crash)
+    _single_parquet_file(spark, [(21, 6, 1, "error")], poison, tmp_path, "jfix")
+    _join_cycle(spark, ldir, rdir, out, ckpt)
+    got = sorted(
+        (r.l_event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(10, 20), (10, 21)]
+
+    # replaying re-delivered right rows must not re-emit pairs: the
+    # stream-stream join keys buffered rows exactly-once per input row
+    _write_events(spark, [(20, 5, 1, "error")], rdir)
+    _join_cycle(spark, ldir, rdir, out, ckpt)
+    got2 = sorted(
+        (r.l_event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
+    )
+    # the re-delivered error is a NEW input row to the join (the join
+    # dedups nothing by itself — that's dedup_stream's contract
+    # upstream); what must hold is determinism: exactly one new pair,
+    # no replay of old ones
+    assert got2 == [(10, 20), (10, 20), (10, 21)]
+
+
+def test_join_stream_commitlog_loss_replays_without_duplicate_pairs(spark, tmp_path):
+    import os
+
+    ldir, rdir, out, ckpt = (str(tmp_path / d) for d in ("l", "r", "out", "ckpt"))
+    _write_events(spark, [(10, 0, 1, "click"), (11, 1, 2, "click")], ldir)
+    _write_events(spark, [(20, 5, 1, "error"), (21, 6, 2, "error")], rdir)
+    _join_cycle(spark, ldir, rdir, out, ckpt)
+    expected = sorted(
+        (r.l_event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
+    )
+    assert expected == [(10, 20), (11, 21)]
+
+    _drop_last_commit(os.path.join(ckpt, "commits"))
+    _join_cycle(spark, ldir, rdir, out, ckpt)  # replay of the same batch
+    got = sorted(
+        (r.l_event_id, r.r_event_id) for r in spark.read.parquet(out).collect()
+    )
+    assert got == expected

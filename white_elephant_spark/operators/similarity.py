@@ -548,8 +548,8 @@ def _top1_cells(V, cids, C, cnorms, dim: int):
     # A zero-norm row divides 0/0 — deliberately NaN, then ranked last
     # (NaN-last lexsort contract). errstate keeps the EXPECTED invalid-
     # divide warning out of the suite so an unexpected one can't hide
-    # behind it; tests/test_similarity_kernels.py asserts the NaN-last
-    # behavior explicitly.
+    # behind it; tests/test_dedup_similarity.py (zero-norm NaN-last
+    # warnings-as-errors test) asserts the behavior explicitly.
     with np.errstate(invalid="ignore", divide="ignore"):
         cos = dots / (np.sqrt(vv)[:, None] * cnorms)
     cos = np.where(np.isnan(cos), -np.inf, cos)
