@@ -119,10 +119,24 @@ def _emb_rotation(c: int, dim: int):
 
 def main() -> None:
     args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     src = args[0] if args else "/root/testdata/sf0.1"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out_root = args[1] if len(args) > 1 else os.path.join(repo, ".scratch", "sf1")
     copies = int(args[2]) if len(args) > 2 else 10
+
+    def wanted(t: str) -> bool:
+        # --tables: generate only the named fact tables (dimension
+        # tables always ship — they're tiny and every catalog load
+        # may touch them). A partial corpus is for SINGLE-QUERY scale
+        # probes whose queries read a known table subset; the manifest
+        # records the subset so a bench run against it is refused a
+        # comparability claim it can't make.
+        return only is None or t in only or t in ("region", "nation")
 
     from white_elephant_spark.session import get_spark
 
@@ -183,9 +197,16 @@ def main() -> None:
             )
     dim = len(emb.select("embedding").first()[0])
 
-    def amplified(df, keyshift: dict[str, int], per_copy=None):
+    # Copies per plan: a single N-way unionAll is fine to ~300 but
+    # Catalyst analysis cost grows superlinearly in plan width (a
+    # 1000-way union with per-copy mapInPandas stages stalls the
+    # driver), so large copy counts are written in append chunks —
+    # identical bytes per copy, bounded plan width.
+    CHUNK = 100
+
+    def amplified(df, keyshift: dict[str, int], rng, per_copy=None):
         parts = []
-        for c in range(copies):
+        for c in rng:
             d = _shift(df, keyshift, c)
             if per_copy is not None:
                 d = per_copy(d, c)
@@ -195,17 +216,25 @@ def main() -> None:
             out = out.unionAll(d)
         return out
 
-    write(amplified(cust, {"c_custkey": u_c}), "customer")
-    write(amplified(supp, {"s_suppkey": u_s}), "supplier")
-    write(amplified(part, {"p_partkey": u_p}), "part")
-    write(amplified(orders, {"o_orderkey": u_o, "o_custkey": u_c}), "orders")
-    write(
-        amplified(
-            lineitem, {"l_orderkey": u_o, "l_partkey": u_p, "l_suppkey": u_s}
-        ),
-        "lineitem",
+    def write_amplified(df, t, keyshift: dict[str, int], per_copy=None):
+        if not wanted(t):
+            return
+        path = os.path.join(out_root, f"{t}.parquet")
+        for start in range(0, copies, CHUNK):
+            rng = range(start, min(start + CHUNK, copies))
+            chunk = amplified(df, keyshift, rng, per_copy)
+            chunk.write.mode("overwrite" if start == 0 else "append").parquet(path)
+        n = spark.read.parquet(path).count()
+        print(f"{t}: wrote {n} rows")
+
+    write_amplified(cust, "customer", {"c_custkey": u_c})
+    write_amplified(supp, "supplier", {"s_suppkey": u_s})
+    write_amplified(part, "part", {"p_partkey": u_p})
+    write_amplified(orders, "orders", {"o_orderkey": u_o, "o_custkey": u_c})
+    write_amplified(
+        lineitem, "lineitem", {"l_orderkey": u_o, "l_partkey": u_p, "l_suppkey": u_s}
     )
-    write(amplified(events, {"event_id": u_e, "user_id": u_u}), "events")
+    write_amplified(events, "events", {"event_id": u_e, "user_id": u_u})
 
     _ALPHA = "abcdefghijklmnopqrstuvwxyz"
     _DIGIT = "0123456789"
@@ -245,7 +274,7 @@ def main() -> None:
             dst = lo + lo.upper() + _perm(_DIGIT, f"digit:{c}")
         return d.withColumn("text", F.translate(F.col("text"), src, dst))
 
-    write(amplified(docs, {"doc_id": u_d}, doc_copy), "documents")
+    write_amplified(docs, "documents", {"doc_id": u_d}, doc_copy)
 
     def emb_copy(d, c: int):
         if c == 0:
@@ -265,7 +294,7 @@ def main() -> None:
 
         return d.mapInPandas(_apply, schema=d.schema)
 
-    write(amplified(emb, {"vec_id": u_v}, emb_copy), "embeddings")
+    write_amplified(emb, "embeddings", {"vec_id": u_v}, emb_copy)
 
     # Corpus manifest: stamps WHAT this synthesized corpus is (source,
     # copy count, generator content hash) so a bench sidecar recorded
@@ -278,6 +307,8 @@ def main() -> None:
     with open(__file__, "rb") as fh:
         tool_sha = hashlib.sha256(fh.read()).hexdigest()[:12]
     manifest = {"src": src, "copies": copies, "tool_sha": tool_sha}
+    if only is not None:
+        manifest["tables"] = sorted(only)
     with open(os.path.join(out_root, "_CORPUS_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh)
     print(f"amplified {src} x{copies} -> {out_root} (manifest {manifest})")

@@ -206,10 +206,49 @@ def _clusters_stages():
     ]
 
 
+def _annlsh_stages():
+    from pyspark.sql import functions as F
+
+    from white_elephant_spark.plans.text_queries import (
+        _annlsh_enc,
+        _annlsh_knn_leg,
+        _annlsh_nd_enc,
+        _annlsh_nd_leg,
+    )
+
+    def knn_candidates(spark, sf_dir):
+        # The kNN leg's candidate set BEFORE scoring/ranking (ids
+        # only): broadcast queries × corpus bucket-overlap join — the
+        # term the S-curve argument says must grow ∝ queries×corpus.
+        enc = _annlsh_enc(spark, sf_dir)
+        q = enc.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("buckets").alias("qb")
+        )
+        c = enc.select(F.col("vec_id").alias("nbr_id"), F.col("buckets").alias("cb"))
+        return (
+            F.broadcast(q)
+            .join(
+                c,
+                F.arrays_overlap(F.col("qb"), F.col("cb"))
+                & (F.col("query_id") != F.col("nbr_id")),
+            )
+            .select("query_id", "nbr_id")
+        )
+
+    return [
+        ("lsh_enc_serve (registry read, 12t x 3p)", _annlsh_enc),
+        ("nd_enc_serve (registry read, 4t x 16p)", _annlsh_nd_enc),
+        ("knn_candidates (bcast bucket-overlap, ids only)", knn_candidates),
+        ("knn_leg (candidates + cosine + rank top-10)", _annlsh_knn_leg),
+        ("neardup_leg (band join + cos>=0.999 verify)", _annlsh_nd_leg),
+    ]
+
+
 STAGES = {
     "fuzzy_doc_match": _fuzzy_stages,
     "corpus_curation": _curation_stages,
     "dedup_clusters": _clusters_stages,
+    "ann_lsh_topk": _annlsh_stages,
 }
 
 

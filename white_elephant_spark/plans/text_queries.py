@@ -748,19 +748,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both legs' sketch-indexed corpora (vectors + norms + encoded
     buckets) are registry-served (``lsh_enc`` / ``neardup_enc``):
     built once per corpus snapshot, parquet-backed for later
-    sessions — steady-state calls never re-run the Arrow encoder."""
+    sessions — steady-state calls never re-run the Arrow encoder.
+
+    The legs live in module-level helpers (``_annlsh_knn_leg`` /
+    ``_annlsh_nd_leg``) so ``tools/stage_decompose.py`` times the
+    exact plans this query unions — not a reimplementation."""
+    return _annlsh_knn_leg(spark, sf_dir).unionAll(_annlsh_nd_leg(spark, sf_dir))
+
+
+def _annlsh_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kNN leg's sketch-indexed corpus (12 tables × 3 planes):
+    a pure function of the embeddings table — LSH's analogue of a
+    built index — so it lives in the models registry (built once per
+    corpus snapshot, parquet-served to later sessions; the faiss
+    build-once contract). Steady-state serving reads a small parquet
+    file instead of re-running the Arrow bucket encoder per call."""
     from pyspark import StorageLevel
 
     from white_elephant_spark import models
 
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # Both legs' sketch-indexed corpora are pure functions of the
-    # embeddings table — LSH's analogue of a built index — so they
-    # live in the models registry (built once per corpus snapshot,
-    # parquet-served to later sessions; the faiss build-once
-    # contract). Steady-state serving reads two small parquet files
-    # instead of re-running the Arrow bucket encoder per call.
     def _build_ann_enc():
         e = similarity.encode_for_lsh(
             emb, dim=64, planes=_ANN_PLANES, tables=_ANN_TABLES
@@ -768,7 +776,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.count()
         return e
 
-    enc = models.get_or_train(
+    return models.get_or_train(
         spark,
         sf_dir,
         "embeddings",
@@ -778,8 +786,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         save=models.df_save,
         load=models.df_load(),
     )
+
+
+def _annlsh_knn_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quadratic-by-design kNN leg: every 100th vector queried
+    against the full corpus via bucket-overlap candidates + exact
+    cosine rank (docstring contract in :func:`ann_lsh_topk`)."""
+    enc = _annlsh_enc(spark, sf_dir)
     queries = enc.filter(F.col("vec_id") % 100 == 0)
-    lsh = similarity.lsh_cosine_topk(
+    return similarity.lsh_cosine_topk(
         enc,
         queries,
         dim=64,
@@ -788,6 +803,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables=_ANN_TABLES,
         pre_encoded=True,
     ).select(F.lit("lsh").alias("method"), "query_id", "nbr_id", "cos_sim", "rank")
+
+
+def _annlsh_nd_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup leg's sketch-indexed corpus (4 tables × 16
+    planes) over the embeddings plus planted scaled copies of every
+    50th vector — registry-served like :func:`_annlsh_enc`."""
+    from pyspark import StorageLevel
+
+    from white_elephant_spark import models
+
+    emb = load_table(spark, sf_dir, "embeddings")
 
     def _build_nd_enc():
         copies = emb.filter(F.col("vec_id") % 50 == 0).select(
@@ -804,7 +830,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.count()
         return e
 
-    nd_enc = models.get_or_train(
+    return models.get_or_train(
         spark,
         sf_dir,
         "embeddings",
@@ -814,7 +840,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         save=models.df_save,
         load=models.df_load(),
     )
-    nd = similarity.neardup_pairs_lsh(
+
+
+def _annlsh_nd_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The linear near-dup leg: 16-plane × 4-table band join over the
+    served sketch index, exact cosine ≥ 0.999 verify."""
+    nd_enc = _annlsh_nd_enc(spark, sf_dir)
+    return similarity.neardup_pairs_lsh(
         nd_enc,
         threshold=0.999,
         dim=64,
@@ -828,7 +860,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim",
         F.lit(0).cast("long").alias("rank"),
     )
-    return lsh.unionAll(nd)
 
 
 _IVF_C, _IVF_NPROBE = 32, 4
