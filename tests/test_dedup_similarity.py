@@ -216,6 +216,49 @@ def test_simhash_radix_blocking_is_complete(spark):
     assert got == {(1, 2): 3, (1, 3): 3, (1, 4): 3, (2, 3): 2}  # every pair within distance 3
 
 
+def test_simhash_blocking_schemes_identical_output(spark):
+    """The Manku block-combination scheme (the fifth-decade keyspace
+    fix — 16-bit radix bands saturate near ~10^6 distinct fps and the
+    band join goes quadratic) must yield the EXACT pair set of radix
+    blocking: both are complete for the Hamming radius and both apply
+    the exact bit_count post-filter, so the scheme is a pure
+    candidate-generation choice — the oracle twin keeps radix SQL."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.getrandbits(64) - (1 << 63)) for i in range(500)]
+
+    def flip(v, bits):
+        for b in bits:
+            v ^= 1 << b
+        return ((v + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+    base = rnd.getrandbits(64) - (1 << 63)
+    rows += [
+        (1000, base),
+        (1001, flip(base, [5])),            # hamming 1 — must pair
+        (1002, flip(base, [1, 17, 63])),    # hamming 3 — must pair
+        (1003, flip(base, [2, 20, 40, 60])),  # hamming 4 — must NOT
+    ]
+    fps = spark.createDataFrame(rows, "id long, simhash long")
+    radix = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(fps, scheme="radix").collect()
+    )
+    blocks = sorted(
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(fps, scheme="blocks").collect()
+    )
+    assert radix == blocks
+    planted = {(a, b): h for a, b, h in blocks if a >= 1000}
+    assert planted.get((1000, 1001)) == 1 and planted.get((1000, 1002)) == 3
+    assert (1000, 1003) not in planted
+    # auto resolves to blocks for h<=3 and radix (with its validation)
+    # above; an unknown scheme is loud
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(fps, scheme="nope")
+
+
 def test_ann_lsh_recall_floor(spark):
     """Multi-table LSH must keep recall@10 >= 0.9 vs the exact
     baseline on the driver corpus (the round-1 single-table design

@@ -26,7 +26,11 @@ A fourth phase, **hit_fifo_baseline**, re-runs the hit workload
 against a second server built with ``scheduler_pools=False`` — the
 FIFO-equivalent posture (all jobs in Spark's internally-FIFO
 ``default`` pool) — so the committed artifact carries both scheduler
-postures side by side.
+postures side by side. A fifth, **light_under_heavy**, measures the
+heterogeneous case per-request pools exist for: one thread of light
+``/api/clusters`` requests while the remaining threads build heavy
+cold-miss roll-ups, under each posture (fresh zone pairs so both
+measure genuinely cold heavy work).
 
 Workload is deterministic (seeded key order, fixed counts) so the
 sidecar is comparable round-over-round. Tripwire: against the newest

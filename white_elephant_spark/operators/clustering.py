@@ -275,6 +275,7 @@ def fingerprint_clusters(
     max_hamming: int = 3,
     bands: int = 4,
     max_iter: int = 50,
+    scheme: str = "auto",
 ) -> DataFrame:
     """Duplicate clusters from SimHash fingerprints, **collapsed to
     distinct fingerprints before pairing** — the 100 TB shape.
@@ -289,13 +290,16 @@ def fingerprint_clusters(
        identical transitive components. It is also the scale fix: a
        corpus whose duplicate mass is M exact-ish copies of D
        templates pairs O(M²) at doc level but O(D·bands) here.
-    2. radix-band candidate join over *distinct* fingerprints only
-       (complete for ``max_hamming ≤ bands - 1`` by pigeonhole),
-       exact ``bit_count(XOR)`` filter. Bands default to the minimum
-       complete count (widest slices) — see
+    2. exact-key candidate join over *distinct* fingerprints only
+       (complete by pigeonhole for ``max_hamming``), exact
+       ``bit_count(XOR)`` filter. The blocking scheme is
        :func:`~white_elephant_spark.operators.dedup.
-       simhash_neardup_pairs` for the keyspace-scaling argument (the
-       r9 third-decade fix).
+       simhash_neardup_pairs`'s ``auto``: Manku block combinations
+       (20 tables × ~32-bit keys at h=3) — 16-bit radix bands (the
+       r9 third-decade fix) saturate their keyspace near ~10⁶
+       distinct fingerprints and went quadratic again at the r11
+       fifth-decade probe; ~32-bit keys defer that to ~10¹⁰. Both
+       schemes yield the identical verified pair set.
     3. iterative min-label :func:`connected_components` over the
        fingerprint graph — node count = distinct fingerprints, not
        corpus rows.
@@ -323,7 +327,7 @@ def fingerprint_clusters(
         .agg(F.min("id").alias("fid"))
         .select(F.col("fid").alias("id"), "simhash")
     )
-    fpairs = simhash_neardup_pairs(groups, max_hamming=max_hamming, bands=bands)
+    fpairs = simhash_neardup_pairs(groups, max_hamming=max_hamming, bands=bands, scheme=scheme)
     comp = connected_components(fpairs, max_iter=max_iter)
     fid_label = groups.join(comp, groups.id == comp.node, "left").select(
         F.col("simhash"),

@@ -294,32 +294,70 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return tally.selectExpr("id", f"CAST({fp} AS LONG) AS simhash")
 
 
+def _block_combo_keys(fp_col: str, h: int):
+    """Manku-Jain-Sarma block-combination blocking keys for 64-bit
+    fingerprints at Hamming radius ``h`` (WWW'07 §3, the production
+    scheme behind Google's 8B-page near-dup detection): split the
+    fingerprint into B = 2h blocks; for every C(B, h) choice of
+    B − h = h blocks, one table's key is the CONCATENATION of the
+    chosen blocks (~32 bits). Any pair within Hamming distance h
+    differs in at most h blocks, so at least h blocks are untouched
+    and some choice of h blocks is entirely clean — that table keys
+    them identically (complete by pigeonhole), while ~32-bit keys keep
+    bucket occupancy ~N/2³² — vanishing until ~10¹⁰ distinct
+    fingerprints. Returns the array of per-table keys (the table index
+    is the array position, so the (band, key) join shape is unchanged
+    from radix slicing)."""
+    import itertools
+
+    B = 2 * h
+    widths = [64 // B + (1 if i < 64 % B else 0) for i in range(B)]
+    offsets = [sum(widths[:i]) for i in range(B)]
+    blocks = [
+        F.shiftright(F.col(fp_col), offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(B)
+    ]
+    keys = []
+    for combo in itertools.combinations(range(B), h):
+        k = F.lit(0).cast("long")
+        for i in combo:
+            k = F.shiftleft(k, widths[i]).bitwiseOR(blocks[i])
+        keys.append(k)
+    return F.array(*keys)
+
+
 def simhash_neardup_pairs(
     fps: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
     id_col: str = "id",
     fp_col: str = "simhash",
+    scheme: str = "auto",
 ) -> DataFrame:
-    """Near-dup pairs from SimHash fingerprints via **radix blocking**:
-    split the 64-bit fingerprint into ``bands`` bit-slices; by the
-    pigeonhole principle any pair within Hamming distance
-    ``bands - 1`` matches at least one slice *exactly*, so the
-    candidate join on (band, slice-value) is complete for
-    ``max_hamming ≤ bands - 1`` — never all-pairs. The exact Hamming
-    distance (``bit_count(a XOR b)``) filters candidates after.
+    """Near-dup pairs from SimHash fingerprints via exact-key
+    blocking + exact Hamming post-filter. Two complete blocking
+    schemes, IDENTICAL output (every pair within ``max_hamming`` is a
+    candidate in either, and the ``bit_count(a XOR b)`` filter keeps
+    only true pairs — so the oracle twin and every test stay
+    bit-equal regardless of scheme):
 
-    ``bands`` defaults to the MINIMUM complete count for the default
-    ``max_hamming`` (h+1 = 4), i.e. the WIDEST slices: each band's
-    keyspace is 2^(64/bands), and candidate volume grows as
-    N²·bands/2^(64/bands). The old default of 8 bands left only
-    2^8=256 values per band — a fixed keyspace whose bucket occupancy
-    grows ∝N, measured as 100× candidates on 10× data at the r9
-    third-decade probe (dedup_clusters 16.7× wall on 10× rows); 16-bit
-    bands (65536 values) keep occupancy — and the pair set — linear
-    until far past that. Both band counts produce the IDENTICAL output
-    pair set (completeness + the exact post-filter), so the oracle
-    twins stay bit-equal.
+    - ``radix``: split into ``bands`` contiguous bit-slices; complete
+      for ``max_hamming ≤ bands − 1`` by pigeonhole. Candidate volume
+      grows as N²·bands/2^(64/bands): the old 8-band default (2⁸
+      values/band) went quadratic at the r9 third-decade probe and
+      was widened to 4×16 bits — but 16-bit keyspaces saturate too:
+      at ~5M distinct fingerprints occupancy is ~70/bucket and the
+      r11 FIFTH-decade probe measured the band join going quadratic
+      again (the probe wedged for >80 min at sf100). Radix cannot go
+      wider: h=3 already forces ≥4 bands.
+    - ``blocks``: Manku-Jain-Sarma block combinations
+      (:func:`_block_combo_keys`) — C(2h, h) tables keyed on ~32-bit
+      block concatenations. 20 tables at h=3 (5× the exploded rows of
+      radix-4, still linear) with occupancy ~N/2³²: the published
+      scale answer for exactly this corpus size and the default for
+      ``max_hamming ≤ 3`` via ``scheme="auto"``.
+
+    ``bands`` applies to the radix scheme only.
 
     Output: (id_a, id_b, hamming), id_a < id_b. NOTE: over a corpus
     with heavy duplicate mass this materializes O(dup-mass²) rows —
@@ -327,19 +365,26 @@ def simhash_neardup_pairs(
     clustering.fingerprint_clusters`, which collapses identical
     fingerprints to one node *before* pairing (exactness-preserving,
     since equal fingerprints are Hamming-0 connected)."""
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"radix blocking with {bands} bands is only complete up to "
-            f"Hamming distance {bands - 1} (got max_hamming={max_hamming})"
+    if scheme == "auto":
+        scheme = "blocks" if 1 <= max_hamming <= 3 else "radix"
+    if scheme == "blocks":
+        slices = _block_combo_keys(fp_col, max_hamming)
+    elif scheme == "radix":
+        if max_hamming > bands - 1:
+            raise ValueError(
+                f"radix blocking with {bands} bands is only complete up to "
+                f"Hamming distance {bands - 1} (got max_hamming={max_hamming})"
+            )
+        width = 64 // bands
+        mask = (1 << width) - 1
+        slices = F.array(
+            *[
+                F.shiftright(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
+                for b in range(bands)
+            ]
         )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    slices = F.array(
-        *[
-            F.shiftright(F.col(fp_col), b * width).bitwiseAND(F.lit(mask))
-            for b in range(bands)
-        ]
-    )
+    else:
+        raise ValueError(f"unknown scheme {scheme!r} (auto|blocks|radix)")
     e = fps.select(
         F.col(id_col).alias("id"),
         F.col(fp_col).alias("fp"),
@@ -368,7 +413,11 @@ def sql_simhash_neardup_pairs(
     fp_cte: str, max_hamming: int = 3, bands: int = 4
 ) -> str:
     """DuckDB twin of :func:`simhash_neardup_pairs` over a CTE named
-    ``fp_cte`` with columns (id, simhash)."""
+    ``fp_cte`` with columns (id, simhash). Kept on the radix scheme:
+    both blocking schemes produce the identical verified pair set
+    (completeness + the exact Hamming post-filter), so the twin needs
+    no scheme knob and its hash — and the ratio tripwire's sha gate —
+    stay stable across the Spark side's scheme choice."""
     width = 64 // bands
     mask = (1 << width) - 1
     return f"""
