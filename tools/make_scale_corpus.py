@@ -238,6 +238,20 @@ def main() -> None:
 
     _ALPHA = "abcdefghijklmnopqrstuvwxyz"
     _DIGIT = "0123456789"
+    # Punctuation is ALSO ciphered (r11): with alnum-only mapping,
+    # punctuation-only tokens are invariant across copies, so docs
+    # dominated by them produce fingerprints within Hamming<=3 of
+    # their sister copies — the fifth-decade probe measured the
+    # signature (top duplicate cluster 4,916 docs at 100 copies ≈ one
+    # ~49-doc base cluster merged across EVERY copy; 1.39M cross-copy
+    # edges at sf10). A per-copy bijection on the punctuation class
+    # removes the planted cross-copy mass while preserving every
+    # intra-copy length/edit-distance/shingle relationship, exactly
+    # like the alnum classes. NOTE: this changes synthesized bytes for
+    # copies >= 1 — corpora built before r11 carry the old tool_sha in
+    # their manifest, and the bench comparability stamp refuses the
+    # cross-version comparison by design.
+    _PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 
     def _perm(chars: str, seed: str) -> str:
         """Deterministic md5-seeded permutation of a character class —
@@ -261,17 +275,21 @@ def main() -> None:
         # bit-for-bit; n_chars stays valid. Copies 1..25 rotate (byte
         # compatible with the committed sf1 corpus); copies >=26 use
         # seeded permutations so every copy pair stays content-disjoint.
-        src = _ALPHA + _ALPHA.upper() + _DIGIT
+        src = _ALPHA + _ALPHA.upper() + _DIGIT + _PUNCT
         if c < 26:
-            rl, rd = c % 26, c % 10
+            rl, rd, rp = c % 26, c % 10, c % len(_PUNCT)
             dst = (
                 _ALPHA[rl:] + _ALPHA[:rl]
                 + (_ALPHA[rl:] + _ALPHA[:rl]).upper()
                 + _DIGIT[rd:] + _DIGIT[:rd]
+                + _PUNCT[rp:] + _PUNCT[:rp]
             )
         else:
             lo = _perm(_ALPHA, f"alpha:{c}")
-            dst = lo + lo.upper() + _perm(_DIGIT, f"digit:{c}")
+            dst = (
+                lo + lo.upper() + _perm(_DIGIT, f"digit:{c}")
+                + _perm(_PUNCT, f"punct:{c}")
+            )
         return d.withColumn("text", F.translate(F.col("text"), src, dst))
 
     write_amplified(docs, "documents", {"doc_id": u_d}, doc_copy)
