@@ -628,30 +628,54 @@ def main() -> None:
     # round-over-round comparisons never silently mix modes.
     reps_cache_mode = "cold" if sf >= 1.0 else "assisted"
 
-    def _between():
+    def _persistent_rdd_ids() -> set:
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            return {int(i) for i in jmap.keySet().toArray()}
+        except Exception:
+            return set()
+
+    def _release_persists() -> None:
+        # catalog.clearCache() drops Dataset-level persists but NOT
+        # RDD-level ones (localCheckpoints from the clustering
+        # pointer-jumping rounds) — only the async ContextCleaner
+        # reaps those. Left in place they (a) keep paying storage/GC
+        # pressure into later measurements, and (b) spuriously mark
+        # later queries cache_assist_eligible via the leftover-blocks
+        # probe, silently widening mode_skip and shrinking tripwire
+        # coverage. Evict them explicitly (blocking) here. Safe: the
+        # model registry memoizes Dataset-level persists only
+        # (recomputable via lineage); localCheckpoints are per-query
+        # transients nothing re-executes after the noop write.
         spark.catalog.clearCache()
+        try:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            for jrdd in list(jmap.values()):  # py4j JavaMap -> dict view
+                try:
+                    jrdd.unpersist(True)
+                except Exception:
+                    pass
+        except Exception:
+            pass
         gc.collect()
 
-    between = _between if reps_cache_mode == "cold" else None
+    between = _release_persists if reps_cache_mode == "cold" else None
     assist_eligible: set[str] = set()
 
     for name in names:
+        # Snapshot so only ids THIS query creates can flag it —
+        # pre-existing survivors (if eviction ever misses one) must
+        # not misattribute eligibility to an innocent later query.
+        before_ids = _persistent_rdd_ids()
         times[name] = round(
             best_time(lambda name=name: _measure(name), cold=cold, between=between), 3
         )
         # Queries that left persisted blocks behind are the ones whose
         # recorded time depends on the reps' cache mode — stamp them so
         # the tripwire can compare like modes only across rounds.
-        try:
-            if spark.sparkContext._jsc.getPersistentRDDs().size() > 0:
-                assist_eligible.add(name)
-        except Exception:
-            pass
-        # Release block-cache leftovers (persisted lookup sides,
-        # localCheckpoints) between queries so later measurements
-        # don't pay earlier queries' storage/GC pressure.
-        spark.catalog.clearCache()
-        gc.collect()
+        if _persistent_rdd_ids() - before_ids:
+            assist_eligible.add(name)
+        _release_persists()
 
     duck = duckdb_times(sf_dir, names, qs)
     duck_total = round(sum(v for v in duck.values() if v >= 0), 3)
@@ -671,11 +695,10 @@ def main() -> None:
         prior_file, prior, prior_duck, prior_sha = prior_bench(repo, sf)
     def _rerun(name):
         # Same measurement conditions as the primary loop, which
-        # clears cache + collects between queries: without this a
+        # releases all persists between queries: without this a
         # later query's confirmation rerun inherits an earlier rerun's
         # cached lookup sides/localCheckpoints.
-        spark.catalog.clearCache()
-        gc.collect()
+        _release_persists()
         return _measure(name)
 
     # Like-modes-only comparison: when this run's reps cache mode

@@ -398,3 +398,43 @@ def test_scheduler_pool_tagged_per_request():
         srv.shutdown()
         srv.server_close()
     assert stub.spark.sparkContext.calls == []
+
+
+def test_scheduler_pools_distinct_across_threads():
+    # Regression: pool index must NOT be derived from
+    # threading.get_ident() % N — glibc idents are pthread descriptor
+    # addresses aligned past 32 bytes, so the modulo maps EVERY
+    # handler thread to 'req-0' and fair sharing silently collapses
+    # to one FIFO pool. ThreadingHTTPServer spawns a fresh thread per
+    # connection, so distinct requests must draw distinct pools.
+    class _Rec:
+        def __init__(self):
+            self.calls = []
+            self.lock = threading.Lock()
+
+        def setLocalProperty(self, k, v):
+            with self.lock:
+                self.calls.append((k, v))
+
+    class _Stub:
+        pass
+
+    stub = _Stub()
+    stub.spark = _Stub()
+    stub.spark.sparkContext = _Rec()
+
+    srv = make_server(stub, host="127.0.0.1", port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://{}:{}/".format(*srv.server_address[:2])
+        for _ in range(8):
+            _get(base)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    pools = [v for k, v in stub.spark.sparkContext.calls]
+    assert len(pools) == 8
+    # 8 fresh threads, 32-pool namespace: all 8 must be distinct
+    # (ident-modulo scores 1 here).
+    assert len(set(pools)) == 8, pools

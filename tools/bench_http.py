@@ -281,6 +281,7 @@ def main() -> None:
         done = threading.Event()
 
         def light_worker():
+            consecutive = 0
             while not done.is_set():
                 t0 = time.time()
                 try:
@@ -290,7 +291,18 @@ def main() -> None:
                         r.read()
                 except Exception as e:
                     lfails.append(f"{type(e).__name__}: {e}")
+                    consecutive += 1
+                    # A dead/rejecting server would otherwise turn
+                    # this loop into a tight connect-fail spin for the
+                    # whole heavy phase, unboundedly skewing the
+                    # failure count. Back off briefly, and abort the
+                    # light leg loudly after a sustained failure run.
+                    if consecutive >= 50:
+                        lfails.append("ABORT: 50 consecutive light-request failures")
+                        return
+                    time.sleep(0.1)
                     continue
+                consecutive = 0
                 light.append(time.time() - t0)
 
         lt = threading.Thread(target=light_worker)

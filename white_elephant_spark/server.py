@@ -33,6 +33,7 @@ refresh loop can invalidate cached roll-ups without a restart.
 
 from __future__ import annotations
 
+import itertools
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -132,13 +133,26 @@ def make_server(
 
     rwlock = ReadWriteLock()
 
+    # Pool index per handler thread. NOT ``get_ident() % N``: glibc
+    # thread idents are pthread descriptor addresses, aligned past 32
+    # bytes, so the modulo maps every thread to pool 0 and the whole
+    # FAIR setup silently degrades to one shared FIFO pool. A
+    # process-wide counter drawn once per thread round-robins the
+    # bounded namespace instead, so up to ``_SCHEDULER_POOLS``
+    # concurrent requests each get a distinct fair-shared pool.
+    _pool_seq = itertools.count()
+    _pool_idx = threading.local()
+
     def _tag_scheduler_pool() -> None:
         if not scheduler_pools:
             return
         try:
+            idx = getattr(_pool_idx, "idx", None)
+            if idx is None:
+                idx = next(_pool_seq) % _SCHEDULER_POOLS
+                _pool_idx.idx = idx
             api.spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool",
-                f"req-{threading.get_ident() % _SCHEDULER_POOLS}",
+                "spark.scheduler.pool", f"req-{idx}"
             )
         except Exception:
             pass  # a mocked/closed session must not fail the route
