@@ -103,6 +103,73 @@ def _shift(df, cols: dict[str, int], c: int):
     return out
 
 
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_DIGIT = "0123456789"
+# Punctuation is ALSO ciphered (r11): with alnum-only mapping,
+# punctuation-only tokens are invariant across copies, so docs
+# dominated by them produce fingerprints within Hamming<=3 of
+# their sister copies — the fifth-decade probe measured the
+# signature (top duplicate cluster 4,916 docs at 100 copies ≈ one
+# ~49-doc base cluster merged across EVERY copy; 1.39M cross-copy
+# edges at sf10). A per-copy bijection on the punctuation class
+# removes the planted cross-copy mass while preserving every
+# intra-copy length/edit-distance/shingle relationship, exactly
+# like the alnum classes. NOTE: this changes synthesized bytes for
+# copies >= 1 — corpora built before r11 carry the old tool_sha in
+# their manifest, and the bench comparability stamp refuses the
+# cross-version comparison by design.
+_PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+
+
+def _perm(chars: str, seed: str) -> str:
+    """Deterministic md5-seeded permutation of a character class —
+    the general form of the rotation cipher for copy counts past
+    26: rotations repeat mod 26/10, so copies 0 and 26 would share
+    letter content and plant cross-copy duplicates that real
+    corpus growth does not have (the same artifact class the
+    per-token-suffix first cut had)."""
+    out = list(chars)
+    for i in range(len(out) - 1, 0, -1):
+        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+        j = h % (i + 1)
+        out[i], out[j] = out[j], out[i]
+    return "".join(out)
+
+
+def cipher_maps(c: int) -> tuple[str, str]:
+    """(src, dst) ``translate`` alphabets for copy ``c`` — a bijection
+    within each character class, so lengths, edit distances and
+    within-copy shingle equalities are preserved bit-for-bit;
+    n_chars stays valid. Copies 1..25 rotate (byte compatible with
+    the committed sf1 corpus); copies >=26 use seeded permutations so
+    every copy pair stays content-disjoint. Module-level (not nested
+    in main) so tests can build green corpora and corpus_check's red
+    test can plant the alnum-only artifact against the same source."""
+    src = _ALPHA + _ALPHA.upper() + _DIGIT + _PUNCT
+    if c < 26:
+        rl, rd, rp = c % 26, c % 10, c % len(_PUNCT)
+        dst = (
+            _ALPHA[rl:] + _ALPHA[:rl]
+            + (_ALPHA[rl:] + _ALPHA[:rl]).upper()
+            + _DIGIT[rd:] + _DIGIT[:rd]
+            + _PUNCT[rp:] + _PUNCT[:rp]
+        )
+    else:
+        lo = _perm(_ALPHA, f"alpha:{c}")
+        dst = (
+            lo + lo.upper() + _perm(_DIGIT, f"digit:{c}")
+            + _perm(_PUNCT, f"punct:{c}")
+        )
+    return src, dst
+
+
+def doc_copy(d, c: int):
+    if c == 0:
+        return d
+    src, dst = cipher_maps(c)
+    return d.withColumn("text", F.translate(F.col("text"), src, dst))
+
+
 def _emb_rotation(c: int, dim: int):
     """Deterministic per-copy orthogonal matrix: md5-seeded Gaussian →
     QR, columns sign-fixed on R's diagonal so the result is unique
@@ -120,6 +187,13 @@ def _emb_rotation(c: int, dim: int):
 def main() -> None:
     args = sys.argv[1:]
     only: set[str] | None = None
+    validate = True
+    if "--skip-validate" in args:
+        # escape hatch for partial regeneration experiments only — a
+        # corpus written this way is stamped validated=false and any
+        # scale probe against it must say so.
+        validate = False
+        args.remove("--skip-validate")
     if "--tables" in args:
         i = args.index("--tables")
         only = set(args[i + 1].split(","))
@@ -236,62 +310,6 @@ def main() -> None:
     )
     write_amplified(events, "events", {"event_id": u_e, "user_id": u_u})
 
-    _ALPHA = "abcdefghijklmnopqrstuvwxyz"
-    _DIGIT = "0123456789"
-    # Punctuation is ALSO ciphered (r11): with alnum-only mapping,
-    # punctuation-only tokens are invariant across copies, so docs
-    # dominated by them produce fingerprints within Hamming<=3 of
-    # their sister copies — the fifth-decade probe measured the
-    # signature (top duplicate cluster 4,916 docs at 100 copies ≈ one
-    # ~49-doc base cluster merged across EVERY copy; 1.39M cross-copy
-    # edges at sf10). A per-copy bijection on the punctuation class
-    # removes the planted cross-copy mass while preserving every
-    # intra-copy length/edit-distance/shingle relationship, exactly
-    # like the alnum classes. NOTE: this changes synthesized bytes for
-    # copies >= 1 — corpora built before r11 carry the old tool_sha in
-    # their manifest, and the bench comparability stamp refuses the
-    # cross-version comparison by design.
-    _PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
-
-    def _perm(chars: str, seed: str) -> str:
-        """Deterministic md5-seeded permutation of a character class —
-        the general form of the rotation cipher for copy counts past
-        26: rotations repeat mod 26/10, so copies 0 and 26 would share
-        letter content and plant cross-copy duplicates that real
-        corpus growth does not have (the same artifact class the
-        per-token-suffix first cut had)."""
-        out = list(chars)
-        for i in range(len(out) - 1, 0, -1):
-            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
-            j = h % (i + 1)
-            out[i], out[j] = out[j], out[i]
-        return "".join(out)
-
-    def doc_copy(d, c: int):
-        if c == 0:
-            return d
-        # bijection within each character class — lengths, edit
-        # distances and within-copy shingle equalities are preserved
-        # bit-for-bit; n_chars stays valid. Copies 1..25 rotate (byte
-        # compatible with the committed sf1 corpus); copies >=26 use
-        # seeded permutations so every copy pair stays content-disjoint.
-        src = _ALPHA + _ALPHA.upper() + _DIGIT + _PUNCT
-        if c < 26:
-            rl, rd, rp = c % 26, c % 10, c % len(_PUNCT)
-            dst = (
-                _ALPHA[rl:] + _ALPHA[:rl]
-                + (_ALPHA[rl:] + _ALPHA[:rl]).upper()
-                + _DIGIT[rd:] + _DIGIT[:rd]
-                + _PUNCT[rp:] + _PUNCT[:rp]
-            )
-        else:
-            lo = _perm(_ALPHA, f"alpha:{c}")
-            dst = (
-                lo + lo.upper() + _perm(_DIGIT, f"digit:{c}")
-                + _perm(_PUNCT, f"punct:{c}")
-            )
-        return d.withColumn("text", F.translate(F.col("text"), src, dst))
-
     write_amplified(docs, "documents", {"doc_id": u_d}, doc_copy)
 
     def emb_copy(d, c: int):
@@ -324,11 +342,39 @@ def main() -> None:
 
     with open(__file__, "rb") as fh:
         tool_sha = hashlib.sha256(fh.read()).hexdigest()[:12]
-    manifest = {"src": src, "copies": copies, "tool_sha": tool_sha}
+    manifest = {
+        "src": src,
+        "copies": copies,
+        "tool_sha": tool_sha,
+        # id strides, so corpus_check can split copy/origin without
+        # re-deriving the unit (whose bump rule may change over time)
+        "doc_unit": u_d,
+        "vec_unit": u_v,
+    }
     if only is not None:
         manifest["tables"] = sorted(only)
+
+    # Post-generation realism validation (tools/corpus_check.py): four
+    # of four probe cliffs beyond the real keyspace saturation were
+    # amplifier synthesis artifacts, each costing a diagnosis round —
+    # fail generation loudly on the artifact signatures instead.
+    manifest["validated"] = False
     with open(os.path.join(out_root, "_CORPUS_MANIFEST.json"), "w") as fh:
         json.dump(manifest, fh)
+    if validate:
+        from tools.corpus_check import CorpusArtifactError, validate_amplified
+
+        try:
+            reports = validate_amplified(
+                spark, out_root, src, copies, u_d, u_v, tables=only
+            )
+        except CorpusArtifactError as e:
+            sys.exit(f"GENERATION FAILED corpus validation: {e}")
+        for r in reports:
+            print(json.dumps(r), flush=True)
+        manifest["validated"] = True
+        with open(os.path.join(out_root, "_CORPUS_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
     print(f"amplified {src} x{copies} -> {out_root} (manifest {manifest})")
 
 
