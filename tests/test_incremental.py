@@ -246,3 +246,104 @@ def test_plan_cluster_days_is_per_cluster():
     got = inc.plan_cluster_days(D(0), D(2), ["ca", "cb"], existing, num_days_forced=1)
     # ca lacks nothing but the forced tail; cb lacks day 0
     assert got == {("ca", D(2)), ("cb", D(0)), ("cb", D(2))}
+
+
+# -- I5 fault injection: mid-write kill on the BATCH refresh path ------
+# The streaming cube upsert already has kill/replay coverage
+# (tests/test_streaming.py); these pin the same "better a gap than a
+# subset" contract (usage_file_load_task.rb:150-163) for the batch
+# refresh: a job that dies mid dynamic-partition-overwrite must leave
+# (a) no partially-written day visible to planning or readers and
+# (b) every previously-committed partition intact, and a clean re-run
+# must converge to the from-scratch result.
+
+
+def _poisoned(att, poison_id: str):
+    """Inject a task-time failure that fires DURING the write job, not
+    at planning: refresh's planning legs evaluate startTime/finishTime
+    (input_day_range, usability filter) and cluster (distinct), so a
+    poison there would kill the driver-side plan before any write
+    starts. ``user`` is only projected by the cube build, so column
+    pruning keeps the poison dormant until write-job tasks run (same
+    pattern as the streaming kill tests)."""
+    return att.withColumn(
+        "user",
+        F.when(
+            F.col("taskAttemptId") == poison_id,
+            F.raise_error(F.lit("injected batch-refresh kill")).cast("string"),
+        ).otherwise(F.col("user")),
+    )
+
+
+def test_refresh_kill_midwrite_initial_build_leaves_no_state(spark, tmp_path):
+    path = str(tmp_path / "cube")
+    att = _attempts(spark, [("a1", HOUR, 2 * HOUR), ("a2", DAY + HOUR, DAY + 2 * HOUR)])
+    with pytest.raises(Exception, match="injected batch-refresh kill"):
+        inc.refresh(_poisoned(att, "a1"), path, num_days_forced=1)
+    # nothing committed: planning state is empty (a leftover staging
+    # dir must not register as a cluster/day), so the re-run rebuilds
+    # everything rather than skipping "existing" days
+    assert inc.existing_cluster_days(path) == set()
+    built = inc.refresh(att, path, num_days_forced=1)
+    assert built == [D(0), D(1)]
+    got = sorted(map(tuple, inc.read_cube(spark, path).collect()))
+    fresh = str(tmp_path / "fresh")
+    inc.refresh(att, fresh, num_days_forced=1)
+    assert got == sorted(map(tuple, inc.read_cube(spark, fresh).collect()))
+
+
+def test_refresh_kill_midwrite_keeps_committed_days_then_converges(spark, tmp_path):
+    path = str(tmp_path / "cube")
+    gen1 = _attempts(spark, [("a1", HOUR, 2 * HOUR)])
+    assert inc.refresh(gen1, path, num_days_forced=1) == [D(0)]
+    before = sorted(map(tuple, inc.read_cube(spark, path).collect()))
+
+    # gen2 adds day 1; the poison rides only the NEW attempt, so the
+    # kill lands while day-1 output is being produced
+    gen2_rows = [("a1", HOUR, 2 * HOUR), ("a2", DAY + HOUR, DAY + 2 * HOUR)]
+    gen2 = _attempts(spark, gen2_rows)
+    with pytest.raises(Exception, match="injected batch-refresh kill"):
+        inc.refresh(_poisoned(gen2, "a2"), path, num_days_forced=1)
+
+    # gap-not-subset: day 1 must not exist (neither a partial file set
+    # nor a planning entry); day 0's committed bytes are untouched
+    assert inc.existing_days(path) == {D(0)}
+    assert sorted(map(tuple, inc.read_cube(spark, path).collect())) == before
+
+    # convergence: the clean re-run plans day 1 again (it never entered
+    # the high-water mark) and the result equals a from-scratch build
+    built = inc.refresh(gen2, path, num_days_forced=1)
+    assert D(1) in built
+    got = sorted(map(tuple, inc.read_cube(spark, path).collect()))
+    fresh = str(tmp_path / "fresh")
+    inc.refresh(gen2, fresh, num_days_forced=1)
+    assert got == sorted(map(tuple, inc.read_cube(spark, fresh).collect()))
+
+
+def test_refresh_kill_while_rebuilding_committed_day_keeps_old_bytes(spark, tmp_path):
+    # The sharpest I5 case: the forced window REBUILDS an
+    # already-committed day via dynamic partition overwrite; a kill
+    # mid-rebuild must leave the OLD partition bytes in place (the old
+    # dir is replaced only at job commit) — not a half-written mix and
+    # not a deleted day.
+    path = str(tmp_path / "cube")
+    gen1 = _attempts(spark, [("a1", HOUR, 2 * HOUR)])
+    assert inc.refresh(gen1, path, num_days_forced=1) == [D(0)]
+    before = sorted(map(tuple, inc.read_cube(spark, path).collect()))
+
+    # same day arrives again with an extra attempt; forced window
+    # covers day 0, so the plan rebuilds it — and the poison rides the
+    # new attempt, killing the overwrite job mid-write
+    gen2 = _attempts(spark, [("a1", HOUR, 2 * HOUR), ("a2", 3 * HOUR, 4 * HOUR)])
+    with pytest.raises(Exception, match="injected batch-refresh kill"):
+        inc.refresh(_poisoned(gen2, "a2"), path, num_days_forced=1)
+
+    assert inc.existing_days(path) == {D(0)}
+    assert sorted(map(tuple, inc.read_cube(spark, path).collect())) == before
+
+    # clean re-run converges to the from-scratch result
+    inc.refresh(gen2, path, num_days_forced=1)
+    got = sorted(map(tuple, inc.read_cube(spark, path).collect()))
+    fresh = str(tmp_path / "fresh")
+    inc.refresh(gen2, fresh, num_days_forced=1)
+    assert got == sorted(map(tuple, inc.read_cube(spark, fresh).collect()))
