@@ -891,3 +891,29 @@ def test_ivf_build_index_emits_scalar_cell(spark):
     assert dict(idx.dtypes)["cid"] == "bigint"
     valid = {c[0] for c in cents}
     assert all(r.cid in valid for r in idx.select("cid").collect())
+
+
+def test_auto_scheme_is_occupancy_aware(spark):
+    """auto picks radix at-or-below RADIX_AUTO_MAX distinct
+    fingerprints (5x fewer exploded rows, keyspace nowhere near its
+    ~10^6 cliff), blocks above and when the count is unknown (the
+    safe-at-scale default) — with the identical verified pair set
+    across the switch point, so no oracle hash moves."""
+    import random
+
+    rnd = random.Random(3)
+    rows = [(i, rnd.getrandbits(64) - (1 << 63)) for i in range(300)]
+    fps = spark.createDataFrame(rows, "id long, simhash long")
+
+    def plan(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    small = dedup.simhash_neardup_pairs(fps, distinct_fps=dedup.RADIX_AUTO_MAX)
+    big = dedup.simhash_neardup_pairs(fps, distinct_fps=dedup.RADIX_AUTO_MAX + 1)
+    unknown = dedup.simhash_neardup_pairs(fps)
+    # radix keys are pure shiftright+mask slices; block-combination
+    # keys concatenate blocks with shiftleft — a plan-level marker
+    assert "shiftleft" not in plan(small)
+    assert "shiftleft" in plan(big)
+    assert "shiftleft" in plan(unknown)
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))

@@ -327,7 +327,19 @@ def fingerprint_clusters(
         .agg(F.min("id").alias("fid"))
         .select(F.col("fid").alias("id"), "simhash")
     )
-    fpairs = simhash_neardup_pairs(groups, max_hamming=max_hamming, bands=bands, scheme=scheme)
+    # Count the collapsed nodes up front (one small shuffle over the
+    # persisted 16-byte fps rows — the count job is also what
+    # materializes the persist, work the edge-collection job would
+    # have done anyway) and let the pair join pick its blocking scheme
+    # by occupancy: radix-4 below RADIX_AUTO_MAX distinct fingerprints
+    # (5× fewer exploded rows, keyspace nowhere near its ~10⁶ cliff),
+    # Manku blocks above (linear to ~10¹⁰). Identical output either
+    # way, so the oracle twin and every committed hash stay put.
+    n_fps = groups.count()
+    fpairs = simhash_neardup_pairs(
+        groups, max_hamming=max_hamming, bands=bands, scheme=scheme,
+        distinct_fps=n_fps,
+    )
     comp = connected_components(fpairs, max_iter=max_iter)
     fid_label = groups.join(comp, groups.id == comp.node, "left").select(
         F.col("simhash"),

@@ -326,6 +326,16 @@ def _block_combo_keys(fp_col: str, h: int):
     return F.array(*keys)
 
 
+#: ``scheme="auto"`` crossover: radix-4 explodes 4 rows/fp with
+#: candidate volume ~4N²/2¹⁶; blocks explodes 20 rows/fp with
+#: candidates ~20N²/2³². Radix is cheaper while 4N²/2¹⁶ < 16N, i.e.
+#: N below ~2.6e5 distinct fingerprints — and its keyspace cliff sits
+#: another decade up (~10⁶, the measured r11 wedge). 2e5 keeps an
+#: order-of-magnitude margin from the cliff while reclaiming the 5×
+#: exploded-row constant at gate scale (sf0.1: ~6e4 fps).
+RADIX_AUTO_MAX = 200_000
+
+
 def simhash_neardup_pairs(
     fps: DataFrame,
     max_hamming: int = 3,
@@ -333,6 +343,7 @@ def simhash_neardup_pairs(
     id_col: str = "id",
     fp_col: str = "simhash",
     scheme: str = "auto",
+    distinct_fps: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs from SimHash fingerprints via exact-key
     blocking + exact Hamming post-filter. Two complete blocking
@@ -366,7 +377,17 @@ def simhash_neardup_pairs(
     fingerprints to one node *before* pairing (exactness-preserving,
     since equal fingerprints are Hamming-0 connected)."""
     if scheme == "auto":
-        scheme = "blocks" if 1 <= max_hamming <= 3 else "radix"
+        # Occupancy-aware pick: blocks is the 10¹⁰-linear scale
+        # scheme, but it pays a 5× exploded-row constant that radix
+        # needn't at corpus sizes far below radix's ~10⁶ keyspace
+        # cliff. When the caller knows the distinct-fingerprint count
+        # (fingerprint_clusters counts its collapsed groups anyway),
+        # small corpora take radix; unknown counts default to blocks —
+        # the safe-at-scale choice. Output is identical either way
+        # (both schemes are complete + exact-filtered), so oracle
+        # hashes never move across the switch point.
+        small = distinct_fps is not None and distinct_fps <= RADIX_AUTO_MAX
+        scheme = "radix" if (small or not 1 <= max_hamming <= 3) else "blocks"
     if scheme == "blocks":
         slices = _block_combo_keys(fp_col, max_hamming)
     elif scheme == "radix":
