@@ -498,8 +498,13 @@ def interdoc_repeated_ngrams(
     Output: (doc_id, n_grams, repeated_frac) — docs with fewer than
     ``n`` tokens have no grams and report 0 over 0 grams as 0.0.
 
-    100 TB shape: one corpus scan explodes distinct grams per doc as
-    md5 *digests* (16 bytes shuffled per gram, never the text); gram
+    100 TB shape: one corpus scan explodes grams per doc as two
+    xxhash64 lanes (16 bytes of longs shuffled per gram, never the
+    text — and no md5 hex-string materialization: the digest never
+    leaves the aggregation, so two independent 64-bit lanes'
+    ~G²/2¹²⁹ collision bound is the same zero-to-10¹⁸-grams
+    guarantee at a third of the bytes; the r12 probe measured the
+    md5-string form's shuffle spilling tens of GB at sf100); gram
     document-frequency is one combiner-friendly aggregation; the
     flag joins back on the digest. Gram-frequency skew ("the quick
     brown…" boilerplate in millions of docs) concentrates a key, but
@@ -510,13 +515,17 @@ def interdoc_repeated_ngrams(
     grams = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-    ).select("id", F.md5(F.col("g")).alias("g"))
+    ).select(
+        "id",
+        F.xxhash64(F.col("g")).alias("g1"),
+        F.xxhash64(F.col("g"), F.lit(1)).alias("g2"),
+    )
     # grams feeds BOTH the document-frequency aggregate and the
-    # flag-join back; without the cache the tokenize→shingle→md5
+    # flag-join back; without the cache the tokenize→shingle→hash
     # corpus scan — the dominant cost at scale — runs twice.
     grams = grams.persist()
-    gdf = grams.groupBy("g").agg(F.count_distinct("id").alias("gdf"))
-    flagged = grams.join(gdf, "g").select(
+    gdf = grams.groupBy("g1", "g2").agg(F.count_distinct("id").alias("gdf"))
+    flagged = grams.join(gdf, ["g1", "g2"]).select(
         "id", (F.col("gdf") >= min_docs).cast("int").alias("rep")
     )
     per_doc = flagged.groupBy("id").agg(

@@ -42,25 +42,43 @@ __all__ = [
 
 def _covered_positions(base: DataFrame, n: int) -> DataFrame:
     """(id, pos) pairs covered by a cross-doc repeated n-gram owned by
-    another doc. ``base`` carries (id, toks)."""
+    another doc. ``base`` carries (id, toks).
+
+    Gram identity travels as TWO xxhash64 lanes (16 bytes of longs),
+    not an md5 hex string: the digest never leaves the aggregation —
+    only counts and the owner id do — so it only needs to be
+    collision-free within the corpus, and two independent 64-bit
+    lanes give ~G²/2¹²⁹ expected colliding pairs (zero to ~10¹⁸
+    grams), same guarantee as md5 at a third of the shuffled bytes
+    and no hex-string materialization. The r12 fifth-decade probe
+    measured this stage's md5-string shuffle exhausting ~60 GB of
+    spill at sf100 (620M gram rows × two shuffles); long keys cut
+    the gram-side shuffle ~3×."""
     starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0)))
-    gram = lambda i: F.md5(F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]))  # noqa: E731
+    gram = lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)])  # noqa: E731
     grams = (
         base.filter(F.size("toks") >= n)
         .select("id", "toks", F.explode(starts).alias("s"))
-        .select("id", "s", gram(F.col("s")).alias("g"))
+        .select(
+            "id",
+            "s",
+            F.xxhash64(gram(F.col("s"))).alias("g1"),
+            F.xxhash64(gram(F.col("s")), F.lit(1)).alias("g2"),
+        )
     )
     # grams feeds both the owner aggregate and the join back; cache so
-    # the tokenize->window->md5 scan (the dominant cost) runs once.
+    # the tokenize->window->hash scan (the dominant cost) runs once.
     grams = grams.persist()
     owners = (
-        grams.groupBy("g")
+        grams.groupBy("g1", "g2")
         .agg(F.count_distinct("id").alias("gdf"), F.min("id").alias("owner"))
         .filter(F.col("gdf") >= 2)
-        .select("g", "owner")
+        .select("g1", "g2", "owner")
     )
     bad_starts = (
-        grams.join(owners, "g").filter(F.col("owner") != F.col("id")).select("id", "s")
+        grams.join(owners, ["g1", "g2"])
+        .filter(F.col("owner") != F.col("id"))
+        .select("id", "s")
     )
     return bad_starts.select(
         "id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(n - 1))).alias("pos")
@@ -107,35 +125,33 @@ def remove_repeated_spans(
     reassembled document, whitespace-normalized.
     """
     base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    base = base.persist()  # consumed three times: spans, posexplode, sizes
+    base = base.persist()  # consumed twice: span scan + the rewrite join
     covered = _covered_positions(base, n)
-    toks = base.select("id", F.posexplode("toks").alias("pos0", "tok")).select(
-        "id", (F.col("pos0") + 1).alias("pos"), "tok"
-    )
-    kept = (
-        toks.join(covered, ["id", "pos"], "left_anti")
-        .groupBy("id")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-            ).alias("text"),
-            F.count(F.lit(1)).alias("n_kept"),
-        )
+    # Reassembly as a MAP-SIDE array filter, not posexplode + anti-join
+    # + collect_list: the exploded form shuffles every corpus token
+    # twice ((id, pos, tok) through the anti-join, then the structs
+    # through the reassembly groupBy) — at sf100 that is ~620M
+    # string-bearing rows of spill the array form never materializes.
+    # Covered positions are the SPARSE side (only tokens under a
+    # cross-doc repeated gram), grouped per doc into an int array;
+    # the kept text falls out of one filter over the original token
+    # array, order preserved by construction instead of re-sorted.
+    cov_arr = covered.groupBy("id").agg(F.collect_set("pos").alias("cov"))
+    kept_arr = F.filter(
+        F.transform(
+            "toks", lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))
+        ),
+        lambda s: ~F.array_contains(F.col("cov"), s["pos"]),
     )
     return (
-        base.select("id", F.size("toks").alias("n_tokens"))
-        .join(kept, "id", "left")
+        base.join(cov_arr, "id", "left")
+        .withColumn("cov", F.coalesce(F.col("cov"), F.array().cast("array<int>")))
+        .withColumn("kept", kept_arr)
         .select(
             "id",
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+            F.concat_ws(" ", F.transform("kept", lambda s: s["tok"])).alias("text"),
+            F.size("toks").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
         )
     )
 
