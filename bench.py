@@ -758,9 +758,22 @@ def main() -> None:
     try:
         with open(os.path.join(repo, side), "w") as f:
             json.dump(result, f, indent=1)
+        result["full_artifact"] = side
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
-    print(json.dumps(result))
+    # The driver records only the last ~2000 chars of stdout; r12's
+    # full line (3.9 KB: duckdb per-query map + 34 oracle shas) lost
+    # its front brace to that cap and parsed as null despite rc=0.
+    # stdout carries the slim contract line (~1.4 KB, fits the cap
+    # with margin); the bulky audit fields live in the sidecar only.
+    slim_keys = (
+        "metric", "value", "unit", "queries", "sf", "duckdb_total",
+        "spark_over_duckdb", "regressions", "ratio_regressions",
+        "ratio_rule_coverage", "regressions_vs", "confirm_reruns",
+        "cold", "parts", "reps_cache_mode", "mode_skipped",
+        "full_artifact",
+    )
+    print(json.dumps({k: result[k] for k in slim_keys if k in result}))
 
 
 if __name__ == "__main__":

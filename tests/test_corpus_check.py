@@ -1,9 +1,12 @@
 """Amplifier-realism tripwire (tools/corpus_check.py): the validator
-must FAIL loudly on a corpus carrying a planted artifact class (the
-r11 alnum-only cipher that left punctuation tokens invariant across
-copies) and PASS on the same source amplified with the fixed cipher.
+must FAIL loudly on a corpus carrying a planted artifact class (an
+un-ciphered character class — the bug family r11 HYPOTHESIZED for
+punctuation; the specific r11 diagnosis was refuted by round-12
+measurement, see SCALING.md's retraction, but the class is real and
+these tests plant it deliberately via digits) and PASS on the same
+source amplified with the fixed cipher.
 
-Four of four probe cliffs beyond the one real keyspace saturation
+Three confirmed probe cliffs beyond the one real keyspace saturation
 were synthesis artifacts, each costing a diagnosis round — this pins
 the generator's post-generation validation red AND green so the next
 artifact class dies at generation time, not at probe time.
@@ -192,6 +195,26 @@ def test_cosine_green_on_orthogonal_rotation(spark):
     amp = parts[0].unionAll(parts[1]).unionAll(parts[2])
     rep = cosine_report(amp, UNIT, sample=1000)
     assert rep["ok"], rep
+
+
+def test_cipher_maps_digit_class_never_wraps_to_identity():
+    """ADVICE r12: the rotation branch left digits unmapped when
+    c % 10 == 0 (copies 10 and 20 — an unciphered class, the exact
+    artifact family these tests plant) and shared one digit mapping
+    between copies c and c+10. Per-class wrap now falls back to the
+    seeded permutation: every copy's digit map is a bijection, none
+    is the identity, and no two copies below 26 share one."""
+    digit_maps = {}
+    for c in range(1, 26):
+        src, dst = cipher_maps(c)
+        assert len(src) == len(dst)
+        assert sorted(dst) == sorted(src)  # bijection overall
+        dmap = {s: d for s, d in zip(src, dst) if s in _DIGIT}
+        assert sorted(dmap.values()) == sorted(_DIGIT)  # class-closed
+        assert any(s != d for s, d in dmap.items()), f"identity digits at c={c}"
+        digit_maps[c] = tuple(dmap[ch] for ch in _DIGIT)
+    # no two copies share a digit mapping (old bug: c and c+10 did)
+    assert len(set(digit_maps.values())) == len(digit_maps)
 
 
 def test_validate_amplified_raises_with_all_failures(spark, tmp_path):

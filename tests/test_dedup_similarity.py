@@ -917,3 +917,19 @@ def test_auto_scheme_is_occupancy_aware(spark):
     assert "shiftleft" in plan(big)
     assert "shiftleft" in plan(unknown)
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, big.collect()))
+
+
+def test_auto_scheme_respects_radix_completeness(spark):
+    """ADVICE r12: auto must not pick radix for a small corpus when
+    the caller's bands cannot cover max_hamming (bands=2 is complete
+    only to Hamming 1) — blocks is complete for h <= 3 regardless of
+    bands, and pre-fix this call raised ValueError from radix's
+    completeness guard."""
+    rows = [(1, 0), (2, 7)]  # Hamming 3 apart
+    fps = spark.createDataFrame(rows, "id long, simhash long")
+    out = dedup.simhash_neardup_pairs(
+        fps, max_hamming=3, bands=2, distinct_fps=2
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "shiftleft" in plan  # blocks scheme, not radix
+    assert [tuple(r) for r in out.collect()] == [(1, 2, 3)]

@@ -1,35 +1,42 @@
 """Amplified-corpus realism validation — the anti-artifact tripwire.
 
-Four of four scale-probe "cliffs" beyond the one real keyspace
+Three confirmed scale-probe "cliffs" beyond the one real keyspace
 saturation turned out to be SYNTHESIS artifacts of the amplifier, each
 costing a full diagnosis round: (1) per-token suffix grams kept
 cross-copy shingles shared (Ed-Join candidates 45x instead of 10x),
 (2) per-(copy, dim) diagonal jitter left same-origin cosines ~0.993
 (planted C(copies,2) semantic-dup mass), (3) the auto key unit pushed
 real doc_ids into the query-side planted-id band at 300 copies
-(corpus_curation output doubled), (4) the alnum-only cipher left
-punctuation-only tokens invariant (one ~4,916-doc cross-copy simhash
-mega-cluster at 100 copies; 1.39M planted edges at sf10). #3 is
-guarded at generation time by ``_band_safe``; this module folds the
-diagnostics that caught #1/#2/#4 into post-generation validation so
-the NEXT artifact class fails the generator loudly instead of wedging
-a probe round.
+(corpus_curation output doubled). A hypothesized fourth — "the
+alnum-only cipher left punctuation-only tokens invariant, planting a
+cross-copy simhash mega-cluster" (r11) — was REFUTED by round-12
+measurement (see SCALING.md's retraction: the corpus contains zero
+punctuation, the regenerated corpus reproduces the r11 numbers
+exactly, and this module itself measures ``cross_copy_edges: 0``; the
+big clusters are single copies' legitimate intra-copy near-dup
+blobs). The token-invariance check below REMAINS as a genuine guard
+for future corpora that DO contain an un-ciphered character class.
+#3 is guarded at generation time by ``_band_safe``; this module folds
+the diagnostics that caught #1/#2 (and would catch a real #4-class
+artifact) into post-generation validation so the NEXT artifact class
+fails the generator loudly instead of wedging a probe round.
 
 Three checks over a generated corpus (source dir + out dir + copies):
 
-- **token invariance** (artifact class #4 generalized): for a sampled
+- **token invariance** (the hypothesized-#4 class, generalized): for a sampled
   set of origin docs, no copy's token set may overlap another copy's
   by >= ``overlap_threshold`` — a cipher that leaves ANY character
   class un-mapped shows up as docs whose tokens survive verbatim in
   every copy. Accidental single-token coincidences (rotation of one
   word landing on another real word) stay far below the threshold.
-- **cross-copy edge mass** (the simhash-side signature of #1/#4):
-  near-dup edges between distinct fingerprints in DIFFERENT copies
-  must stay within a modeled band of ``copies x base_edges`` — real
-  content-disjoint growth plants ~zero cross-copy edges, while an
-  invariant token class plants C(copies, 2)-shaped mass (measured
-  1.39M at 10x base_edges ~8.7k). Total edges are also bounded at
-  3x copies x base_edges as a gross-superlinearity guard.
+- **cross-copy edge mass** (the simhash-side signature an
+  invariant-class artifact WOULD leave): near-dup edges between
+  distinct fingerprints in DIFFERENT copies must stay within a
+  modeled band of ``copies x base_edges`` — real content-disjoint
+  growth plants ~zero cross-copy edges (measured 0 at sf10/sf100
+  r12), while an invariant token class would plant C(copies,
+  2)-shaped mass. Total edges are also bounded at 3x copies x
+  base_edges as a gross-superlinearity guard.
 - **cross-copy cosine** (artifact class #2): sampled same-origin
   embedding pairs across copies must have |cosine| below a bound that
   random orthogonal rotations satisfy with huge margin (~N(0, 1/dim))

@@ -105,19 +105,21 @@ def _shift(df, cols: dict[str, int], c: int):
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _DIGIT = "0123456789"
-# Punctuation is ALSO ciphered (r11): with alnum-only mapping,
-# punctuation-only tokens are invariant across copies, so docs
-# dominated by them produce fingerprints within Hamming<=3 of
-# their sister copies — the fifth-decade probe measured the
-# signature (top duplicate cluster 4,916 docs at 100 copies ≈ one
-# ~49-doc base cluster merged across EVERY copy; 1.39M cross-copy
-# edges at sf10). A per-copy bijection on the punctuation class
-# removes the planted cross-copy mass while preserving every
-# intra-copy length/edit-distance/shingle relationship, exactly
-# like the alnum classes. NOTE: this changes synthesized bytes for
-# copies >= 1 — corpora built before r11 carry the old tool_sha in
-# their manifest, and the bench comparability stamp refuses the
-# cross-version comparison by design.
+# Punctuation is ALSO ciphered (r11). The r11 diagnosis that an
+# alnum-only cipher had planted the fifth-decade mega-cluster was
+# REFUTED by round-12 measurement (SCALING.md retraction: the
+# corpus contains zero punctuation characters, so this change was
+# a byte-level no-op on the committed corpora and the regenerated
+# sf10 reproduces the r11 numbers exactly; corpus_check measures
+# cross_copy_edges: 0). The cipher coverage REMAINS because it is
+# the correct general behavior: any un-ciphered character class
+# WOULD plant cross-copy near-dup mass in docs dominated by it,
+# and a per-copy bijection per class preserves every intra-copy
+# length/edit-distance/shingle relationship exactly like the alnum
+# classes. NOTE: punct mapping changes synthesized bytes for
+# copies >= 1 only for corpora whose source contains punctuation —
+# the bench comparability stamp refuses cross-tool_sha comparison
+# by design.
 _PUNCT = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
 
 
@@ -147,13 +149,29 @@ def cipher_maps(c: int) -> tuple[str, str]:
     test can plant the alnum-only artifact against the same source."""
     src = _ALPHA + _ALPHA.upper() + _DIGIT + _PUNCT
     if c < 26:
-        rl, rd, rp = c % 26, c % 10, c % len(_PUNCT)
-        dst = (
-            _ALPHA[rl:] + _ALPHA[:rl]
-            + (_ALPHA[rl:] + _ALPHA[:rl]).upper()
-            + _DIGIT[rd:] + _DIGIT[:rd]
-            + _PUNCT[rp:] + _PUNCT[:rp]
+        # Per CLASS, rotation is only artifact-free while c is below
+        # the class length: at c >= len(class) the rotation wraps —
+        # c=10 and c=20 rotated digits by ZERO (identity: an unciphered
+        # class, the same artifact family as the alnum-only cipher),
+        # and copies c and c+10 shared one digit mapping (planted
+        # cross-copy content in digit-bearing docs). Classes whose
+        # rotation would wrap fall back to the seeded permutation,
+        # which is unique per copy. Byte-compatible with every
+        # committed corpus: the letter class (len 26) never wraps for
+        # c < 26, and the generation-validated sf1/sf10/sf100 corpora
+        # contain zero digit/punct characters (measured r13), so the
+        # digit-class change is a byte-level no-op there.
+        rl = c % 26
+        lo = _ALPHA[rl:] + _ALPHA[:rl]
+        dig = (
+            _DIGIT[c:] + _DIGIT[:c] if c < len(_DIGIT)
+            else _perm(_DIGIT, f"digit:{c}")
         )
+        pun = (
+            _PUNCT[c:] + _PUNCT[:c] if c < len(_PUNCT)
+            else _perm(_PUNCT, f"punct:{c}")
+        )
+        dst = lo + lo.upper() + dig + pun
     else:
         lo = _perm(_ALPHA, f"alpha:{c}")
         dst = (

@@ -386,8 +386,20 @@ def simhash_neardup_pairs(
         # the safe-at-scale choice. Output is identical either way
         # (both schemes are complete + exact-filtered), so oracle
         # hashes never move across the switch point.
+        # The small-corpus radix pick is gated on radix COMPLETENESS
+        # (max_hamming <= bands - 1): a caller with bands=2,
+        # max_hamming=3 must keep blocks (which is complete for
+        # h <= 3 regardless of bands) rather than trip radix's
+        # completeness guard below. Out-of-blocks-range h (> 3 or < 1)
+        # still falls through to radix, whose guard raises a clear
+        # error when bands can't cover it.
         small = distinct_fps is not None and distinct_fps <= RADIX_AUTO_MAX
-        scheme = "radix" if (small or not 1 <= max_hamming <= 3) else "blocks"
+        radix_complete = max_hamming <= bands - 1
+        scheme = (
+            "radix"
+            if ((small and radix_complete) or not 1 <= max_hamming <= 3)
+            else "blocks"
+        )
     if scheme == "blocks":
         slices = _block_combo_keys(fp_col, max_hamming)
     elif scheme == "radix":
@@ -501,10 +513,12 @@ def interdoc_repeated_ngrams(
     100 TB shape: one corpus scan explodes grams per doc as two
     xxhash64 lanes (16 bytes of longs shuffled per gram, never the
     text — and no md5 hex-string materialization: the digest never
-    leaves the aggregation, so two independent 64-bit lanes'
-    ~G²/2¹²⁹ collision bound is the same zero-to-10¹⁸-grams
-    guarantee at a third of the bytes; the r12 probe measured the
-    md5-string form's shuffle spilling tens of GB at sf100); gram
+    leaves the aggregation, so two *different-seed* 64-bit lanes —
+    lane 2 salts FIRST so the fold changes the effective seed before
+    the gram is hashed — give ~G²/2¹²⁹ expected colliding pairs under
+    the usual independence model, zero to ~10¹⁸ grams, at a third of
+    the md5-hex bytes; the r12 probe measured the md5-string form's
+    shuffle spilling tens of GB at sf100); gram
     document-frequency is one combiner-friendly aggregation; the
     flag joins back on the digest. Gram-frequency skew ("the quick
     brown…" boilerplate in millions of docs) concentrates a key, but
@@ -518,7 +532,14 @@ def interdoc_repeated_ngrams(
     ).select(
         "id",
         F.xxhash64(F.col("g")).alias("g1"),
-        F.xxhash64(F.col("g"), F.lit(1)).alias("g2"),
+        # Salt FIRST: multi-column xxhash64 folds sequentially with the
+        # running hash as the next column's seed, so xxhash64(g, lit(1))
+        # would be a deterministic function of xxhash64(g) — any g1
+        # collision implies a g2 collision and the pair is worth only
+        # one 64-bit lane. xxhash64(lit(1), g) changes the *effective
+        # seed* before g is hashed, making the lanes behave as two
+        # different-seed 64-bit hashes.
+        F.xxhash64(F.lit(1), F.col("g")).alias("g2"),
     )
     # grams feeds BOTH the document-frequency aggregate and the
     # flag-join back; without the cache the tokenize→shingle→hash

@@ -7,8 +7,8 @@ curation); this module *removes* them — the operation Lee et al.'s
 with a suffix array on a single machine. The distributed reformulation
 works at token granularity:
 
-1. one pass explodes positional n-gram digests (16-byte md5 per gram,
-   never the text);
+1. one pass explodes positional n-gram digests (two xxhash64 long
+   lanes per gram — 16 bytes, never the text);
 2. gram document-frequency + owner (= min doc id containing the gram)
    is one combiner-friendly aggregation — the suffix array's "find
    repeated substrings" step becomes a groupBy;
@@ -47,10 +47,12 @@ def _covered_positions(base: DataFrame, n: int) -> DataFrame:
     Gram identity travels as TWO xxhash64 lanes (16 bytes of longs),
     not an md5 hex string: the digest never leaves the aggregation —
     only counts and the owner id do — so it only needs to be
-    collision-free within the corpus, and two independent 64-bit
-    lanes give ~G²/2¹²⁹ expected colliding pairs (zero to ~10¹⁸
-    grams), same guarantee as md5 at a third of the shuffled bytes
-    and no hex-string materialization. The r12 fifth-decade probe
+    collision-free within the corpus, and two *different-seed* 64-bit
+    lanes (lane 2 salts first — see the g2 comment below) give
+    ~G²/2¹²⁹ expected colliding pairs under the independence model
+    (zero to ~10¹⁸ grams), same guarantee as md5 at a third of the
+    shuffled bytes and no hex-string materialization. The r12
+    fifth-decade probe
     measured this stage's md5-string shuffle exhausting ~60 GB of
     spill at sf100 (620M gram rows × two shuffles); long keys cut
     the gram-side shuffle ~3×."""
@@ -63,7 +65,11 @@ def _covered_positions(base: DataFrame, n: int) -> DataFrame:
             "id",
             "s",
             F.xxhash64(gram(F.col("s"))).alias("g1"),
-            F.xxhash64(gram(F.col("s")), F.lit(1)).alias("g2"),
+            # Salt FIRST (see dedup.interdoc_repeated_ngrams): the fold
+            # order makes xxhash64(lit(1), g) a different-seed hash of
+            # g, whereas xxhash64(g, lit(1)) is a deterministic
+            # function of lane 1 and adds no collision resistance.
+            F.xxhash64(F.lit(1), gram(F.col("s"))).alias("g2"),
         )
     )
     # grams feeds both the owner aggregate and the join back; cache so
@@ -137,21 +143,32 @@ def remove_repeated_spans(
     # the kept text falls out of one filter over the original token
     # array, order preserved by construction instead of re-sorted.
     cov_arr = covered.groupBy("id").agg(F.collect_set("pos").alias("cov"))
-    kept_arr = F.filter(
-        F.transform(
-            "toks", lambda t, i: F.struct((i + 1).alias("pos"), t.alias("tok"))
-        ),
-        lambda s: ~F.array_contains(F.col("cov"), s["pos"]),
-    )
+    # Kept positions via the hash-based set-difference builtin, NOT a
+    # per-token array_contains scan: array_contains is O(n_covered)
+    # per token, so a boilerplate-heavy doc where most positions are
+    # covered — exactly the doc this operator targets — went
+    # O(n_tokens × n_covered) quadratic inside one task row (10k
+    # mostly-covered tokens ≈ 10⁸ comparisons in a single straggler).
+    # array_except builds a hash set of `cov` once and streams the
+    # position sequence through it — O(n + m) — and preserves the
+    # first array's order, so the reassembly stays in-order by
+    # construction. sequence(1, 0) would yield a DESCENDING [1, 0]
+    # for an empty token array, hence the size guard.
+    all_pos = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(all_pos, F.col("cov"))
     return (
         base.join(cov_arr, "id", "left")
         .withColumn("cov", F.coalesce(F.col("cov"), F.array().cast("array<int>")))
-        .withColumn("kept", kept_arr)
+        .withColumn("kept_pos", kept_pos)
         .select(
             "id",
-            F.concat_ws(" ", F.transform("kept", lambda s: s["tok"])).alias("text"),
+            F.concat_ws(
+                " ", F.transform("kept_pos", lambda p: F.element_at("toks", p))
+            ).alias("text"),
             F.size("toks").alias("n_tokens"),
-            (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+            (F.size("toks") - F.size("kept_pos")).cast("long").alias("n_removed"),
         )
     )
 
