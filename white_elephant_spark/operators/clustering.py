@@ -9,14 +9,17 @@ both B and C, not just one of them.
 
 Spark-first shape: iterative **min-label propagation** over
 DataFrames (the Pregel/GraphX pattern without the RDD API — Spark has
-no built-in DataFrame connected-components). Each round is one
-shuffle join (edges ⋈ labels on the edge key) plus one groupBy-min;
-labels are ``localCheckpoint``-ed per round so the lineage stays flat
-and each round's shuffle reuses the previous round's materialized
-output. Convergence is O(graph diameter) rounds — near-dup clusters
-are dense and shallow (duplicates of one document all link to each
-other within 1-2 hops), so 3-5 rounds is typical; ``max_iter`` bounds
-the pathological chain case.
+no built-in DataFrame connected-components). Each round joins the
+cached edge set against the label table — broadcast-hinted while the
+labels fit (so the edges are NEVER re-shuffled; the only per-round
+shuffle is the node-sized groupBy-min), partition-aligned sort-merge
+beyond that (edges repartitioned by the join key and sorted once into
+the cache). Labels are ``localCheckpoint``-ed per round so the
+lineage stays flat. Convergence is O(log diameter) rounds with the
+pointer-jumping step — near-dup clusters are dense and shallow
+(duplicates of one document all link to each other within 1-2 hops),
+so 3-5 rounds is typical; ``max_iter`` bounds the pathological chain
+case.
 
 This is a driver-side *loop*, not driver-side *data*: per round the
 driver runs one count() action for the convergence test; all row data
@@ -46,13 +49,20 @@ def connected_components(
     needs that), and when it is *broadcast-sized* (≤
     ``local_threshold`` edges — a fixed constant, NOT a function of
     corpus size) the components are solved with a driver union-find
-    in milliseconds instead of paying O(log d) distributed rounds of
-    scheduling latency. Above the threshold the iterative min-label
-    + pointer-jumping loop runs fully distributed. The dedup pipeline
-    feeds this *fingerprint-collapsed* edges (one node per distinct
+    in milliseconds instead of paying distributed rounds of
+    scheduling latency. Above the threshold, **star contraction**
+    (:func:`_cc_contract`): geometric passes that merge every node
+    into its min closed-neighborhood label and recurse on the
+    shrinking quotient graph until the residual fits the driver
+    union-find. The r12 fifth-decade probe measured why this beats
+    min-label propagation here: the corpus's near-dup graph is
+    chain-like, so propagation + pointer jumping needed ~log2(
+    diameter) = 23 full-edge-set rounds at 13.6M edges (~315 s, the
+    leg's superlinear carrier) while contraction pays ~4 passes of
+    geometrically-shrinking cost. The dedup pipeline feeds this
+    *fingerprint-collapsed* edges (one node per distinct
     fingerprint), so the local path is the common case even for a
-    corpus with heavy duplicate mass; a genuinely huge distinct-
-    fingerprint graph takes the loop.
+    corpus with heavy duplicate mass.
 
     Nodes not present in any pair are absent — union singletons in at
     the call site (see :func:`attach_clusters`)."""
@@ -88,14 +98,146 @@ def connected_components(
         sample = edges.limit(local_threshold + 1).toPandas()
         if len(sample) <= local_threshold:
             return _cc_local(spark, sample, id_type)
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.persist()
     _CONSTRAINTS = "spark.sql.constraintPropagation.enabled"
     prev_constraints = spark.conf.get(_CONSTRAINTS, "true")
     spark.conf.set(_CONSTRAINTS, "false")
     try:
-        return _cc_loop(edges, max_iter)
+        return _cc_contract(
+            edges, local_ok, id_type, local_threshold, max_iter
+        )
     finally:
         spark.conf.set(_CONSTRAINTS, prev_constraints)
+        edges.unpersist()
+
+
+#: Contraction-pass ceiling: passes shrink the directed edge set
+#: geometrically (min-closed-neighborhood hooking removes every
+#: non-local-min node, ≥2-3x per pass on real graphs), so 20 levels
+#: covers ~3^20 ≈ 10^9x shrinkage — any graph that still has edges
+#: after that is adversarial and takes the propagation fallback.
+_CC_MAX_CONTRACT = 20
+
+#: A pass must shrink the directed edge set to ≤ this fraction or
+#: contraction bails to the propagation fallback — guards the
+#: pathological structure where hooking stops making progress.
+_CC_SHRINK_FACTOR = 0.8
+
+
+def _cc_contract(
+    edges: DataFrame,
+    local_ok: bool,
+    id_type: str,
+    local_threshold: int,
+    max_iter: int,
+) -> DataFrame:
+    """Distributed connected components by **star contraction** — the
+    100 TB shape for graphs whose diameter is unknown and possibly
+    huge (this corpus's near-dup graph is chain-like: min-label
+    propagation needed 23 O(E) rounds at sf100 and its cost per
+    round doubled late in the loop; see SCALING.md round 13).
+
+    Per pass: (1) every node hooks to ``min(itself, min neighbor)``
+    — one combiner-friendly groupBy over the edge set; (2) edges are
+    mapped through the hook labels (two equi-joins, broadcast-hinted
+    while the label table is bounded), self-edges dropped, duplicates
+    collapsed by ``distinct``. Every component with ≥2 nodes loses
+    every non-local-min node (adjacent nodes cannot both be local
+    minima), so the quotient shrinks geometrically and total work
+    across all passes is O(E · pass-1-fraction) — a few times E, not
+    diameter times E. The residual graph (≤ ``local_threshold``
+    directed edges) is solved by the driver union-find; the per-level
+    hook maps then compose back node → component-min in |levels|
+    node-sized joins. The global minimum of every component is its
+    own closed-neighborhood min at every level, so it survives as a
+    quotient node to the end and the composed representative is the
+    component min — bit-identical output to the propagation loop and
+    the recursive-CTE oracle twin.
+
+    Falls back to :func:`_cc_loop` (min-label propagation + pointer
+    jumping) only if a pass fails to shrink the edge set to
+    ``_CC_SHRINK_FACTOR`` or the non-local id-type gate blocks the
+    driver finish."""
+    import os
+    import sys
+    import time
+
+    dbg = os.environ.get("WES_CC_DEBUG") == "1"
+    spark = edges.sparkSession
+    maps: list[tuple[DataFrame, int]] = []  # (hook labels, label rows)
+    cur = edges
+    n_cur = cur.count()
+    base = None
+    for level in range(_CC_MAX_CONTRACT):
+        if n_cur == 0:
+            break
+        if local_ok and n_cur <= local_threshold:
+            base = _cc_local(spark, cur.toPandas(), id_type)
+            break
+        t0 = time.time()
+        hooks = (
+            cur.groupBy("src")
+            .agg(F.min("dst").alias("m"))
+            .select(
+                F.col("src").alias("node"),
+                F.least("src", "m").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_lab = hooks.count()
+        h = F.broadcast if n_lab <= _CC_BROADCAST_MAX_NODES else (lambda d: d)
+        la = h(hooks.select(F.col("node").alias("sn"), F.col("label").alias("sl")))
+        lb = h(hooks.select(F.col("node").alias("dn"), F.col("label").alias("dl")))
+        nxt = (
+            cur.join(la, cur.src == F.col("sn"))
+            .join(lb, F.col("dst") == F.col("dn"))
+            .select(F.col("sl").alias("src"), F.col("dl").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        maps.append((hooks, n_lab))
+        n_nxt = nxt.count()
+        if dbg:
+            print(
+                f"cc contract level {level}: edges {n_cur} -> {n_nxt},"
+                f" labels={n_lab}, {time.time() - t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+        shrunk = n_nxt <= n_cur * _CC_SHRINK_FACTOR
+        cur, n_cur = nxt, n_nxt
+        if not shrunk:
+            break
+    if base is None and n_cur > 0:
+        # residual too big for the driver (non-local id types) or a
+        # non-shrinking pass: finish with the propagation loop on the
+        # (much smaller) quotient graph.
+        base = _cc_loop(cur.persist(), max_iter)
+    if not maps:
+        if base is not None:
+            return base
+        # empty pair set with a non-driver-collectable id type
+        return edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("cluster_id")
+        ).limit(0)
+    total, _ = maps[0]
+    for hooks, n_lab in maps[1:]:
+        h = F.broadcast if n_lab <= _CC_BROADCAST_MAX_NODES else (lambda d: d)
+        r = h(hooks.select(F.col("node").alias("jn"), F.col("label").alias("jl")))
+        total = total.join(r, total.label == F.col("jn"), "left").select(
+            "node", F.coalesce("jl", "label").alias("label")
+        )
+    if base is not None:
+        r = base.select(
+            F.col("node").alias("bn"), F.col("cluster_id").alias("bc")
+        )
+        total = total.join(r, total.label == F.col("bn"), "left").select(
+            "node", F.coalesce("bc", "label").alias("cluster_id")
+        )
+    else:
+        total = total.select("node", F.col("label").alias("cluster_id"))
+    return total
 
 
 #: Node-count ceiling for inlining the local-path result as a VALUES
@@ -158,6 +300,18 @@ def _cc_local(spark, edges_pdf, id_type: str = "bigint") -> DataFrame:
     return spark.createDataFrame(rows or [], schema)
 
 
+#: Per-round broadcast ceiling for the loop's label table (rows).
+#: 4M (node, label) long pairs is ~64 MB of broadcast payload —
+#: comfortably executor-deliverable — and covers the dedup pipeline's
+#: fingerprint graphs two decades past the fifth-decade probe (1.7M
+#: nodes at sf100). Bigger graphs take the partition-aligned path.
+_CC_BROADCAST_MAX_NODES = 4_000_000
+
+#: Edge rows per shuffle partition for the partition-aligned path:
+#: ~2M 16-byte rows ≈ 32 MB per task — sorts in memory, never spills.
+_CC_EDGE_ROWS_PER_PART = 2_000_000
+
+
 def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     labels = (
         edges.groupBy(F.col("src").alias("node"))
@@ -165,10 +319,41 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
         .select("node", F.least("node", "label").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    # Join-strategy pick, made ONCE from measured sizes (both counts
+    # are near-free: labels is checkpointed, edges is cached by the
+    # caller). Label tables up to _CC_BROADCAST_MAX_NODES are
+    # broadcast-hinted into every round's joins — each round then
+    # touches the edge cache in place with ZERO edge shuffles and no
+    # sorts (the pre-fix shape re-exchanged + re-sorted all E rows
+    # per round: checkpointed labels carry no stats, so Catalyst
+    # planned SMJ every time). Bigger label tables fall back to
+    # sort-merge with the edge side repartitioned by the join key and
+    # sorted ONCE into the cache, so per-round SMJ re-exchanges only
+    # the node-sized label table, never the edges.
+    import os
+    import sys
+    import time
+
+    dbg = os.environ.get("WES_CC_DEBUG") == "1"
+    spark = edges.sparkSession
+    n_nodes = labels.count()
+    bcast = n_nodes <= _CC_BROADCAST_MAX_NODES
+    if bcast:
+        hint = F.broadcast
+    else:
+        hint = lambda df: df  # noqa: E731
+        n_edges = edges.count()
+        sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        p = min(4096, max(sess, n_edges // _CC_EDGE_ROWS_PER_PART))
+        edges = (
+            edges.repartition(p, "src").sortWithinPartitions("src").persist()
+        )
+    for it in range(max_iter):
+        t0 = time.time()
         # Propagate: each node offers its label to every neighbor;
         # a node keeps the min of its own label and all offers.
-        offers = edges.join(labels, edges.src == labels.node).select(
+        lab = hint(labels)
+        offers = edges.join(lab, edges.src == lab.node).select(
             F.col("dst").alias("node"), "label"
         )
         prop = (
@@ -191,8 +376,10 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
         jump = (
             prop.alias("x")
             .join(
-                labels.select(
-                    F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                hint(
+                    labels.select(
+                        F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+                    )
                 ),
                 F.col("x.label") == F.col("jnode"),
                 "left",
@@ -210,14 +397,23 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
         new_labels = jump.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(hint(labels.alias("o")), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
         )
         labels = new_labels
+        if dbg:
+            print(
+                f"cc round {it}: changed={changed} {time.time() - t0:.1f}s"
+                f" (nodes={n_nodes} bcast={bcast})",
+                file=sys.stderr,
+                flush=True,
+            )
         if changed == 0:
             break
+    if not bcast:
+        edges.unpersist()  # the loop-local repartitioned cache
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -335,6 +335,12 @@ def _block_combo_keys(fp_col: str, h: int):
 #: exploded-row constant at gate scale (sf0.1: ~6e4 fps).
 RADIX_AUTO_MAX = 200_000
 
+#: Exploded band rows per shuffle partition for the candidate join:
+#: ~1.5M ~28-byte rows ≈ 40 MB per task sorts in memory. The width
+#: derived from this is a floor-raise only — it never shrinks the
+#: session's configured parallelism.
+_BAND_ROWS_PER_PART = 1_500_000
+
 
 def simhash_neardup_pairs(
     fps: DataFrame,
@@ -423,9 +429,42 @@ def simhash_neardup_pairs(
         F.col(fp_col).alias("fp"),
         F.posexplode(slices).alias("band", "bv"),
     )
+    # Shuffle-width scaling (r12 weak #1): the band self-join and the
+    # final distinct ran at the session's fixed shuffle width (16 in
+    # the probe harness) regardless of corpus size — at sf100 that
+    # pushed ~76M exploded rows and ~46M verified-pair rows through
+    # 16-partition exchanges, and per-task sort/aggregate spill is
+    # what turns a linear candidate volume into superlinear wall
+    # time. When the caller knows the distinct-fingerprint count
+    # (fingerprint_clusters always does), width scales with the
+    # exploded-row estimate at ~1.5M rows (~40 MB) per task; the
+    # explicit repartition on the join keys is satisfied by BOTH
+    # self-join sides (one exchange, reused) and the pair-key
+    # repartition co-locates the distinct so it adds no second
+    # exchange. Below the session width (every gate-scale corpus)
+    # the plan is unchanged.
+    import math
+
+    n_tables = math.comb(2 * max_hamming, max_hamming) if scheme == "blocks" else bands
+    sess = int(fps.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    parts = (
+        min(4096, max(sess, (distinct_fps * n_tables) // _BAND_ROWS_PER_PART))
+        if distinct_fps is not None
+        else sess
+    )
+    if parts > sess:
+        # repartition + persist, not bare repartition: an explicit
+        # REPARTITION_BY_NUM exchange defeats AQE's query-stage reuse
+        # (measured: the self-join shuffled the exploded table TWICE),
+        # while a cached repartition shuffles and explodes once and
+        # both join sides scan the cache with its HashPartitioning
+        # already satisfying the join distribution — zero further
+        # exchanges. MEMORY_AND_DISK (the default) keeps the wide
+        # path safe when the exploded table outgrows executor memory.
+        e = e.repartition(parts, "band", "bv").persist()
     a, b = e.alias("a"), e.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -438,8 +477,14 @@ def simhash_neardup_pairs(
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    if parts > sess:
+        # hash(id_a, id_b) co-locates every duplicate of a pair (they
+        # arise in DIFFERENT band partitions, so map-side partial
+        # dedup catches none of them) and satisfies the distinct's
+        # clustering requirement — one wide exchange, no second one.
+        out = out.repartition(parts, "id_a", "id_b")
+    return out.distinct()
 
 
 def sql_simhash_neardup_pairs(
