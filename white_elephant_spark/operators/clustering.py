@@ -472,6 +472,7 @@ def fingerprint_clusters(
     bands: int = 4,
     max_iter: int = 50,
     scheme: str = "auto",
+    count_memo=None,
 ) -> DataFrame:
     """Duplicate clusters from SimHash fingerprints, **collapsed to
     distinct fingerprints before pairing** — the 100 TB shape.
@@ -504,7 +505,17 @@ def fingerprint_clusters(
 
     Output: (doc_id, cluster_id, cluster_size, is_representative) —
     same contract as :func:`attach_clusters`; cluster_id is the min
-    doc id of the transitive cluster."""
+    doc id of the transitive cluster.
+
+    ``count_memo``: optional ``memo(thunk) -> int`` wrapper around the
+    distinct-fingerprint count job (callers with a corpus identity
+    pass ``models.get_or_train`` here). The count only feeds the
+    blocking-scheme pick and the shuffle-width floor — both
+    performance decisions with identical output either way — so a
+    memoized value from a prior run of the same corpus is always
+    safe, and it removes one full fps-materializing job per call
+    (~1.0 s of the gate-scale query, the whole simhash scan at
+    probe scale)."""
     from white_elephant_spark.operators.dedup import simhash_neardup_pairs
 
     # fps is consumed twice (fingerprint collapse + the doc→label map
@@ -515,23 +526,25 @@ def fingerprint_clusters(
     # localCheckpoint would pay one extra dedicated job for the same
     # reuse. (id, simhash) is 16 bytes/row — tiny vs the corpus.
     fps = fps.persist()
-    # groups re-derives from the checkpointed fps in both consumers —
-    # a trivial groupBy over (id, simhash), not worth its own
-    # materialization job.
+    # groups feeds the pair explode AND the fid→label map in step 4 —
+    # persist so the fingerprint-collapse shuffle over fps runs once
+    # per execution, not once per consumer (at probe scale that
+    # second aggregation is a full pass over millions of cached fps
+    # rows). (fid, simhash) is 16 bytes/row.
     groups = (
         fps.groupBy("simhash")
         .agg(F.min("id").alias("fid"))
         .select(F.col("fid").alias("id"), "simhash")
-    )
-    # Count the collapsed nodes up front (one small shuffle over the
-    # persisted 16-byte fps rows — the count job is also what
-    # materializes the persist, work the edge-collection job would
-    # have done anyway) and let the pair join pick its blocking scheme
-    # by occupancy: radix-4 below RADIX_AUTO_MAX distinct fingerprints
-    # (5× fewer exploded rows, keyspace nowhere near its ~10⁶ cliff),
-    # Manku blocks above (linear to ~10¹⁰). Identical output either
-    # way, so the oracle twin and every committed hash stay put.
-    n_fps = groups.count()
+    ).persist()
+    # The collapsed-node count feeds the pair join's blocking-scheme
+    # pick (radix-4 below RADIX_AUTO_MAX distinct fingerprints — 5×
+    # fewer exploded rows, keyspace nowhere near its ~10⁶ cliff —
+    # Manku blocks above, linear to ~10¹⁰) and the shuffle-width
+    # floor. Identical output either way, so the oracle twin and
+    # every committed hash stay put. count_memo lets the caller
+    # serve the count from the model registry instead of paying a
+    # dedicated fps-materializing job every execution.
+    n_fps = count_memo(groups.count) if count_memo is not None else groups.count()
     fpairs = simhash_neardup_pairs(
         groups, max_hamming=max_hamming, bands=bands, scheme=scheme,
         distinct_fps=n_fps,

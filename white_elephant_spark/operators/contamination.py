@@ -43,17 +43,37 @@ def ngram_contamination(
     absent — callers left-join and coalesce to 0.0 (nothing to
     overlap means not contaminated).
     """
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+    # Gram identity travels as two xxhash64 lanes (16 bytes of longs),
+    # not the gram string: the broadcast hash side shrinks ~3× (the
+    # eval set ships to every executor) and the probe compares two
+    # longs instead of a ~40-char string per gram. Lane 2 salts FIRST
+    # (xxhash64(lit(1), g)) so the pair behaves as two different-seed
+    # 64-bit hashes — ~G²/2¹²⁹ expected colliding pairs, zero at any
+    # plausible corpus (same identity scheme, and the same collision
+    # adjudication, as the interdoc/span gram digests in dedup.py /
+    # spans.py). The membership fraction is a pure function of the
+    # gram identity, so the oracle twin (string grams) hashes
+    # identically.
+    def _lanes(df_):
+        return df_.select(
+            "*",
+            F.xxhash64(F.col("g")).alias("g1"),
+            F.xxhash64(F.lit(1), F.col("g")).alias("g2"),
+        ).drop("g")
+
+    grams = _lanes(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        )
     )
     eval_grams = (
-        eval_docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        _lanes(eval_docs.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g")))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     return (
-        grams.join(F.broadcast(eval_grams), "g", "left")
+        grams.join(F.broadcast(eval_grams), ["g1", "g2"], "left")
         .groupBy("id")
         .agg(
             (

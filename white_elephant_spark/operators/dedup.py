@@ -543,6 +543,8 @@ def interdoc_repeated_ngrams(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pos_grams: DataFrame | None = None,
+    gstats: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document fraction of distinct word ``n``-grams that also
     appear in at least ``min_docs - 1`` OTHER documents — the
@@ -570,27 +572,47 @@ def interdoc_repeated_ngrams(
     the payload per row is just the count — no pair materialization,
     so the hot key costs one reducer's worth of adds, not O(docs²)
     rows.
+
+    ``pos_grams``/``gstats``: optional pre-built (persisted) frames
+    from :func:`white_elephant_spark.operators.spans.positional_grams`
+    / ``gram_stats`` at the same ``n``. Composed queries
+    (corpus_curation) pass them so this measure rides the span
+    rewrite's single corpus gram scan and single gram-wide aggregation
+    instead of re-tokenizing and re-aggregating the whole corpus. The
+    gram identity is hash-EQUAL between the builders (the same
+    xxhash64 lanes over the same concatenated token window), and the
+    per-doc DISTINCT this measure needs is recovered with one
+    (id, g1, g2) dedup over the positional rows, so the output is
+    identical either way.
     """
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
-    ).select(
-        "id",
-        F.xxhash64(F.col("g")).alias("g1"),
-        # Salt FIRST: multi-column xxhash64 folds sequentially with the
-        # running hash as the next column's seed, so xxhash64(g, lit(1))
-        # would be a deterministic function of xxhash64(g) — any g1
-        # collision implies a g2 collision and the pair is worth only
-        # one 64-bit lane. xxhash64(lit(1), g) changes the *effective
-        # seed* before g is hashed, making the lanes behave as two
-        # different-seed 64-bit hashes.
-        F.xxhash64(F.lit(1), F.col("g")).alias("g2"),
+    if pos_grams is not None:
+        grams = pos_grams.dropDuplicates(["id", "g1", "g2"]).select("id", "g1", "g2")
+    else:
+        grams = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("g"),
+        ).select(
+            "id",
+            F.xxhash64(F.col("g")).alias("g1"),
+            # Salt FIRST: multi-column xxhash64 folds sequentially with
+            # the running hash as the next column's seed, so
+            # xxhash64(g, lit(1)) would be a deterministic function of
+            # xxhash64(g) — any g1 collision implies a g2 collision and
+            # the pair is worth only one 64-bit lane. xxhash64(lit(1),
+            # g) changes the *effective seed* before g is hashed,
+            # making the lanes behave as two different-seed 64-bit
+            # hashes.
+            F.xxhash64(F.lit(1), F.col("g")).alias("g2"),
+        )
+        # grams feeds BOTH the document-frequency aggregate and the
+        # flag-join back; without the cache the tokenize→shingle→hash
+        # corpus scan — the dominant cost at scale — runs twice.
+        grams = grams.persist()
+    gdf = (
+        gstats.select("g1", "g2", "gdf")
+        if gstats is not None
+        else grams.groupBy("g1", "g2").agg(F.count_distinct("id").alias("gdf"))
     )
-    # grams feeds BOTH the document-frequency aggregate and the
-    # flag-join back; without the cache the tokenize→shingle→hash
-    # corpus scan — the dominant cost at scale — runs twice.
-    grams = grams.persist()
-    gdf = grams.groupBy("g1", "g2").agg(F.count_distinct("id").alias("gdf"))
     flagged = grams.join(gdf, ["g1", "g2"]).select(
         "id", (F.col("gdf") >= min_docs).cast("int").alias("rep")
     )

@@ -33,16 +33,28 @@ from pyspark.sql import functions as F
 from white_elephant_spark.functions.text import tokens
 
 __all__ = [
+    "gram_stats",
+    "positional_grams",
     "remove_repeated_spans",
     "span_removed_counts",
     "sql_span_removed_counts",
     "sql_span_rewrite",
+    "token_base",
 ]
 
 
-def _covered_positions(base: DataFrame, n: int) -> DataFrame:
-    """(id, pos) pairs covered by a cross-doc repeated n-gram owned by
-    another doc. ``base`` carries (id, toks).
+def token_base(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, toks) token-array projection shared by the span operators
+    (and, through ``corpus_curation``, the interdoc-repeated measure):
+    tokenizing is one of the two map-side costs of the gram pipeline,
+    so composed queries build this ONCE, persist it, and hand it to
+    every consumer."""
+    return df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+
+
+def positional_grams(base: DataFrame, n: int) -> DataFrame:
+    """(id, s, g1, g2): one row per n-gram start position over ``base``
+    (id, toks).
 
     Gram identity travels as TWO xxhash64 lanes (16 bytes of longs),
     not an md5 hex string: the digest never leaves the aggregation —
@@ -52,13 +64,12 @@ def _covered_positions(base: DataFrame, n: int) -> DataFrame:
     ~G²/2¹²⁹ expected colliding pairs under the independence model
     (zero to ~10¹⁸ grams), same guarantee as md5 at a third of the
     shuffled bytes and no hex-string materialization. The r12
-    fifth-decade probe
-    measured this stage's md5-string shuffle exhausting ~60 GB of
-    spill at sf100 (620M gram rows × two shuffles); long keys cut
-    the gram-side shuffle ~3×."""
+    fifth-decade probe measured this stage's md5-string shuffle
+    exhausting ~60 GB of spill at sf100 (620M gram rows × two
+    shuffles); long keys cut the gram-side shuffle ~3×."""
     starts = F.sequence(F.lit(1), F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0)))
     gram = lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)])  # noqa: E731
-    grams = (
+    return (
         base.filter(F.size("toks") >= n)
         .select("id", "toks", F.explode(starts).alias("s"))
         .select(
@@ -72,15 +83,40 @@ def _covered_positions(base: DataFrame, n: int) -> DataFrame:
             F.xxhash64(F.lit(1), gram(F.col("s"))).alias("g2"),
         )
     )
-    # grams feeds both the owner aggregate and the join back; cache so
-    # the tokenize->window->hash scan (the dominant cost) runs once.
-    grams = grams.persist()
-    owners = (
-        grams.groupBy("g1", "g2")
-        .agg(F.count_distinct("id").alias("gdf"), F.min("id").alias("owner"))
-        .filter(F.col("gdf") >= 2)
-        .select("g1", "g2", "owner")
+
+
+def gram_stats(grams: DataFrame) -> DataFrame:
+    """(g1, g2, gdf, owner) per distinct gram: document frequency and
+    owner (min containing doc id) in ONE combiner-friendly aggregation.
+    The single gram-wide shuffle that both the span rewrite (owner ≠
+    me ⇒ covered) and the interdoc-repeated measure (gdf ≥ min_docs ⇒
+    repeated) read — composed queries compute it once instead of one
+    aggregation per operator."""
+    return grams.groupBy("g1", "g2").agg(
+        F.count_distinct("id").alias("gdf"), F.min("id").alias("owner")
     )
+
+
+def _covered_positions(
+    base: DataFrame,
+    n: int,
+    grams: DataFrame | None = None,
+    gstats: DataFrame | None = None,
+) -> DataFrame:
+    """(id, pos) pairs covered by a cross-doc repeated n-gram owned by
+    another doc. ``base`` carries (id, toks). ``grams``/``gstats`` let
+    a composed caller (corpus_curation) supply the persisted
+    positional-gram table and the shared gram aggregate so the
+    tokenize→window→hash scan and the gram-wide shuffle run once per
+    query, not once per operator."""
+    if grams is None:
+        # grams feeds both the owner aggregate and the join back; cache
+        # so the tokenize->window->hash scan (the dominant cost) runs
+        # once.
+        grams = positional_grams(base, n).persist()
+    owners = (gram_stats(grams) if gstats is None else gstats).filter(
+        F.col("gdf") >= 2
+    ).select("g1", "g2", "owner")
     bad_starts = (
         grams.join(owners, ["g1", "g2"])
         .filter(F.col("owner") != F.col("id"))
@@ -102,7 +138,7 @@ def span_removed_counts(
     the gate/stat is needed (curation): skips the posexplode +
     in-order reassembly, which is the expensive stage of the full
     rewrite."""
-    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    base = token_base(df, text_col, id_col)
     base = base.persist()  # consumed by the span scan AND the size select
     counts = _covered_positions(base, n).groupBy("id").agg(
         F.count(F.lit(1)).alias("n_removed")
@@ -121,6 +157,9 @@ def remove_repeated_spans(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base: DataFrame | None = None,
+    pos_grams: DataFrame | None = None,
+    gstats: DataFrame | None = None,
 ) -> DataFrame:
     """Rewrite ``text_col`` with cross-document repeated ``n``-gram
     spans removed from every doc but the owner (min id keeps its
@@ -129,10 +168,17 @@ def remove_repeated_spans(
 
     Returns (id, text, n_tokens, n_removed) — ``text`` is the
     reassembled document, whitespace-normalized.
+
+    ``base``/``pos_grams``/``gstats``: optional pre-built (persisted)
+    shared frames from :func:`token_base` / :func:`positional_grams` /
+    :func:`gram_stats` — composed queries (corpus_curation) pass them
+    so the tokenize scan and the gram aggregation run once per query
+    instead of once per operator. Output is identical.
     """
-    base = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
-    base = base.persist()  # consumed twice: span scan + the rewrite join
-    covered = _covered_positions(base, n)
+    if base is None:
+        base = token_base(df, text_col, id_col)
+        base = base.persist()  # consumed twice: span scan + rewrite join
+    covered = _covered_positions(base, n, grams=pos_grams, gstats=gstats)
     # Reassembly as a MAP-SIDE array filter, not posexplode + anti-join
     # + collect_list: the exploded form shuffles every corpus token
     # twice ((id, pos, tok) through the anti-join, then the structs

@@ -46,9 +46,13 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected components, see ``dedup_clusters``) land in the same
     split by construction, closing the train→test contamination
     path."""
+    from white_elephant_spark.plans.text_queries import _fp_count_memo
+
     docs = _docs_with_copies(spark, sf_dir)
     fps = dedup.simhash64(docs)
-    labeled = clustering.fingerprint_clusters(docs, fps).select("doc_id", "cluster_id")
+    labeled = clustering.fingerprint_clusters(
+        docs, fps, count_memo=_fp_count_memo(spark, sf_dir)
+    ).select("doc_id", "cluster_id")
     return sampling.split_by_cluster(labeled, train_pct=90)
 
 
@@ -319,10 +323,26 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_copies(spark, sf_dir)
     eval_docs = docs.filter(F.col("doc_id") % 101 == 0)
     contam = contamination.ngram_contamination(docs, eval_docs, n=5)
-    interdoc = dedup.interdoc_repeated_ngrams(docs, n=8).select(
-        "doc_id", F.col("repeated_frac").alias("interdoc_repeated_frac")
-    )
-    spanrw = spans.remove_repeated_spans(docs, n=8).select(
+    # The span rewrite and the interdoc-repeated measure both consume
+    # 8-gram identities over the same corpus; build the token arrays,
+    # the positional-gram table and the gram aggregate ONCE and hand
+    # them to both operators — one corpus tokenize+hash scan and one
+    # gram-wide shuffle instead of two of each (the gram scan is this
+    # query's dominant cost at scale: SCALING.md r12 measured the
+    # interdoc + span stages at 889 s + DNF of the sf100 run before
+    # the hash-lane fix; they now share one pass). Output identical:
+    # interdoc recovers its per-doc DISTINCT grams from the positional
+    # rows (hash-equal identity), and gram_stats carries both the
+    # owner (spans) and the document frequency (interdoc).
+    base = spans.token_base(docs).persist()
+    pos_grams = spans.positional_grams(base, n=8).persist()
+    gstats = spans.gram_stats(pos_grams).persist()
+    interdoc = dedup.interdoc_repeated_ngrams(
+        docs, n=8, pos_grams=pos_grams, gstats=gstats
+    ).select("doc_id", F.col("repeated_frac").alias("interdoc_repeated_frac"))
+    spanrw = spans.remove_repeated_spans(
+        docs, n=8, base=base, pos_grams=pos_grams, gstats=gstats
+    ).select(
         F.col("id").alias("doc_id"),
         F.col("n_removed").alias("span_removed"),
         F.md5(F.col("text")).alias("rewrite_digest"),
