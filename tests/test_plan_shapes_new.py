@@ -36,11 +36,14 @@ def test_span_removal_never_cartesian(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_rollup_reuses_the_fact_exchange(spark):
+def test_rollup_single_fact_shuffle_fused_units(spark):
     """rollup_time_units_tz shuffles the fact table ONCE into the
-    30-minute partial; the five (unit, zone) branches reuse that
-    exchange instead of re-shuffling the facts (the round-3 plan did
-    five full-fact shuffles)."""
+    30-minute partial and derives ALL five (unit, zone) rollups from
+    one explode + one final aggregation (round-13 fusion). The
+    round-3 plan did five full-fact shuffles; the round-12 plan five
+    partial re-aggregations + union (7 Exchanges). Now: no Union, one
+    Generate (the unit-tag explode), and at most 3 Exchanges (scan
+    spread + partial agg + final agg)."""
     from white_elephant_spark.plans.registry import all_queries
 
     old = spark.conf.get("spark.sql.adaptive.enabled")
@@ -50,7 +53,9 @@ def test_rollup_reuses_the_fact_exchange(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
-    assert plan.count("ReusedExchange") >= 4
+    assert "Union" not in plan
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") <= 3
 
 
 def test_fuzzy_join_has_no_nested_loop(spark):

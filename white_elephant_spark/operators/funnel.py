@@ -308,13 +308,20 @@ def cohort_retention(
     retention) — ``period_offset`` 0 is the cohort period itself
     (retention 1.0 by construction).
 
-    Shape: one aggregation for first-seen per user, one distinct
-    (user, period) projection, an equi-join on the user, the final
-    group, and a whole-partition window over the grouped (cohort)
-    frame for the size/retention columns — every step
-    map-side-combinable, nothing quadratic, and the first-seen branch
-    is planned once (cohort_size is the offset-0 active count, an
-    invariant of first-period activity, not a second aggregation).
+    Shape: ONE aggregation keyed on the user carries both the
+    first-seen period (min) and the distinct active-period set
+    (collect_set — map-side partial dedup, the same rows the old
+    separate distinct shuffled), the set explodes back to (user,
+    cohort, period_offset), then the final group and a
+    whole-partition window over the grouped (cohort) frame for the
+    size/retention columns. The previous shape paid two full event
+    shuffles (first-seen agg + distinct) and re-joined them on the
+    user; fusing them into one groupBy(user) removes one corpus-wide
+    Exchange and the join outright — identical output (min of
+    truncated periods == truncation of min; the exploded set is
+    exactly the distinct (user, period) relation; the old inner join
+    dropped null users, preserved here by the explicit filter).
+    Every step map-side-combinable, nothing quadratic.
     """
     _UNIT_SECONDS = {"week": 604800, "day": 86400, "hour": 3600}
     if unit != "month" and unit not in _UNIT_SECONDS:
@@ -326,21 +333,30 @@ def cohort_retention(
 
     u, t = F.col(user_col), F.col(ts_col)
     per = lambda c: F.date_trunc(unit, c)  # noqa: E731
-    first = events.groupBy(u.alias("user")).agg(per(F.min(t)).alias("cohort"))
-    active = events.select(u.alias("user"), per(t).alias("period")).distinct()
+    per_user = (
+        events.filter(u.isNotNull())
+        .select(u.alias("user"), per(t).alias("period"))
+        .groupBy("user")
+        .agg(
+            F.min("period").alias("cohort"),
+            F.collect_set("period").alias("periods"),
+        )
+    )
     span = F.months_between(F.col("period"), F.col("cohort")) if unit == "month" else (
         F.col("period").cast("long") - F.col("cohort").cast("long")
     ) / F.lit(_UNIT_SECONDS[unit])
-    joined = active.join(first, "user").select(
-        "user", "cohort", F.round(span).cast("long").alias("period_offset")
-    )
+    joined = per_user.select(
+        "user", "cohort", F.explode("periods").alias("period")
+    ).select("user", "cohort", F.round(span).cast("long").alias("period_offset"))
     # cohort_size needs no separate aggregation over `first`: every
     # user's first period is active by construction, so the cohort's
     # size IS its active_users at period_offset 0 — attached with a
     # whole-partition window over the (tiny) grouped frame instead of
     # re-planning the first-seen branch into a sizes table + join.
+    # count(*) == count_distinct(user) here: the exploded set yields
+    # at most one row per (user, period), and a user has ONE cohort.
     grouped = joined.groupBy("cohort", "period_offset").agg(
-        F.count_distinct("user").alias("active_users")
+        F.count(F.lit(1)).alias("active_users")
     )
     size = F.max(
         F.when(F.col("period_offset") == 0, F.col("active_users"))

@@ -42,16 +42,21 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     idx: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by rational-idf TF-IDF
     score ``tf · (N+1)/(df+1)``; ties break lexicographically.
 
     ``idx`` optionally supplies a prebuilt :func:`term_index` so
     several relevance measures share ONE (doc, term) shuffle — the
-    dominant cost of any scoring pass at corpus scale."""
+    dominant cost of any scoring pass at corpus scale. ``dfreq``
+    optionally supplies a prebuilt (term, df) table (a composed
+    caller computes df and the corpus term count in one term-keyed
+    aggregation instead of one per measure)."""
     if idx is None:
         idx = term_index(docs, id_col, text_col)
-    dfreq = idx.groupBy("term").agg(F.count("*").alias("df"))
+    if dfreq is None:
+        dfreq = idx.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.select(F.count("*").alias("n_docs"))
     scored = (
         idx.join(dfreq, "term")
@@ -106,6 +111,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     idx: DataFrame | None = None,
+    lens: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 relevance of every matching document to a bag-of-terms
     query, log-free idf ``(N - df + 0.5)/(df + 0.5)`` (rank-equivalent
@@ -130,7 +136,8 @@ def bm25_scores(
         )
     else:
         full_idx = idx
-        lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        if lens is None:
+            lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
         scal = lens.agg(
             F.count("*").alias("n_docs"),
             (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -204,6 +211,9 @@ def unigram_surprisal(
     id_col: str = "doc_id",
     text_col: str = "text",
     idx: DataFrame | None = None,
+    tfreq: DataFrame | None = None,
+    lens: DataFrame | None = None,
+    tot: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, surprisal) — per-document mean inverse unigram
     probability: ``(1/dl) · Σ_terms tf(w) · N/c(w)`` with N the corpus
@@ -219,13 +229,20 @@ def unigram_surprisal(
     under a unigram model. Per-doc sums are DECIMAL-routed
     (functions/compat.py) — order-independent, cluster-reproducible.
 
-    Shares the one (doc, term) shuffle with TF-IDF/BM25 via ``idx``.
+    Shares the one (doc, term) shuffle with TF-IDF/BM25 via ``idx``;
+    ``tfreq``/``lens``/``tot`` let a composed caller hand in the
+    term-keyed and doc-keyed aggregates it already computed for the
+    other measures (pure reassociations — Σtf over terms == Σtf over
+    the index — so the scores are bit-identical).
     """
     if idx is None:
         idx = term_index(docs, id_col, text_col)
-    tfreq = idx.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
-    lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    tot = idx.agg(F.sum("tf").cast("long").alias("n_tok"))
+    if tfreq is None:
+        tfreq = idx.groupBy("term").agg(F.sum("tf").cast("long").alias("ctf"))
+    if lens is None:
+        lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    if tot is None:
+        tot = idx.agg(F.sum("tf").cast("long").alias("n_tok"))
     per_term = (
         idx.join(tfreq, "term")
         .crossJoin(F.broadcast(tot))

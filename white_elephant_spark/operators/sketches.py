@@ -212,6 +212,48 @@ def bloom_probe(
     return out.withColumn("might_contain", cond).drop("bits")
 
 
+def hll_registers_by(
+    values: DataFrame, group_col: str, value_col: str, p: int = 8
+) -> DataFrame:
+    """(grp, register, max_rank) — the per-group HLL register state.
+    MAX-mergeable along BOTH axes: re-grouping by register alone
+    (max over groups) yields exactly the global register state of
+    :func:`hll_registers`, because max is associative over the same
+    row set. Composed queries exploit that to serve the global and
+    the per-group estimate from ONE corpus scan."""
+    h = _hash64(F.col(value_col))
+    reg = (h % (1 << p)).cast("int")
+    w = F.shiftright(h, p)
+    rank = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
+    )
+    return (
+        values.select(
+            F.col(group_col).alias("grp"),
+            reg.alias("register"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("grp", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def _hll_harmonic(p: int) -> Column:
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return (F.lit(alpha * m * m) / F.sum(F.pow(F.lit(2.0), -F.col("max_rank")))).alias(
+        "hll_estimate"
+    )
+
+
+def hll_estimate_from(regs: DataFrame, p: int = 8) -> DataFrame:
+    """One-row (hll_estimate, n_registers) from a (register, max_rank)
+    state — :func:`hll_estimate`'s finishing step, exposed so a caller
+    holding a register table (e.g. rolled up from the per-group state)
+    can estimate without re-scanning the values."""
+    return regs.agg(_hll_harmonic(p), F.count("*").cast("long").alias("n_registers"))
+
+
 def hll_estimate_by(
     values: DataFrame, group_col: str, value_col: str, p: int = 8
 ) -> DataFrame:
@@ -223,28 +265,14 @@ def hll_estimate_by(
     like the global one. The canonical "distinct users per dimension"
     rollup at 100 TB, where exact COUNT(DISTINCT) per group would
     shuffle every (group, user) pair."""
-    m = 1 << p
-    alpha = 0.7213 / (1.0 + 1.079 / m)
-    h = _hash64(F.col(value_col))
-    reg = (h % (1 << p)).cast("int")
-    w = F.shiftright(h, p)
-    rank = F.when(w == 0, F.lit(_HASH_BITS - p + 1)).otherwise(
-        F.bit_count((w.bitwiseAND(-w)) - 1) + 1
-    )
-    regs = (
-        values.select(
-            F.col(group_col).alias("grp"),
-            reg.alias("register"),
-            rank.cast("int").alias("rank"),
-        )
-        .groupBy("grp", "register")
-        .agg(F.max("rank").alias("max_rank"))
-    )
-    return regs.groupBy("grp").agg(
-        (
-            F.lit(alpha * m * m) / F.sum(F.pow(F.lit(2.0), -F.col("max_rank")))
-        ).alias("hll_estimate"),
-        F.count("*").cast("long").alias("n_registers"),
+    return hll_estimate_by_from(hll_registers_by(values, group_col, value_col, p), p)
+
+
+def hll_estimate_by_from(regs_by: DataFrame, p: int = 8) -> DataFrame:
+    """(grp, hll_estimate, n_registers) from a (grp, register,
+    max_rank) state — the finishing step of :func:`hll_estimate_by`."""
+    return regs_by.groupBy("grp").agg(
+        _hll_harmonic(p), F.count("*").cast("long").alias("n_registers")
     )
 
 

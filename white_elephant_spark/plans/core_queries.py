@@ -165,26 +165,6 @@ _ROLLUP_UNITS = [
 ]
 
 
-def _rollup_one(partial: DataFrame, unit: str, zone: str) -> DataFrame:
-    """Re-bucket the 30-minute partial to (unit, zone) — the partial's
-    DECIMAL sums re-sum exactly, so the result is bit-identical to
-    aggregating the raw facts."""
-    return (
-        partial.groupBy(
-            tu.bucket(F.col("b30"), unit, zone).alias("bucket"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.sum("pv").cast("double").alias("total_value"),
-            F.sum("pn").alias("n_events"),
-        )
-        .select(
-            F.lit(f"{unit}@{zone}").alias("unit"),
-            "bucket", "event_type", "total_value", "n_events",
-        )
-    )
-
-
 def _rollup_oracle_one(unit: str, zone: str) -> str:
     b = tu.bucket_sql("ts", unit, zone)
     return f"""
@@ -216,11 +196,14 @@ def rollup_time_units_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a half-hour-offset zone (Asia/Kolkata, +05:30) fall mid-UTC-
     hour; every supported zone offset is a multiple of 30 minutes, so
     each partial cell maps to exactly one bucket of every (unit,
-    zone). The five branches then re-aggregate the ~|cells| partial —
-    Catalyst reuses the single wide exchange across all branches
-    (identical subplan), so the plan is 1 fact shuffle + 5 trivial
-    ones instead of 5 full-fact shuffles. DECIMAL partials re-sum
-    exactly, keeping the hash identical to the single-level rollup."""
+    zone). Each partial cell then EXPLODES into its five (unit,
+    bucket) tags and ONE final aggregation keyed (unit, bucket,
+    event_type) produces every rollup row — one shuffle of 5·|cells|
+    tiny rows, versus the previous five per-branch re-aggregations +
+    union (plan: 7 Exchanges → 3, 5 HashAggregate pairs → 1).
+    DECIMAL partials re-sum exactly and the explode only re-tags
+    rows, so the result is bit-identical to the per-branch form (and
+    to the single-level oracle rollup)."""
     ev = load_table(spark, sf_dir, "events")
     sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
     partial = (
@@ -233,10 +216,28 @@ def rollup_time_units_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("pn"),
         )
     )
-    out = _rollup_one(partial, *_ROLLUP_UNITS[0])
-    for u, z in _ROLLUP_UNITS[1:]:
-        out = out.unionByName(_rollup_one(partial, u, z))
-    return out
+    tags = F.array(
+        *[
+            F.struct(
+                F.lit(f"{u}@{z}").alias("unit"),
+                tu.bucket(F.col("b30"), u, z).alias("bucket"),
+            )
+            for u, z in _ROLLUP_UNITS
+        ]
+    )
+    return (
+        partial.select(F.explode(tags).alias("ub"), "event_type", "pv", "pn")
+        .groupBy(
+            F.col("ub.unit").alias("unit"),
+            F.col("ub.bucket").alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("pv").cast("double").alias("total_value"),
+            F.sum("pn").alias("n_events"),
+        )
+        .select("unit", "bucket", "event_type", "total_value", "n_events")
+    )
 
 
 # --------------------------------------------------------------------------

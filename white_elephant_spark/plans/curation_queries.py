@@ -171,13 +171,27 @@ def relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     so summation order can't drift the hash. All three measures share
     ONE (doc, term) shuffle via the cached term index."""
     docs = load_table(spark, sf_dir, "documents")
-    # One (doc, term) shuffle feeds BOTH measures: the TF-IDF ranking
-    # and the BM25 pass share the cached term index, and BM25 recovers
-    # document length as SUM(tf) instead of re-tokenizing the corpus.
+    # One (doc, term) shuffle feeds ALL THREE measures via the cached
+    # term index; on top of it, ONE term-keyed aggregation carries
+    # both the document frequency (TF-IDF) and the corpus term count
+    # (surprisal) — previously one term-wide shuffle per measure —
+    # ONE doc-keyed aggregation carries the document length for BM25
+    # and surprisal, and the corpus token total rolls up from the
+    # vocab-sized term stats instead of a third pass over the index
+    # (integer-sum reassociation: bit-identical).
     idx = relevance.term_index(docs).persist()
-    tf3 = relevance.tfidf_top_terms(docs, k=3, idx=idx)
-    bm = relevance.bm25_scores(docs, _BM25_TERMS, idx=idx)
-    sup = relevance.unigram_surprisal(docs, idx=idx)
+    tstats = idx.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").cast("long").alias("ctf")
+    ).persist()
+    lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")).persist()
+    tot = tstats.agg(F.sum("ctf").cast("long").alias("n_tok"))
+    tf3 = relevance.tfidf_top_terms(
+        docs, k=3, idx=idx, dfreq=tstats.select("term", "df")
+    )
+    bm = relevance.bm25_scores(docs, _BM25_TERMS, idx=idx, lens=lens)
+    sup = relevance.unigram_surprisal(
+        docs, idx=idx, tfreq=tstats.select("term", "ctf"), lens=lens, tot=tot
+    )
     return (
         tf3.join(bm, "doc_id", "left")
         .join(sup, "doc_id")

@@ -121,15 +121,42 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
       estimate/exact/rel_err expose the realized false-positive rate.
 
     Even the approximation *error* is hash-checked, because all four
-    sketches are exact deterministic functions of the input."""
+    sketches are exact deterministic functions of the input.
+
+    Scan economy (round 13): the events fact is read FOUR times —
+    (grp, register) HLL state, per-type stats, the fused bloom+exact
+    scalar pass, and the bottom-k TakeOrdered — where the previous
+    shape read it seven times. The global HLL re-rolls the per-type
+    register state (max is associative, so max-over-groups == the
+    global register state bit-for-bit); the CMS cells aggregate the
+    per-type counts with the type count as the cell weight (sum of
+    ones per type == the count — cell-exact); the CMS probe keys and
+    both exact comparison columns come from the same per-type stats
+    row. All pure reassociations over identical row sets — every
+    output value, including the approximation errors, is unchanged
+    (the oracle SQL is untouched and hash-matches)."""
     ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id")
-    est = sketches.hll_estimate(users, "user_id", p=8)
-    types = ev.select("event_type")
-    sketch = sketches.cms_table(types, "event_type", d=4, w=64)
-    cms = sketches.cms_estimate(sketch, types.distinct(), "event_type", d=4, w=64)
-    cnts = types.groupBy("event_type").agg(F.count("*").cast("long").alias("exact"))
-    cms_rows = cms.join(cnts, cms.key == cnts.event_type).select(
+    # One (grp, register) HLL state feeds BOTH estimate rows: per-type
+    # directly, global by re-rolling registers across groups.
+    regs_by = sketches.hll_registers_by(ev, "event_type", "user_id", p=8).persist()
+    by = sketches.hll_estimate_by_from(regs_by, p=8)
+    est = sketches.hll_estimate_from(
+        regs_by.groupBy("register").agg(F.max("max_rank").alias("max_rank")), p=8
+    )
+    # One per-type aggregation carries the exact count (CMS comparison
+    # column AND the CMS cell weights), the exact distinct users (HLL
+    # comparison column), and the distinct type list (CMS probe keys).
+    tstats = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact"),
+        F.count_distinct("user_id").cast("long").alias("exact_d"),
+    ).persist()
+    sketch = sketches.cms_table(
+        tstats, "event_type", weight=F.col("exact"), d=4, w=64
+    )
+    cms = sketches.cms_estimate(
+        sketch, tstats.select("event_type"), "event_type", d=4, w=64
+    )
+    cms_rows = cms.join(tstats, cms.key == tstats.event_type).select(
         F.lit("cms_count").alias("sketch"),
         "key",
         F.col("est").cast("double").alias("estimate"),
@@ -150,15 +177,9 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.5)").alias("p50e"),
         F.expr("percentile(value, 0.95)").alias("p95e"),
     )
-    # Per-group HLL: distinct users per event type — the grouped
-    # sketch a 100 TB rollup uses where exact COUNT(DISTINCT) per
-    # dimension would shuffle every (group, user) pair.
-    by = sketches.hll_estimate_by(
-        ev.select("event_type", "user_id"), "event_type", "user_id", p=8
-    )
-    exact_by = ev.groupBy(F.col("event_type").alias("grp")).agg(
-        F.count_distinct("user_id").cast("long").alias("exact_d")
-    )
+    # Per-group HLL comparison: the estimates come from regs_by above;
+    # the exact distinct-user column rides the shared per-type stats.
+    exact_by = tstats.select(F.col("event_type").alias("grp"), "exact_d")
     by_rows = by.join(exact_by, "grp").select(
         F.lit("hll_users_by_type").alias("sketch"),
         F.col("grp").alias("key"),
@@ -181,36 +202,35 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     bits = sketches.bloom_bits(hv, "c_custkey", m=1024, k=3)
-    probed = sketches.bloom_probe(ev.select("user_id"), bits, "user_id", m=1024, k=3)
+    probed = sketches.bloom_probe(
+        ev.select("user_id", "value"), bits, "user_id", m=1024, k=3
+    )
     flagged = probed.join(
         hv.select(F.col("c_custkey").alias("user_id")).withColumn("actual", F.lit(True)),
         "user_id",
         "left",
     ).withColumn("actual", F.coalesce(F.col("actual"), F.lit(False)))
-    bloomagg = flagged.agg(
-        F.sum(F.when(F.col("might_contain"), 1).otherwise(0))
-        .cast("double")
-        .alias("n_maybe"),
-        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("double").alias("n_actual"),
-    )
     # Scalar legs consolidated (r7 verdict): the four single-row
     # comparison rows (HLL vs exact distinct, two bottom-k quantiles
     # vs exact, Bloom pass-through vs membership) previously each
     # attached their exact counterpart with its own single-row
     # broadcast join AND re-planned shared subtrees per union leg
-    # (the bottom-k TakeOrdered pipeline executed twice). Now the
-    # three exact scalars that share the events scan fold into ONE
-    # aggregate, the one-row frames chain through three single-row
+    # (the bottom-k TakeOrdered pipeline executed twice). The exact
+    # scalars AND the bloom pass-through counts now fold into ONE
+    # aggregate over the bloom-probed events scan (the added
+    # might_contain/actual columns are map-side broadcast
+    # attachments, so count_distinct/percentile see the identical
+    # row multiset), the one-row frames chain through two single-row
     # broadcast attachments, and the four output rows come from one
-    # explode(array(struct...)) — nothing re-planned. Wins land in
-    # exchanges/codegen (EXPLAIN.md: 24→22 exchanges, 35→29 spans);
-    # the plan's BNLJ count is unchanged because the remaining
-    # nested-loop joins are the sketch kernels' own one-row probe
-    # attachments plus these three chained scalar attachments.
-    exacts = ev.agg(
+    # explode(array(struct...)) — nothing re-planned.
+    exacts = flagged.agg(
         F.count_distinct("user_id").cast("long").alias("exact_distinct"),
         F.expr("percentile(value, 0.5)").alias("p50x"),
         F.expr("percentile(value, 0.95)").alias("p95x"),
+        F.sum(F.when(F.col("might_contain"), 1).otherwise(0))
+        .cast("double")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("actual"), 1).otherwise(0)).cast("double").alias("n_actual"),
     )
     def _row(sketch: str, key: str, estimate, exact, rel_err):
         return F.struct(
@@ -224,7 +244,6 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar_rows = (
         est.crossJoin(F.broadcast(exacts))
         .crossJoin(F.broadcast(bkq))
-        .crossJoin(F.broadcast(bloomagg))
         .select(
             F.explode(
                 F.array(
