@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from white_elephant_spark.functions import timeunits as tu
 from white_elephant_spark.functions.compat import (
@@ -89,14 +88,44 @@ GROUP BY n_name
     tags=("join", "agg", "broadcast"),
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema 6-way join; region/nation/supplier broadcast."""
+    """Star-schema 6-way join; region/nation/supplier broadcast.
+
+    The region filter is pushed onto BOTH fact-side inputs before the
+    big shuffles (guide §3.2 — reduce the big side before shuffling
+    it): the ASIA nation-key set (a 5-row broadcast) semi-joins the
+    customer table, so ~4/5 of customers — and every order and
+    lineitem row they would have dragged through the two wide
+    exchanges — drop before the first shuffle; the supplier broadcast
+    shrinks the same way. Both filters are implied by the join
+    predicates (c_nationkey = s_nationkey = n_nationkey ∈ ASIA), so
+    the result is identical — the oracle twin keeps the textbook
+    join+filter form."""
     t = {n: load_table(spark, sf_dir, n) for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    asia_keys = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .select("n_nationkey")
+    )
+    cust = t["customer"].join(
+        F.broadcast(asia_keys),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    supp = t["supplier"].join(
+        F.broadcast(asia_keys),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     return (
-        t["customer"]
+        cust
         .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
         .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(t["supplier"]),
+            F.broadcast(supp),
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -266,22 +295,40 @@ GROUP BY 1
 def topk_users_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 — rank users by total, keep top 10, fold the rest into an
     'other' series (maxUsersToGraph=10, controllers/index.js.coffee:33).
-    Decimal totals make the ranking deterministic across engines."""
+    Decimal totals make the ranking deterministic across engines.
+
+    Plan: the former global ROW_NUMBER window single-partitioned EVERY
+    user's total just to find 10 rows — at corpus scale that is one
+    task sorting |users| rows. orderBy+limit plans as TakeOrdered
+    (per-partition top-10, driver merge of 10-row heads), and the
+    'other' series falls out by subtraction: the totals are DECIMAL,
+    so sum(all) − sum(top10) is exact — bit-identical to aggregating
+    the non-top rows directly (which the oracle still does)."""
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.sum(dec("value")).alias("total"))
-    w = Window.orderBy(F.col("total").desc(), F.col("user_id").asc())
-    ranked = totals.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.withColumn(
-            "series",
-            F.when(F.col("rk") <= 10, F.col("user_id").cast("string")).otherwise(F.lit("other")),
-        )
-        .groupBy("series")
-        .agg(
-            F.sum("total").cast("double").alias("total_value"),
-            F.count(F.lit(1)).alias("n_users"),
+    totals = totals.persist()  # consumed by the top-10 pick AND the grand total
+    top = totals.orderBy(F.col("total").desc(), F.col("user_id").asc()).limit(10)
+    top_rows = top.select(
+        F.col("user_id").cast("string").alias("series"),
+        F.col("total").cast("double").alias("total_value"),
+        F.lit(1).cast("long").alias("n_users"),
+    )
+    grand = totals.agg(
+        F.sum("total").alias("g_total"), F.count(F.lit(1)).alias("g_users")
+    )
+    topagg = top.agg(
+        F.sum("total").alias("t_total"), F.count(F.lit(1)).alias("t_users")
+    )
+    other = (
+        grand.crossJoin(F.broadcast(topagg))
+        .filter(F.col("g_users") > F.col("t_users"))
+        .select(
+            F.lit("other").alias("series"),
+            (F.col("g_total") - F.col("t_total")).cast("double").alias("total_value"),
+            (F.col("g_users") - F.col("t_users")).alias("n_users"),
         )
     )
+    return top_rows.unionByName(other)
 
 
 # --------------------------------------------------------------------------
@@ -445,12 +492,11 @@ def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-    return (
-        per_cust.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
-        .drop("rk")
-    )
+    # orderBy+limit plans as TakeOrdered (per-partition top-20 + a
+    # 20-row driver merge) — the former global ROW_NUMBER window
+    # single-partitioned every customer's aggregate to keep 20 rows.
+    # Same deterministic total order, so the kept set is identical.
+    return per_cust.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
 
 
 @register(

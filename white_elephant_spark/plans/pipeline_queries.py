@@ -42,7 +42,11 @@ from white_elephant_spark.sources.catalog import load_table
 def _attempts_from_events(
     spark: SparkSession, sf_dir: str, keep_event_id: bool = False
 ) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # spread=False: every consumer's first operation is a task-keyed
+    # window/aggregation Exchange, so the small-scan round-robin
+    # re-spread would only parallelize this projection — pure
+    # shuffle overhead (see load_table).
+    ev = load_table(spark, sf_dir, "events", spread=False)
     e = F.col("event_id")
     start = F.unix_millis(F.col("ts").cast("timestamp"))
     extra = [e.alias("event_id")] if keep_event_id else []

@@ -59,7 +59,7 @@ def asof_latest_order_per_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE union+window pass (:func:`temporal.asof_join_both`): a single
     exchange on the key with two sorts — no per-direction replan and
     no leg-merging join on the event id."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    ev = load_table(spark, sf_dir, "events", spread=False).select("event_id", "user_id", "ts")
     od = (
         load_table(spark, sf_dir, "orders")
         .groupBy(
@@ -174,7 +174,7 @@ def event_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised in tests/test_stateful_streaming.py), cut with lag +
     running-sum windows and rolled up per session. Gap math is
     integer microseconds so both engines cut identically."""
-    ev = load_table(spark, sf_dir, "events").select(
+    ev = load_table(spark, sf_dir, "events", spread=False).select(
         "user_id", "ts", "event_id", "value"
     )
     s = temporal.sessionize(ev, gap_minutes=30, tiebreak="event_id")
@@ -314,7 +314,7 @@ def event_funnel_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from white_elephant_spark.operators import funnel
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev = load_table(spark, sf_dir, "events", spread=False).select("user_id", "ts", "event_type")
     steps = [
         F.col("event_type") == "view",
         F.col("event_type") == "click",
@@ -596,7 +596,7 @@ def scd2_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse SCD2 shape, built with ONE shuffle on the user key
     (change-detection lag, running segment counter and the
     post-aggregation lead all reuse the same partitioning)."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev = load_table(spark, sf_dir, "events", spread=False).select("user_id", "ts", "event_type")
     seg = temporal.scd2_segments(ev, "user_id", "ts", "event_type")
     return seg.select(
         F.col("key").alias("user_id"),

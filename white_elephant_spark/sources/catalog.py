@@ -117,21 +117,37 @@ _TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     """Read one catalog table. Accepts a ``<name>.parquet`` file or a
     partitioned directory of the same name. Memoized per session —
-    callers get the same immutable plan fragment back."""
+    callers get the same immutable plan fragment back.
+
+    ``spread``: override the small-scan round-robin re-spread
+    (default: table policy, see ``_SPREAD_TABLES``). Pass ``False``
+    from query paths whose FIRST operation is itself an Exchange
+    (window/join/non-combinable shuffle): there the spread
+    parallelizes only a trivial projection and its shuffle is pure
+    overhead — the downstream exchange redistributes anyway. Paths
+    with CPU-dense map work before the first exchange (per-token
+    hashing, vector math, map-side partial aggregation) keep the
+    default. At cluster scale both forms are identical (the spread
+    only ever fires when the scan plans fewer partitions than the
+    machine has cores)."""
     per_session = _TABLE_MEMO.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
+    key = (os.path.abspath(sf_dir), name, spread)
     hit = per_session.get(key)
     if hit is not None:
         return hit
-    df = _load_table_uncached(spark, sf_dir, name)
+    df = _load_table_uncached(spark, sf_dir, name, spread)
     per_session[key] = df
     return df
 
 
-def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool | None = None
+) -> DataFrame:
     ensure_engine_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(path):
@@ -145,7 +161,7 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
             df = df.withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
             )
-    if name in _SPREAD_TABLES:
+    if (name in _SPREAD_TABLES) if spread is None else spread:
         df = _spread_small_scan(spark, df, path)
     return df
 
