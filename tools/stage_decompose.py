@@ -182,11 +182,21 @@ def _curation_stages():
     def spanrw(spark, sf_dir):
         return spans.remove_repeated_spans(docs(spark, sf_dir), n=8)
 
+    def full(spark, sf_dir):
+        from white_elephant_spark.plans.registry import all_queries
+
+        return all_queries()["corpus_curation"].fn(spark, sf_dir)
+
     return [
         ("docs_scan (+planted copies)", docs),
         ("contamination (bcast eval 5-grams)", contam),
         ("interdoc_repeated (8-gram df agg)", interdoc),
         ("span_rewrite (strip+reassemble)", spanrw),
+        # The registered composed query (round 13: interdoc + span
+        # share ONE gram scan and ONE gram aggregation) — the branch
+        # stages above time the standalone operators, so their sum
+        # exceeds the composed plan by the shared work.
+        ("FULL query (shared gram scan)", full),
     ]
 
 
@@ -198,11 +208,17 @@ def _clusters_stages():
         _docs_with_copies,
     )
 
+    def full(s, d):
+        from white_elephant_spark.plans.registry import all_queries
+
+        return all_queries()["dedup_clusters"].fn(s, d)
+
     return [
         ("docs_scan (+planted copies)", lambda s, d: _docs_with_copies(s, d)),
         ("simhash_fps (64-bit fingerprints)", lambda s, d: dedup.simhash64(_docs_with_copies(s, d))),
         ("simhash_leg (bands+CC+label)", _dc_simhash_leg),
         ("semantic_leg (cells+verify+CC)", _dc_semantic_leg),
+        ("FULL query (both legs)", full),
     ]
 
 

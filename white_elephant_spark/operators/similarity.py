@@ -996,14 +996,23 @@ def classify_by_centroid(
         "pred_label",
         (dot / (F.col("vnorm") * F.col("cnorm"))).alias("cos_sim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_sim").desc(), F.col("pred_label").asc()
+    # Per-vector argmax as ONE aggregation, not a window: after the
+    # broadcast cross join, every vector's L scored rows sit in the
+    # same input partition, so min_by collapses them MAP-SIDE and the
+    # exchange carries |vecs| rows — the window form shuffled AND
+    # sorted all |vecs|·L rows just to keep rank 1. Ordering key
+    # (-cos_sim, pred_label) ascending == (cos_sim desc, pred_label
+    # asc): identical pick, including ties (equal key ⇒ equal picked
+    # struct). Negation is exact for doubles; cos_sim is non-null/
+    # non-NaN here by construction (fixed-dim non-null embeddings,
+    # positive norms).
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min_by(
+            F.struct("pred_label", "cos_sim"),
+            F.struct((-F.col("cos_sim")).alias("o1"), F.col("pred_label").alias("o2")),
+        ).alias("b")
     )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "label", "pred_label", "cos_sim")
-    )
+    return best.select("vec_id", "label", "b.pred_label", "b.cos_sim")
 
 
 def sql_label_centroids(table: str = "embeddings", dim: int = 64, scale: int = 1_000_000) -> str:
