@@ -304,7 +304,14 @@ def main() -> None:
         print(f"| stage | t({lbl(dir_a)}) s | t({lbl(dir_b)}) s | growth |")
         print("|---|---|---|---|")
         rows = []
-        for label, build in stages + [("FULL query", qs[name].fn)]:
+        # Stage lists that already carry a FULL entry (curation,
+        # clusters) would otherwise time the composed query twice.
+        extra = (
+            []
+            if any(lab.startswith("FULL query") for lab, _ in stages)
+            else [("FULL query", qs[name].fn)]
+        )
+        for label, build in stages + extra:
             ta = _best(build, dir_a)
             tb = _best(build, dir_b)
             g = tb / ta if ta > 0 else float("inf")
