@@ -338,9 +338,12 @@ def _dc_simhash_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dc_semantic_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``dedup_clusters``' SemDeDup leg as a standalone plan (see
-    :func:`_dc_simhash_leg`)."""
+def _sem_serving(spark: SparkSession, sf_dir: str):
+    """The SemDeDup leg's served inputs — ``(vecs, k_cells,
+    cell_model, blocked)`` — split from :func:`_dc_semantic_leg` so
+    ``tools/diag_semantic_leg.py`` can time the leg's sub-stages
+    against the exact artifacts the registered query serves
+    (same registry keys, same plans)."""
     emb = load_table(spark, sf_dir, "embeddings")
     jit = "array(" + ", ".join(f"CAST({f!r} AS DOUBLE)" for f in _SEM_JITTER) + ")"
     copies = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -417,6 +420,13 @@ def _dc_semantic_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         save=models.df_save,
         load=models.df_load(),
     )
+    return vecs, k_cells, cell_model, blocked
+
+
+def _dc_semantic_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters``' SemDeDup leg as a standalone plan (see
+    :func:`_dc_simhash_leg`)."""
+    vecs, k_cells, cell_model, blocked = _sem_serving(spark, sf_dir)
     sem = similarity.semantic_dedup(
         vecs, threshold=0.95, k_clusters=k_cells, dim=64, planes=6, tables=8,
         model=cell_model, blocked=blocked, with_sizes=True,
