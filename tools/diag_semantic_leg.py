@@ -51,7 +51,7 @@ def main() -> None:
     for sf_dir in sys.argv[1:]:
         spark.catalog.clearCache()
         t0 = time.time()
-        vecs, k_cells, cell_model, blocked = _sem_serving(spark, sf_dir)
+        vecs, k_cells, cell_model, blocked, n_vecs = _sem_serving(spark, sf_dir)
         n_blocked = blocked.count()
         t_serve = time.time() - t0
 
@@ -88,6 +88,7 @@ def main() -> None:
                 planes=6,
                 tables=8,
                 block_col="cluster_id",
+                n_rows=n_vecs,
             )
             .select("id_a", "id_b")
             .persist()

@@ -420,16 +420,16 @@ def _sem_serving(spark: SparkSession, sf_dir: str):
         save=models.df_save,
         load=models.df_load(),
     )
-    return vecs, k_cells, cell_model, blocked
+    return vecs, k_cells, cell_model, blocked, n_vecs
 
 
 def _dc_semantic_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``dedup_clusters``' SemDeDup leg as a standalone plan (see
     :func:`_dc_simhash_leg`)."""
-    vecs, k_cells, cell_model, blocked = _sem_serving(spark, sf_dir)
+    vecs, k_cells, cell_model, blocked, n_vecs = _sem_serving(spark, sf_dir)
     sem = similarity.semantic_dedup(
         vecs, threshold=0.95, k_clusters=k_cells, dim=64, planes=6, tables=8,
-        model=cell_model, blocked=blocked, with_sizes=True,
+        model=cell_model, blocked=blocked, with_sizes=True, n_rows=n_vecs,
     )
     return sem.select(
         F.lit("semantic").alias("kind"),

@@ -79,6 +79,17 @@ def get_spark(
         builder = builder.config(k, v)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+    # Shuffle/spill/broadcast block codec. Local default stays lz4
+    # (Spark's own default, keeps bench timings comparable). At the
+    # fifth decade and on a 100 TB cluster, zstd is the right
+    # posture: the composed corpus_curation query's lz4 spill
+    # exceeded this sandbox's ~67 GB free disk twice at sf100 while
+    # every branch individually completed; under zstd the same run
+    # finishes (SCALING.md round-13 table).
+    builder = builder.config(
+        "spark.io.compression.codec",
+        os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+    )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
