@@ -998,3 +998,39 @@ def test_auto_scheme_respects_radix_completeness(spark):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "shiftleft" in plan  # blocks scheme, not radix
     assert [tuple(r) for r in out.collect()] == [(1, 2, 3)]
+
+
+def test_cc_local_probe_driver_transfer_bounded(spark):
+    """Sixth-decade regression (r13): the CC local-path probe must
+    bound its DRIVER transfer by the threshold. A bare
+    limit(k).toPandas() plans CollectLimitExec, whose incremental
+    partition scan returns up to k locally-limited rows PER SCANNED
+    PARTITION as driver task results — at sf300 (~83M directed edges
+    over ~90 width-scaled partitions) that crossed
+    spark.driver.maxResultSize. The probe therefore forces the global
+    limit through a single-partition exchange (one task, <= k+1 rows
+    to the driver). Pin the plan layout and the strategy semantics on
+    a many-partition edge set."""
+    import pyspark.sql.functions as F
+
+    from white_elephant_spark.operators import clustering as cl
+
+    # the probe's exact expression shape over a deliberately wide df
+    edges = spark.range(0, 2000, 1, 64).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    probe = edges.limit(101).coalesce(1)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" in plan
+    assert "CollectLimit" not in plan
+    # semantics unchanged across the threshold on a wide input: one
+    # 2001-node chain, 64 partitions
+    pdf = spark.range(0, 2000, 1, 64).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    local = sorted(map(tuple, cl.connected_components(pdf).collect()))
+    dist = sorted(
+        map(tuple, cl.connected_components(pdf, local_threshold=10).collect())
+    )
+    assert local == dist
+    assert len(local) == 2001 and all(lab == 0 for _, lab in local)

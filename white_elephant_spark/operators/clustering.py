@@ -95,7 +95,18 @@ def connected_components(
         # broadcast-sized), and an over-threshold graph cost one
         # truncated scan before taking the distributed loop. Separate
         # count()-then-collect would pay two full jobs over the plan.
-        sample = edges.limit(local_threshold + 1).toPandas()
+        # The coalesce(1) is load-bearing at scale: a bare
+        # limit().toPandas() plans CollectLimitExec, whose incremental
+        # partition scan ships up to threshold rows PER SCANNED
+        # PARTITION as driver task results — on a wide plan (the
+        # width-scaled band join at the sixth decade: ~83M directed
+        # edges over ~90 partitions of ~1M rows each) that crossed
+        # spark.driver.maxResultSize (measured: 52 tasks × ~20 MB at
+        # sf300). Forcing the global limit through a single-partition
+        # exchange bounds the driver transfer by the threshold itself
+        # (one task, ≤ threshold+1 rows); the per-partition shuffle
+        # write stays LocalLimit-truncated, executor-side.
+        sample = edges.limit(local_threshold + 1).coalesce(1).toPandas()
         if len(sample) <= local_threshold:
             return _cc_local(spark, sample, id_type)
     edges = edges.persist()
