@@ -1034,3 +1034,53 @@ def test_cc_local_probe_driver_transfer_bounded(spark):
     )
     assert local == dist
     assert len(local) == 2001 and all(lab == 0 for _, lab in local)
+
+
+def test_ivf_train_sample_driver_transfer_bounded(spark):
+    """Sixth-decade regression (r13): the IVF trainers' hash-sample
+    collect must bound its DRIVER transfer by the sample size. A
+    terminal orderBy().limit(n).collect() executes TakeOrdered's
+    collect path, which returns each partition's LOCAL top-n as a
+    separate driver task result — at sf300 (~30M vectors over ~68 scan
+    partitions, n_sample at the 131072 cap in the SemDeDup kmeans
+    trainer) that crossed spark.driver.maxResultSize. The trainers
+    therefore force the global top-n through a single-partition
+    exchange (one task, <= n rows to the driver). Pin the plan layout
+    and that trained centroids are invariant to input partitioning."""
+    import pyspark.sql.functions as F
+
+    from white_elephant_spark.operators import similarity
+
+    # the trainers' exact expression shape over a many-partition input
+    df = spark.range(0, 4096, 1, 64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % (i + 3)).cast("double") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    key = F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string")))
+    sampled = (
+        df.select("vec_id", "embedding", key.alias("hk"))
+        .orderBy("hk", "vec_id")
+        .limit(256)
+        .coalesce(1)
+    )
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    # the Coalesce parent is what forces TakeOrderedAndProject through
+    # its DISTRIBUTED doExecute (local top-n per partition -> internal
+    # single-partition exchange -> global top-n) instead of the
+    # terminal executeCollect path that ships every partition's local
+    # top-n to the driver as separate task results
+    assert plan.startswith("Coalesce 1")
+    assert "TakeOrderedAndProject" in plan
+    assert "CollectLimit" not in plan
+    # trained model identical whether the corpus arrives in 1 or 64
+    # partitions (the global top-n must not depend on scan layout)
+    wide = similarity.ivf_refined_centroids(df, ncentroids=4, dim=4, iters=1)
+    narrow = similarity.ivf_refined_centroids(
+        df.coalesce(1), ncentroids=4, dim=4, iters=1
+    )
+    assert wide == narrow
+    assert similarity.ivf_centroids(df, 4) == similarity.ivf_centroids(
+        df.coalesce(1), 4
+    )

@@ -500,11 +500,17 @@ def ivf_centroids(
     quantizer a pure function of the corpus, so the DuckDB oracle
     re-derives it exactly (``ORDER BY md5(...) LIMIT C``)."""
     key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
+    # coalesce(1) bounds the driver transfer to ncentroids rows from
+    # ONE task (see ivf_refined_centroids: the terminal TakeOrdered
+    # collect returns each partition's local top-C separately, which
+    # breaks the "only C rows ever reach the driver" contract for
+    # corpus-scaled C on many-partition scans).
     rows = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), key.alias("hk"))
         .orderBy("hk", "cid")
         .limit(ncentroids)
+        .coalesce(1)
         .collect()
     )
     cents = sorted((r.cid, [float(x) for x in r.cvec]) for r in rows)
@@ -1348,11 +1354,22 @@ def ivf_refined_centroids(
 
     n_sample = min(ncentroids * train_per_centroid, TRAIN_SAMPLE_CAP)
     key = F.md5(F.concat(F.lit("ivf:"), F.col(id_col).cast("string")))
+    # coalesce(1) is load-bearing at scale: a terminal
+    # orderBy().limit(n).collect() executes TakeOrdered's collect path,
+    # which returns each partition's LOCAL top-n as a separate driver
+    # task result — at the sixth decade (sf300, ~30M vectors over ~68
+    # scan partitions, corpus-scaled k so n_sample sits at the 131072
+    # cap) that crossed spark.driver.maxResultSize (measured: 52 tasks
+    # x ~20 MB). Forcing the global top-n through TakeOrdered's
+    # distributed form + a single-partition exchange bounds the driver
+    # transfer to n_sample rows from ONE task; the per-partition top-n
+    # truncation stays executor-side. Same rows, same (hk, tid) order.
     rows = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("tid"), F.col(vec_col).alias("tvec"), key.alias("hk"))
         .orderBy("hk", "tid")
         .limit(n_sample)
+        .coalesce(1)
         .collect()
     )
     if not rows:
