@@ -843,6 +843,92 @@ def test_top1_cells_tie_and_nan_semantics():
     assert got.tolist() == [7, 3, 3]
 
 
+def test_top1_cells_blocked_equivalence(monkeypatch):
+    # The r13 cache-blocked fold must be BIT-identical to the
+    # unblocked reference (same strict left fold per element; blocking
+    # changes only the memory access pattern). Covers tile-boundary
+    # sizes, duplicate-centroid ties and zero-norm rows, and odd
+    # block/tile settings.
+    import numpy as np
+
+    def reference(V, cids, C, cnorms, dim):
+        dots = np.zeros((V.shape[0], cids.shape[0]), dtype=np.float64)
+        vv = np.zeros(V.shape[0], dtype=np.float64)
+        for i in range(dim):  # strict left fold, element order
+            col = V[:, i]
+            dots += col[:, None] * C[i]
+            vv += col * col
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = dots / (np.sqrt(vv)[:, None] * cnorms)
+        cos = np.where(np.isnan(cos), -np.inf, cos)
+        return cids[np.argmax(cos, axis=1)]
+
+    rng = np.random.default_rng(7)
+    cases = [
+        (257, 300, 8, {}),                # past one row block
+        (512, 256, 8, {}),                # exact block/tile boundary
+        (513, 257, 8, {}),                # boundary + 1
+        (100, 600, 4, {"ties": True}),    # dup centroids across tiles
+        (300, 77, 8, {"zeros": 5}),       # zero-norm rows keep cids[0]
+        (1, 1, 4, {}),
+    ]
+    for n, k, dim, kw in cases:
+        V = rng.normal(size=(n, dim))
+        if kw.get("ties"):
+            base = rng.normal(size=(k // 2 + 1, dim))
+            Cm = np.vstack([base, base])[:k]
+        else:
+            Cm = rng.normal(size=(k, dim))
+        if kw.get("zeros"):
+            V[: kw["zeros"]] = 0.0
+        cids = np.sort(rng.choice(10**6, size=k, replace=False)).astype(np.int64)
+        cnorms = np.sqrt((Cm * Cm).sum(axis=1))
+        C = np.ascontiguousarray(Cm.T)
+        want = reference(V, cids, C, cnorms, dim)
+        got = similarity._top1_cells(V, cids, C, cnorms, dim)
+        assert np.array_equal(got, want), (n, k, dim, kw)
+        # odd blocking must not change anything either
+        monkeypatch.setattr(similarity, "_ASSIGN_ROW_BLOCK", 3)
+        monkeypatch.setattr(similarity, "_ASSIGN_CENT_TILE", 2)
+        got_odd = similarity._top1_cells(V, cids, C, cnorms, dim)
+        monkeypatch.undo()
+        assert np.array_equal(got_odd, want), (n, k, dim, kw)
+
+
+def test_lloyd_cell_means_grouped_equivalence():
+    # The r13 sort+reduceat grouping must reproduce the per-cid
+    # mask-loop EXACTLY: int64 micro-unit sums are order-independent,
+    # the mean keeps the (s/scale)/count op sequence, and the norm is
+    # the strict left fold + python ** 0.5 (np.sqrt can differ from
+    # pow(x, .5) by 1 ulp — caught by this test when tried).
+    import numpy as np
+
+    def reference(sample, top1, scale, dim):
+        def pynorm(vec):
+            s = 0.0
+            for x in vec:
+                s += x * x
+            return s**0.5
+
+        q = np.floor(sample * scale).astype(np.int64)
+        out = []
+        for cid in sorted(set(top1.tolist())):
+            mask = top1 == cid
+            s = q[mask].sum(axis=0)
+            mean = (s.astype(np.float64) / scale) / int(mask.sum())
+            vec = [float(x) for x in mean]
+            out.append((int(cid), vec, pynorm(vec)))
+        return out
+
+    rng = np.random.default_rng(11)
+    for S, C in [(2000, 37), (64, 64), (500, 1), (1000, 999)]:
+        sample = rng.normal(size=(S, 8))
+        cids = np.sort(rng.choice(10**6, size=C, replace=False)).astype(np.int64)
+        top1 = cids[rng.integers(0, C, size=S)]
+        got = similarity._lloyd_cell_means(sample, top1, 1_000_000, 8)
+        assert got == reference(sample, top1, 1_000_000, 8), (S, C)
+
+
 def test_lloyd_chunking_invariant(spark, monkeypatch):
     # Row-chunked assignment must not change trained centroids (each
     # row's arithmetic is independent).

@@ -535,31 +535,78 @@ def sql_ivf_centroids(ncentroids: int = 32, table: str = "embeddings") -> str:
 #: grows linearly with the corpus.
 _ASSIGN_CHUNK = 2048
 
+#: cache-blocking of the assignment fold (r13): the (rows × C) dot
+#: accumulator at SemDeDup's corpus-scaled C (k ≈ N/250: ~25k cells at
+#: the sixth decade) is ~400 MB per chunk, and the strict left fold
+#: re-streams it from DRAM — plus a same-size fresh temporary — on
+#: every one of the 64 element steps (~50 GB of memory traffic per
+#: chunk; the sf300 probe measured the driver pinned at 100% for tens
+#: of minutes in exactly this loop). Tiling rows × centroids keeps the
+#: accumulator L2-resident; each dots[r,c] is STILL the same strict
+#: left fold over the element index, so cosines, tie-breaks and NaN
+#: ranking are bit-identical (pinned by
+#: tests/test_dedup_similarity.py::test_top1_cells_blocked_equivalence).
+_ASSIGN_ROW_BLOCK = 256
+_ASSIGN_CENT_TILE = 256
+
 
 def _top1_cells(V, cids, C, cnorms, dim: int):
     """Nearest-centroid assignment for a row block: (cos DESC, cid
     ASC), exactly the lexsort/ROW_NUMBER rule — NaN cosines rank last,
     ties break to the lowest cid (``cids`` is ascending, argmax takes
     the first maximum). Strict left fold over element index keeps the
-    IEEE op sequence of the expression/oracle form."""
+    IEEE op sequence of the expression/oracle form; the row×centroid
+    blocking (see :data:`_ASSIGN_ROW_BLOCK`) changes only the memory
+    access pattern, never any element's op sequence."""
     import numpy as np
 
     n = V.shape[0]
-    dots = np.zeros((n, cids.shape[0]), dtype=np.float64)
+    ncents = cids.shape[0]
+    # (dim, n) contiguous transpose: the fold reads one ELEMENT of
+    # every row per step — on row-major V that is a cache line per
+    # row; on VT it is a contiguous vector. Pure layout, same values.
+    VT = np.ascontiguousarray(V.T)
     vv = np.zeros(n, dtype=np.float64)
     for i in range(dim):  # strict left fold, element order
-        col = V[:, i]
-        dots += col[:, None] * C[i]
+        col = VT[i]
         vv += col * col
-    # A zero-norm row divides 0/0 — deliberately NaN, then ranked last
-    # (NaN-last lexsort contract). errstate keeps the EXPECTED invalid-
-    # divide warning out of the suite so an unexpected one can't hide
-    # behind it; tests/test_dedup_similarity.py (zero-norm NaN-last
-    # warnings-as-errors test) asserts the behavior explicitly.
-    with np.errstate(invalid="ignore", divide="ignore"):
-        cos = dots / (np.sqrt(vv)[:, None] * cnorms)
-    cos = np.where(np.isnan(cos), -np.inf, cos)
-    return cids[np.argmax(cos, axis=1)]
+    vnorm = np.sqrt(vv)
+    best_cos = np.full(n, -np.inf, dtype=np.float64)
+    # All-NaN rows (zero-norm) never win an update and keep cids[0] —
+    # identical to the unblocked argmax-over--inf row, which returned
+    # index 0.
+    best_cid = np.full(n, cids[0], dtype=np.int64)
+    buf = np.empty((_ASSIGN_ROW_BLOCK, _ASSIGN_CENT_TILE), dtype=np.float64)
+    tmp = np.empty((_ASSIGN_ROW_BLOCK, _ASSIGN_CENT_TILE), dtype=np.float64)
+    for r0 in range(0, n, _ASSIGN_ROW_BLOCK):
+        r1 = min(r0 + _ASSIGN_ROW_BLOCK, n)
+        vn = vnorm[r0:r1]
+        for c0 in range(0, ncents, _ASSIGN_CENT_TILE):
+            c1 = min(c0 + _ASSIGN_CENT_TILE, ncents)
+            dots = buf[: r1 - r0, : c1 - c0]
+            t = tmp[: r1 - r0, : c1 - c0]
+            dots[:] = 0.0
+            for i in range(dim):  # strict left fold, element order
+                np.multiply(VT[i, r0:r1, None], C[i, c0:c1], out=t)
+                dots += t
+            # A zero-norm row divides 0/0 — deliberately NaN, then
+            # ranked last (NaN-last lexsort contract). errstate keeps
+            # the EXPECTED invalid-divide warning out of the suite so
+            # an unexpected one can't hide behind it;
+            # tests/test_dedup_similarity.py (zero-norm NaN-last
+            # warnings-as-errors test) asserts the behavior explicitly.
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / (vn[:, None] * cnorms[c0:c1])
+            cos = np.where(np.isnan(cos), -np.inf, cos)
+            # within a tile argmax takes the FIRST max (lowest cid —
+            # cids ascending); across tiles the strict > keeps the
+            # earlier (lower-cid) tile on ties: global first-max.
+            loc = np.argmax(cos, axis=1)
+            locv = cos[np.arange(r1 - r0), loc]
+            upd = locv > best_cos[r0:r1]
+            best_cos[r0:r1][upd] = locv[upd]
+            best_cid[r0:r1][upd] = cids[c0 + loc[upd]]
+    return best_cid
 
 
 def centroid_ranking_arrow(cents: list[tuple[int, list[float], float]], dim: int):
@@ -1376,7 +1423,8 @@ def ivf_refined_centroids(
         raise ValueError(f"no centroids: empty corpus ({id_col})")
     seeds = sorted((r.tid, [float(x) for x in r.tvec]) for r in rows[:ncentroids])
     cents = [(cid, vec, _py_norm(vec)) for cid, vec in seeds]
-    sample = np.array([[float(x) for x in r.tvec] for r in rows], dtype=np.float64)
+    # dtype=float64 performs the same float(x) widening elementwise in C
+    sample = np.array([r.tvec for r in rows], dtype=np.float64)
     for _ in range(iters):
         cids = np.array([c[0] for c in cents], dtype=np.int64)
         cmat = np.array([c[1] for c in cents], dtype=np.float64).T  # (dim, C)
@@ -1391,16 +1439,45 @@ def ivf_refined_centroids(
             top1[s0 : s0 + _ASSIGN_CHUNK] = _top1_cells(
                 sample[s0 : s0 + _ASSIGN_CHUNK], cids, cmat, cnorms, dim
             )
-        q = np.floor(sample * scale).astype(np.int64)  # micro-units
-        new: list[tuple[int, list[float], float]] = []
-        for cid in sorted(set(top1.tolist())):
-            mask = top1 == cid
-            s = q[mask].sum(axis=0)
-            mean = (s.astype(np.float64) / scale) / int(mask.sum())
-            vec = [float(x) for x in mean]
-            new.append((int(cid), vec, _py_norm(vec)))
-        cents = new
+        cents = _lloyd_cell_means(sample, top1, scale, dim)
     return cents
+
+
+def _lloyd_cell_means(sample, top1, scale: int, dim: int):
+    """One exact Lloyd update: per-cell integer-micro-unit means of
+    ``sample`` grouped by ``top1`` — [(cid, vec, norm)], cids
+    ascending, empty cells dropped.
+
+    Grouped via stable sort + ``reduceat`` (r13): the per-cid
+    boolean-mask loop was O(S·C) — ~3.3e9 comparisons per iteration at
+    the sixth decade's corpus-scaled C, tens of seconds of driver time
+    per Lloyd step. int64 micro-unit sums are
+    summation-order-independent, so ANY exact grouping gives the
+    identical sums; the mean/norm tail keeps the exact op sequence
+    ((s/scale)/count elementwise, then the strict left-fold sum of
+    squares and python ``** 0.5`` — NOT np.sqrt, which can differ from
+    pow(x, .5) by 1 ulp). Equivalence with the mask-loop form pinned by
+    tests/test_dedup_similarity.py::test_lloyd_cell_means_grouped_equivalence."""
+    import numpy as np
+
+    q = np.floor(sample * scale).astype(np.int64)  # micro-units
+    order = np.argsort(top1, kind="stable")
+    st = top1[order]
+    qs = q[order]
+    starts = np.flatnonzero(np.r_[True, st[1:] != st[:-1]])
+    sums = np.add.reduceat(qs, starts, axis=0)
+    counts = np.diff(np.r_[starts, len(st)])
+    means = sums.astype(np.float64) / scale / counts[:, None]
+    nacc = np.zeros(len(starts), dtype=np.float64)
+    for i in range(dim):  # strict left fold, element order (_py_norm)
+        col = means[:, i]
+        nacc += col * col
+    mlist = means.tolist()
+    nlist = nacc.tolist()
+    return [
+        (int(st[s]), mlist[j], nlist[j] ** 0.5)
+        for j, s in enumerate(starts)
+    ]
 
 
 def sql_ivf_refined_centroids(
