@@ -232,3 +232,36 @@ def test_bucket_from_cuts_null_matches_sql_twin(spark):
         for i, v in [(1, 5.0), (2, None), (3, 25.0), (4, 99.0)]
     }
     assert got == want and got[2] == 0 and got[4] == 3
+
+
+def test_rank_cuts_multi_matches_per_column_reference(spark):
+    """rank_cuts_multi == the pure-python percentile_disc reference,
+    independently per column, from ONE scan — mixed distributions,
+    dupes on the cuts, and a null-bearing column sharing the pass."""
+    import math
+    import random
+
+    from white_elephant_spark.sources.layout import rank_cuts_multi
+
+    rng = random.Random(11)
+    a = [round(rng.uniform(0, 50), 2) for _ in range(500)] * 2  # dupes
+    c = [float(i % 7) for i in range(1000)]  # few distincts, cut ties
+    d = [float(i) if i % 5 else None for i in range(1000)]  # nulls
+    rows = list(zip(a, c, d))
+    df = spark.createDataFrame(rows, "a double, c double, d double")
+
+    b = 16
+    got = rank_cuts_multi(df, ["a", "c", "d"], b)
+    for col, vals in (("a", a), ("c", c), ("d", d)):
+        s = sorted(v for v in vals if v is not None)
+        n = len(s)
+        exp = [s[math.ceil(i * n / b) - 1] for i in range(1, b)]
+        assert got[col] == exp, (col, got[col][:4], exp[:4])
+
+    import pytest as _pytest
+
+    allnull = spark.createDataFrame(
+        [(1.0, None)] * 10, "ok double, bad double"
+    )
+    with _pytest.raises(ValueError, match="'bad' has no non-null"):
+        rank_cuts_multi(allnull, ["ok", "bad"], num_buckets=4)

@@ -282,6 +282,80 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(run, RESIZE_SCHEMA)
 
 
+FEATURE_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+        T.StructField("resized_digest", T.StringType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def extract_feature_frames(
+    df: DataFrame,
+    width: int,
+    height: int,
+    every_n_bytes: int = 256,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    codec: str = "fake",
+) -> DataFrame:
+    """One-pass fusion of :func:`extract_features`, the resize digest
+    (md5 of :func:`resize_stub`'s output) and :func:`sample_frames`.
+
+    Composing the three operators as separate ``mapInPandas`` stages
+    joined back on ``id_col`` ships the binary payload across the
+    Python boundary three times and then shuffles the derived columns
+    through two joins — at corpus scale that is two exchanges carrying
+    frame/digest payloads purely to reunite rows that were never apart
+    (the guide §8 anti-pattern: heavy opaque bytes moved more than
+    once to attach decisions computable in one place). Here every
+    per-document feature is computed next to the payload in a single
+    batch pass and emitted on each sampled frame row, so the plan is
+    scan → one MapInPandas → project: zero joins, zero exchanges.
+
+    The kernels are the SAME functions the standalone operators use
+    (:func:`decode_stub`, :func:`resize_stub`, the frame-window
+    slice), so outputs are bit-identical to the composed form — pinned
+    by ``tests/test_multimodal_codecs.py``'s fusion-equivalence test.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[Any] = []
+            cols: dict[str, list[Any]] = {
+                "byte_len": [], "digest": [], "fake_width": [],
+                "fake_height": [], "resized_digest": [], "frame_idx": [],
+                "frame": [],
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                feats = decode_stub(payload, codec)
+                resized_digest = hashlib.md5(
+                    resize_stub(payload, width, height)
+                ).hexdigest()
+                n = min(max_frames, max(1, len(payload) // every_n_bytes))
+                for i in range(n):
+                    ids.append(doc_id)
+                    cols["byte_len"].append(feats["byte_len"])
+                    cols["digest"].append(feats["digest"])
+                    cols["fake_width"].append(feats["fake_width"])
+                    cols["fake_height"].append(feats["fake_height"])
+                    cols["resized_digest"].append(resized_digest)
+                    cols["frame_idx"].append(i)
+                    cols["frame"].append(
+                        payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    )
+            yield pd.DataFrame({"doc_id": ids, **cols})
+
+    return df.select(id_col, payload_col).mapInPandas(run, FEATURE_FRAME_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

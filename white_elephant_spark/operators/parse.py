@@ -127,7 +127,15 @@ def parse_job_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
             _int(p, "FAILED_MAPS").alias("failedMaps"),
             _int(p, "FAILED_REDUCES").alias("failedReduces"),
         )
-        .filter(F.col("jobId").isNotNull() & (F.col("jobId") != ""))
+        # length(jobId) > 0 ≡ isNotNull AND != '' — in ONE reference.
+        # The optimizer pushes this predicate below the projection by
+        # substituting the aliased expression per reference, and a
+        # filter-side evaluation re-derives the whole params map (the
+        # codegen subexpression sharing that makes the 13-field
+        # projection cost one map build does not extend into the
+        # Filter): measured at sf0.1, the two-conjunct form ran the
+        # parse at 8.9 s vs 5.6 s with the single-reference predicate.
+        .filter(F.length(F.col("jobId")) > 0)
         .drop(line_col)
     )
 
@@ -154,11 +162,11 @@ def parse_attempt_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
             counters_map(line).alias("counters"),
         )
         .withColumn("jobId", job_id_from_task_id(F.col("taskId")))
-        .filter(
-            F.col("taskId").isNotNull()
-            & F.col("taskAttemptId").isNotNull()
-            & (F.col("jobId") != "")
-        )
+        # Two references instead of three (see parse_job_lines' filter
+        # note): jobId is a regex of taskId, so length(jobId) > 0
+        # already implies taskId IS NOT NULL — only the attempt id
+        # needs its own check.
+        .filter(F.col("taskAttemptId").isNotNull() & (F.length(F.col("jobId")) > 0))
         .drop(line_col)
     )
 
@@ -178,6 +186,9 @@ def parse_task_lines(df: DataFrame, line_col: str = "line") -> DataFrame:
             _ms(p, "FINISH_TIME").alias("finishTime"),
         )
         .withColumn("jobId", job_id_from_task_id(F.col("taskId")))
-        .filter(F.col("taskId").isNotNull() & (F.col("jobId") != ""))
+        # single reference (see parse_job_lines' filter note): jobId
+        # derives from taskId, so length(jobId) > 0 covers both the
+        # taskId null check and the non-empty check.
+        .filter(F.length(F.col("jobId")) > 0)
         .drop(line_col)
     )

@@ -800,7 +800,6 @@ def jsonl_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from white_elephant_spark.sources.jsonl import read_jsonl
 
     root = os.path.join(_SCRATCH_ROOT, "jsonl_quality")
-    shutil.rmtree(root, ignore_errors=True)
 
     o = load_table(spark, sf_dir, "orders")
     k = F.col("o_orderkey")
@@ -823,7 +822,19 @@ def jsonl_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 2, F.lit('{"unrelated": 1}'))  # no projected fields
         .otherwise(good_line)
     )
-    o.select(line.alias("value")).write.mode("overwrite").text(root)
+    # Input fixture is a deterministic render of orders: marker-cache
+    # it like the raw-log fixture (_write_raw_log_fixture) instead of
+    # rewriting every run — the leading '_' keeps the marker out of
+    # the text scan (the same hidden-path filter S5 relies on). The
+    # query itself still computes everything from the JSONL bytes.
+    marker = os.path.join(root, "_FIXTURE_SF")
+    stamp = f"{sf_dir}|v1"
+    fresh = not os.path.exists(marker) or open(marker).read() != stamp
+    if fresh:
+        shutil.rmtree(root, ignore_errors=True)
+        o.select(line.alias("value")).write.mode("overwrite").text(root)
+        with open(marker, "w") as fh:
+            fh.write(stamp)
 
     schema = T.StructType(
         [
@@ -834,6 +845,13 @@ def jsonl_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     good, quar = read_jsonl(spark, root, schema)
+    # Seven downstream driver actions scan the typed rows (row-rule
+    # agg, uniqueness, FK anti-join + its total, the histogram's
+    # min/max, good_total, the final bucket agg) — persist so the
+    # text+JSON parse runs once and every later action reads the
+    # cached rows (guide §5: reuse beats recompute; same pattern as
+    # usage_timeseries_weekly's persisted hour rows).
+    good = good.persist()
     total_lines = o.count()
     quarrows = (
         quar.groupBy(F.col("reason").alias("rule"))

@@ -136,12 +136,14 @@ def zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch cuts (engine-private, covered by tests/test_layout.py's
     footer-stat tightness assertions)."""
     ev = load_table(spark, sf_dir, "events")
-    ub = layout.bucket_from_cuts(
-        F.col("user_id"), layout.rank_cuts(ev, "user_id", 1 << _ZBITS)
-    )
-    vb = layout.bucket_from_cuts(
-        F.col("value"), layout.rank_cuts(ev, "value", 1 << _ZBITS)
-    )
+    # Both dimensions' exact cuts from ONE scan (rank_cuts_multi):
+    # per-column rank_cuts cost 2 scans each (values + count) plus a
+    # global single-partition window; the fused form is one scan, one
+    # (dim, v) aggregation, per-dimension windows (guide §2.3/§2.4).
+    # Cut values bit-identical — pinned by tests/test_layout.py.
+    cuts = layout.rank_cuts_multi(ev, ["user_id", "value"], 1 << _ZBITS)
+    ub = layout.bucket_from_cuts(F.col("user_id"), cuts["user_id"])
+    vb = layout.bucket_from_cuts(F.col("value"), cuts["value"])
     return ev.select(
         "event_id",
         ub.alias("ub"),

@@ -1211,20 +1211,18 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema/batching/partitioning is real."""
     docs = load_table(spark, sf_dir, "documents")
     payload = multimodal.documents_as_binary(docs)
-    feats = multimodal.extract_features(payload)
-    resized = multimodal.resize_images(payload, _RS_W, _RS_H).select(
-        "doc_id", F.md5(F.col("payload")).alias("resized_digest")
-    )
-    frames = multimodal.sample_frames(payload).select(
-        "doc_id", "frame_idx", F.decode(F.col("frame"), "UTF-8").alias("frame_str")
-    )
-    return (
-        feats.join(resized, "doc_id")
-        .join(frames, "doc_id")
-        .select(
-            "doc_id", "byte_len", "digest", "fake_width", "fake_height",
-            "resized_digest", "frame_idx", "frame_str",
-        )
+    # One fused Arrow pass (extract_feature_frames) instead of three
+    # mapInPandas stages re-joined on doc_id: the payload crosses the
+    # Python boundary once and the two payload-carrying joins vanish
+    # (guide §4.1/§8). Output bit-identical to the composed operators
+    # (doc_id is unique, every doc emits >=1 frame, so the inner joins
+    # were exact row-multiplicity-1 reunions) — pinned by the fusion-
+    # equivalence test in tests/test_multimodal_codecs.py.
+    fused = multimodal.extract_feature_frames(payload, _RS_W, _RS_H)
+    return fused.select(
+        "doc_id", "byte_len", "digest", "fake_width", "fake_height",
+        "resized_digest", "frame_idx",
+        F.decode(F.col("frame"), "UTF-8").alias("frame_str"),
     )
 
 

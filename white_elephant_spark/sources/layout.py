@@ -78,40 +78,59 @@ def sql_zvalue(exprs: list[str], bits: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def rank_cuts(df, col: str, num_buckets: int = 16) -> list[float]:
-    """Exact *discrete* quantile cuts (``percentile_disc`` semantics):
-    cut ``i`` is the smallest data value whose running row count
-    reaches ``ceil(i·N/num_buckets)``. Every threshold is integer
-    arithmetic and every cut is an actual data value — no
-    interpolation — so any engine recomputing them from the same rows
-    gets bit-identical doubles. Interpolated percentiles do NOT have
-    this property: Spark's ``percentile`` and DuckDB's
-    ``quantile_cont`` agree analytically but associate the
-    ``lo + frac·(hi-lo)`` arithmetic differently, and on a
-    duplicate-heavy corpus a 1-ULP cut difference moves every row
-    sitting exactly on the cut into a different bucket (caught by the
-    sf1 decade check; see tests/test_layout.py).
+def rank_cuts_multi(
+    df, cols: list[str], num_buckets: int = 16
+) -> dict[str, list[float]]:
+    """Exact rank cuts (:func:`rank_cuts` semantics) for SEVERAL
+    columns in ONE pass over ``df``.
 
-    Plan shape: distinct-value counts (map-side combinable), one
-    running-sum window over the distinct values (O(distinct) on a
-    single partition — same memory class as the ``percentile``
-    aggregate this replaces), each distinct row emits the cut indexes
-    it owns via pure integer division, and only ``num_buckets-1``
-    rows reach the driver."""
+    Calling :func:`rank_cuts` per dimension costs one full scan (plus
+    the row-count subscan) per column — a z-order write over k keys
+    reads the table 2k times before the layout pass even starts. Here
+    each row explodes into k tagged ``(dim, v)`` axis entries
+    (guide §2.3: one scan carrying all the data every decision needs),
+    the distinct-value counts aggregate per ``(dim, v)``, and BOTH the
+    running rank and the participating-row total N come from windows
+    over the same ``dim`` partitioning — one exchange, and the
+    per-dimension window replaces :func:`rank_cuts`' global
+    single-partition sort (every dimension's distinct-value axis sorts
+    in its own task instead of all axes serially in one). The per-cut
+    math is unchanged, so the returned cuts are bit-identical to k
+    separate :func:`rank_cuts` calls (which now delegate here).
+    """
     from pyspark.sql.window import Window
 
     b = int(num_buckets)
-    vals = df.select(F.col(col).cast("double").alias("v")).filter(
-        F.col("v").isNotNull()
+    axes = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("dim"),
+                            F.col(c).cast("double").alias("v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("x")
+        )
+        .select("x.dim", "x.v")
+        .filter(F.col("v").isNotNull())
     )
-    # N counts only the rows that participate in the ranking — nulls
-    # never appear in the distinct-value axis, so counting them into N
-    # would push trailing thresholds past max(cum) and silently drop
-    # the last cuts on a null-heavy column.
-    n_row = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    dv = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = dv.withColumn("cum", F.sum("c").over(w)).crossJoin(F.broadcast(n_row))
+    dv = axes.groupBy("dim", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("dim")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # N per dimension = sum of the distinct-value counts in the same
+    # window partition — no second scan of the input (the original
+    # single-column form re-scanned for its count aggregate).
+    w_all = Window.partitionBy("dim")
+    cum = dv.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "n", F.sum("c").over(w_all)
+    )
     prev = F.col("cum") - F.col("c")
     # this distinct value owns cut i  ⟺  prev < ceil(i·N/b) ≤ cum
     #   ⟺  floor(b·prev/N)+1 ≤ i ≤ floor(b·cum/N).
@@ -128,17 +147,49 @@ def rank_cuts(df, col: str, num_buckets: int = 16) -> list[float]:
         F.lit(b - 1),
     )
     owned = cum.filter(i_hi >= i_lo).select(
-        F.explode(F.sequence(i_lo, i_hi)).alias("i"), "v"
+        "dim", F.explode(F.sequence(i_lo, i_hi)).alias("i"), "v"
     )
-    rows = owned.orderBy("i").collect()
-    if not rows:
-        raise ValueError(
-            f"rank_cuts: column {col!r} has no non-null values — "
-            "cannot derive range-partition boundaries from an empty "
-            "ranking axis"
+    rows = owned.collect()
+    out: dict[str, list[float]] = {c: [] for c in cols}
+    for r in sorted(rows, key=lambda r: (r["dim"], r["i"])):
+        out[r["dim"]].append(float(r["v"]))
+    for c in cols:
+        if not out[c]:
+            raise ValueError(
+                f"rank_cuts: column {c!r} has no non-null values — "
+                "cannot derive range-partition boundaries from an empty "
+                "ranking axis"
+            )
+        assert len(out[c]) == b - 1, (
+            f"rank_cuts: got {len(out[c])} cuts for {c!r}, want {b - 1}"
         )
-    assert len(rows) == b - 1, f"rank_cuts: got {len(rows)} cuts, want {b - 1}"
-    return [float(r["v"]) for r in rows]
+    return out
+
+
+def rank_cuts(df, col: str, num_buckets: int = 16) -> list[float]:
+    """Exact *discrete* quantile cuts (``percentile_disc`` semantics):
+    cut ``i`` is the smallest data value whose running row count
+    reaches ``ceil(i·N/num_buckets)``. Every threshold is integer
+    arithmetic and every cut is an actual data value — no
+    interpolation — so any engine recomputing them from the same rows
+    gets bit-identical doubles. Interpolated percentiles do NOT have
+    this property: Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` agree analytically but associate the
+    ``lo + frac·(hi-lo)`` arithmetic differently, and on a
+    duplicate-heavy corpus a 1-ULP cut difference moves every row
+    sitting exactly on the cut into a different bucket (caught by the
+    sf1 decade check; see tests/test_layout.py).
+
+    Plan shape (shared with :func:`rank_cuts_multi`, which this
+    delegates to): distinct-value counts (map-side combinable), one
+    running-sum window over the distinct values (O(distinct) per
+    dimension partition — same memory class as the ``percentile``
+    aggregate this replaces; N comes from a whole-partition sum over
+    the same window partitioning, so nulls never inflate it and no
+    second input scan runs), each distinct row emits the cut indexes
+    it owns via pure integer division, and only ``num_buckets-1``
+    rows reach the driver."""
+    return rank_cuts_multi(df, [col], num_buckets)[col]
 
 
 def sql_rank_cuts(table: str, expr: str, num_buckets: int = 16) -> str:
