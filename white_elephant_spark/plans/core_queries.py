@@ -300,32 +300,38 @@ def topk_users_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the former global ROW_NUMBER window single-partitioned EVERY
     user's total just to find 10 rows — at corpus scale that is one
     task sorting |users| rows. orderBy+limit plans as TakeOrdered
-    (per-partition top-10, driver merge of 10-row heads), and the
-    'other' series falls out by subtraction: the totals are DECIMAL,
-    so sum(all) − sum(top10) is exact — bit-identical to aggregating
-    the non-top rows directly (which the oracle still does)."""
+    (per-partition top-10, single-task merge of 10-row heads), and
+    the 'other' series is ONE aggregation over the non-top rows — a
+    broadcast anti-join of the 10-row top set against the persisted
+    totals (r13 paid a grand⨯topagg scalar cross-join here: two extra
+    single-row aggregate exchanges plus a BroadcastNestedLoopJoin,
+    measurably slower at gate scale). DECIMAL totals keep the sum
+    exact, and eqNullSafe keeps the complement exact even for a
+    null user key, so the aggregate matches the oracle's direct
+    aggregation of the non-top rows bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.sum(dec("value")).alias("total"))
-    totals = totals.persist()  # consumed by the top-10 pick AND the grand total
+    totals = totals.persist()  # consumed by the top-10 pick AND the 'other' agg
     top = totals.orderBy(F.col("total").desc(), F.col("user_id").asc()).limit(10)
     top_rows = top.select(
         F.col("user_id").cast("string").alias("series"),
         F.col("total").cast("double").alias("total_value"),
         F.lit(1).cast("long").alias("n_users"),
     )
-    grand = totals.agg(
-        F.sum("total").alias("g_total"), F.count(F.lit(1)).alias("g_users")
-    )
-    topagg = top.agg(
-        F.sum("total").alias("t_total"), F.count(F.lit(1)).alias("t_users")
+    rest = totals.join(
+        F.broadcast(top.select(F.col("user_id").alias("t_uid"))),
+        F.col("user_id").eqNullSafe(F.col("t_uid")),
+        "left_anti",
     )
     other = (
-        grand.crossJoin(F.broadcast(topagg))
-        .filter(F.col("g_users") > F.col("t_users"))
+        rest.agg(
+            F.sum("total").alias("o_total"), F.count(F.lit(1)).alias("o_users")
+        )
+        .filter(F.col("o_users") > 0)
         .select(
             F.lit("other").alias("series"),
-            (F.col("g_total") - F.col("t_total")).cast("double").alias("total_value"),
-            (F.col("g_users") - F.col("t_users")).alias("n_users"),
+            F.col("o_total").cast("double").alias("total_value"),
+            F.col("o_users").alias("n_users"),
         )
     )
     return top_rows.unionByName(other)
