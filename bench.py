@@ -559,6 +559,13 @@ def main() -> None:
     from white_elephant_spark.plans.registry import all_queries
     from white_elephant_spark.session import get_spark
 
+    # Fresh served-stats audit log for THIS run (in-process reruns,
+    # e.g. tests driving main() twice, must not inherit the last
+    # run's serves).
+    from white_elephant_spark import models as _models_reset
+
+    _models_reset.reset_stats_served()
+
     # Shuffle-partition count sized to the bench SF, not the CPU count:
     # at sf<=1 a 32-way shuffle is pure task-scheduling overhead (the
     # whole input fits in a handful of partitions). On a cluster this
@@ -741,6 +748,27 @@ def main() -> None:
         "mode_skipped": sorted(mode_skip),
         "oracle_sha": oracle_sha,
     }
+    # Served-statistics stamp (r13 verdict what's-wrong #3): which
+    # cached plan-shape scalars (kind="stats" registry entries —
+    # simhash_fp_count, semdedup_count) this run was served, and from
+    # which tier. "trained" means the run paid the job itself; "disk"/
+    # "memo" means ANALYZE-style metadata was served. Results never
+    # depend on these; cold mode (SPARK_GRAFT_BENCH_COLD) redirects the
+    # store so every stat is trained. Aggregated (name, corpus, source)
+    # → count, sidecar-only to keep the stdout line under the cap.
+    try:
+        from white_elephant_spark import models as _models
+
+        agg: dict[tuple, int] = {}
+        for e in _models.stats_served():
+            k = (e["name"], e["corpus"], e["source"])
+            agg[k] = agg.get(k, 0) + 1
+        result["stats_served"] = [
+            {"name": n, "corpus": c, "source": s, "serves": v}
+            for (n, c, s), v in sorted(agg.items())
+        ]
+    except Exception:
+        pass
     # Synthesized-corpus stamp (tools/make_scale_corpus.py writes it):
     # lets the next round prove its regenerated sf1/sf10 corpus is the
     # same content before trusting a cross-round time comparison.

@@ -391,8 +391,21 @@ def _duck_cube(root: str):
 
 def test_hostile_usage_cube_matches_duckdb_twin(spark, tmp_path):
     # production queries get this from the catalog loader (catalog.py);
-    # this test scans raw files directly, so set it the same way
+    # this test scans raw files directly, so set it the same way —
+    # restored in the finally so the session-scoped fixture doesn't
+    # leak the conf to later tests (r13 ADVICE)
+    prev_policy = spark.conf.get("spark.sql.mapKeyDedupPolicy", None)
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    try:
+        _hostile_cube_body(spark, tmp_path)
+    finally:
+        if prev_policy is None:
+            spark.conf.unset("spark.sql.mapKeyDedupPolicy")
+        else:
+            spark.conf.set("spark.sql.mapKeyDedupPolicy", prev_policy)
+
+
+def _hostile_cube_body(spark, tmp_path):
     root = str(tmp_path / "hostile")
     _render_hostile(root)
 

@@ -247,6 +247,59 @@ def _train_disk(spark, tmp_path, name, params):
     )
 
 
+def test_stats_kind_segregated_logged_and_cold_pays(spark, tmp_path, disk_store):
+    """r13 verdict what's-wrong #3 / next-round #6: kind="stats"
+    entries are segregated in the store (stats- dir prefix + kind meta
+    tag), every serve lands in the audit log the bench stamps, and a
+    redirected (cold) store pays the computation again."""
+    (tmp_path / "tbl.parquet").write_text("corpus")
+    calls = []
+
+    def trainer():
+        calls.append(1)
+        return 42
+
+    models.reset_stats_served()
+    v = models.get_or_train(
+        spark, str(tmp_path), "tbl", "nstat", ("cnt-v1",), trainer,
+        disk=True, kind="stats",
+    )
+    assert v == 42 and calls == [1]
+    dirs = os.listdir(disk_store)
+    assert any(d.startswith("stats-nstat-") for d in dirs)
+    import json as _json
+
+    (d,) = [d for d in dirs if d.startswith("stats-nstat-")]
+    with open(disk_store / d / "meta.json") as f:
+        assert _json.load(f)["kind"] == "stats"
+    # memo serve logged
+    models.get_or_train(
+        spark, str(tmp_path), "tbl", "nstat", ("cnt-v1",), trainer,
+        disk=True, kind="stats",
+    )
+    log = models.stats_served()
+    assert [e["source"] for e in log] == ["trained", "memo"]
+    # disk serve in a "new session"
+    _wipe_memo()
+    models.get_or_train(
+        spark, str(tmp_path), "tbl", "nstat", ("cnt-v1",), trainer,
+        disk=True, kind="stats",
+    )
+    assert models.stats_served()[-1]["source"] == "disk" and calls == [1]
+    # cold mode: a redirected store has no artifact - the stat is PAID
+    _wipe_memo()
+    os.environ["SPARK_GRAFT_MODEL_DIR"] = str(tmp_path / "cold-store")
+    try:
+        models.get_or_train(
+            spark, str(tmp_path), "tbl", "nstat", ("cnt-v1",), trainer,
+            disk=True, kind="stats",
+        )
+    finally:
+        os.environ["SPARK_GRAFT_MODEL_DIR"] = str(disk_store)
+    assert calls == [1, 1]
+    assert models.stats_served()[-1]["source"] == "trained"
+
+
 def test_gc_reclaims_only_unservable(spark, tmp_path, disk_store):
     (tmp_path / "tbl.parquet").write_text("corpus")
     _train_disk(spark, tmp_path, "m", ("x-v1",))

@@ -348,13 +348,24 @@ def main() -> None:
                     copies = json.load(fh).get("copies", "N")
             except (OSError, ValueError):
                 pass
+            try:
+                import math
+
+                dec = math.log10(float(copies))
+                decades = (
+                    "one decade"
+                    if abs(dec - 1.0) < 1e-9
+                    else f"~{dec:.1f} decades"
+                )
+            except (TypeError, ValueError):
+                decades = "decades"
             provenance += [
                 f"`{_label(d)}` is synthesized: deterministic {copies}x",
                 "amplification of the driver's sf0.1 parquet via",
                 "`tools/make_scale_corpus.py` (coordinated key offsets,",
                 "copy-disjoint text/embeddings — see its docstring).",
                 "Correctness is never checked against it; it exists only",
-                "to measure growth one decade past the shipped testdata.",
+                f"to measure growth {decades} past the shipped testdata.",
                 "",
             ]
     mode_s = "cold" if _probe_cold(sf_small) else "assisted"
@@ -378,6 +389,17 @@ def main() -> None:
         "Sub-second bases make small factors noisy; the signal is the",
         "absence of blow-ups, not the third decimal.",
         "",
+    ]
+    # Notes must land ABOVE the table header: a prose line between the
+    # header separator and the first data row splits the rendered
+    # table (r13 ADVICE).
+    if big_runs != 2:
+        lines += [
+            f"Big-dir measurement: best-of-{big_runs} (wall-clock bound"
+            " for probes whose single cold run is minutes long).",
+            "",
+        ]
+    lines += [
         f"| query | t({lbl_s}) s | t({lbl_b}) s | time x |"
         f" rows({lbl_s}) | rows({lbl_b}) | rows x | verdict |",
         "|---|---|---|---|---|---|---|---|",
@@ -385,13 +407,6 @@ def main() -> None:
     flagged = []
     big_times: dict[str, tuple[float, int]] = {}
     import gc
-
-    if big_runs != 2:
-        lines += [
-            f"Big-dir measurement: best-of-{big_runs} (wall-clock bound"
-            " for probes whose single cold run is minutes long).",
-            "",
-        ]
     for name in names:
         t1, r1 = best_of(qs, name, sf_small)
         t2, r2 = best_of(qs, name, sf_big, runs=big_runs)

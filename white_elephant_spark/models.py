@@ -67,6 +67,8 @@ __all__ = [
     "disk_root",
     "disk_entries",
     "gc_disk",
+    "stats_served",
+    "reset_stats_served",
 ]
 
 _MEMO: dict[tuple, Any] = {}
@@ -234,10 +236,13 @@ def clear_session(spark: SparkSession) -> None:
                 pass
 
 
-def _disk_dir(ck: tuple[str, str], name: str, params: tuple) -> str:
+def _disk_dir(
+    ck: tuple[str, str], name: str, params: tuple, kind: str = "model"
+) -> str:
     ident = repr((_DISK_VERSION, ck[0], name, params))
     h = hashlib.sha256(ident.encode()).hexdigest()[:20]
-    return os.path.join(disk_root(), f"{name}-{h}")
+    prefix = "stats-" if kind == "stats" else ""
+    return os.path.join(disk_root(), f"{prefix}{name}-{h}")
 
 
 def _meta_ok(d: str, ck: tuple[str, str], name: str, params: tuple) -> bool:
@@ -255,7 +260,9 @@ def _meta_ok(d: str, ck: tuple[str, str], name: str, params: tuple) -> bool:
         return False
 
 
-def _write_meta(d: str, ck: tuple[str, str], name: str, params: tuple) -> None:
+def _write_meta(
+    d: str, ck: tuple[str, str], name: str, params: tuple, kind: str = "model"
+) -> None:
     with open(os.path.join(d, "meta.json"), "w") as f:
         json.dump(
             {
@@ -264,6 +271,7 @@ def _write_meta(d: str, ck: tuple[str, str], name: str, params: tuple) -> None:
                 "token": ck[1],
                 "name": name,
                 "params": repr(params),
+                "kind": kind,
             },
             f,
         )
@@ -399,10 +407,22 @@ def get_or_train(
     disk: bool = False,
     save: Callable[[Any, str], None] | None = None,
     load: Callable[[SparkSession, str], Any] | None = None,
+    kind: str = "model",
 ) -> Any:
     """Return the artifact for (corpus, name, params): session memo
     first, then the disk store, then ``trainer()`` (persisting the
     fresh artifact to disk when a serializer is configured).
+
+    ``kind="stats"`` declares the entry a CACHED STATISTIC rather
+    than a trained model: a cheap deterministic scalar of the corpus
+    (a distinct count, a row count) that steers plan shape only —
+    ANALYZE-style metadata, never a query result. Stats entries are
+    segregated in the store (``stats-`` dir prefix + ``kind`` meta
+    field) and every serve is logged (:func:`stats_served`) so the
+    bench can stamp which statistics a run was served — keeping the
+    optimization/precomputation boundary auditable (r13 verdict
+    what's-wrong #3). The cold path (``SPARK_GRAFT_MODEL_DIR``
+    redirect) retrains them like any artifact.
 
     - ``disk=True``: pickle the artifact (driver-side plain objects —
       centroid lists, PCA models).
@@ -433,13 +453,15 @@ def get_or_train(
     key = (sk, ck, name, params)
     hit = _MEMO.get(key)
     if hit is not None:
+        if kind == "stats":
+            _STATS_LOG.append({"name": name, "corpus": ck[0], "source": "memo"})
         return hit
 
     # A missing corpus never touches the disk tier: nothing trained
     # blind may be stored where a later session could consider it, and
     # nothing stored may serve a corpus that isn't there.
     d = (
-        _disk_dir(ck, name, params)
+        _disk_dir(ck, name, params, kind)
         if on_disk and not ck[1].startswith("missing:")
         else None
     )
@@ -454,6 +476,7 @@ def get_or_train(
         except Exception:
             artifact = None  # corrupt/incompatible: retrain below
 
+    served_from_disk = artifact is not None
     if artifact is None:
         artifact = trainer()
         if d is not None:
@@ -467,7 +490,7 @@ def get_or_train(
                 else:
                     with open(os.path.join(tmp, "artifact.pkl"), "wb") as f:
                         pickle.dump(artifact, f)
-                _write_meta(tmp, ck, name, params)
+                _write_meta(tmp, ck, name, params, kind)
                 shutil.rmtree(d, ignore_errors=True)
                 os.replace(tmp, d)
                 tmp = None
@@ -486,8 +509,35 @@ def get_or_train(
                 if tmp is not None:  # failed save: no orphan .tmp-* dirs
                     shutil.rmtree(tmp, ignore_errors=True)
 
+    if kind == "stats":
+        _STATS_LOG.append(
+            {
+                "name": name,
+                "corpus": ck[0],
+                "source": "disk" if served_from_disk else "trained",
+            }
+        )
     _MEMO[key] = artifact
     return artifact
+
+
+# --- served-statistics audit log ---------------------------------------
+
+#: Every serve of a ``kind="stats"`` entry this process: name, corpus
+#: path, and whether it came from the session memo, the disk store, or
+#: was (re)computed. The bench stamps this into its full artifact so a
+#: reviewer can see exactly which cached statistics a measured run was
+#: served (none of them affect query RESULTS — only plan-shape picks).
+_STATS_LOG: list[dict] = []
+
+
+def stats_served() -> list[dict]:
+    """The served-stats audit log (copy), in serve order."""
+    return list(_STATS_LOG)
+
+
+def reset_stats_served() -> None:
+    _STATS_LOG.clear()
 
 
 # --- parquet serializers for DataFrame artifacts -----------------------

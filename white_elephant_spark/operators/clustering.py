@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from white_elephant_spark.session import persist_reuse
 
 
 def connected_components(
@@ -109,7 +110,7 @@ def connected_components(
         sample = edges.limit(local_threshold + 1).coalesce(1).toPandas()
         if len(sample) <= local_threshold:
             return _cc_local(spark, sample, id_type)
-    edges = edges.persist()
+    edges = persist_reuse(edges)
     _CONSTRAINTS = "spark.sql.constraintPropagation.enabled"
     prev_constraints = spark.conf.get(_CONSTRAINTS, "true")
     spark.conf.set(_CONSTRAINTS, "false")
@@ -224,7 +225,7 @@ def _cc_contract(
         # residual too big for the driver (non-local id types) or a
         # non-shrinking pass: finish with the propagation loop on the
         # (much smaller) quotient graph.
-        base = _cc_loop(cur.persist(), max_iter)
+        base = _cc_loop(persist_reuse(cur), max_iter)
     if not maps:
         if base is not None:
             return base
@@ -357,7 +358,7 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
         sess = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         p = min(4096, max(sess, n_edges // _CC_EDGE_ROWS_PER_PART))
         edges = (
-            edges.repartition(p, "src").sortWithinPartitions("src").persist()
+            persist_reuse(edges.repartition(p, "src").sortWithinPartitions("src"))
         )
     for it in range(max_iter):
         t0 = time.time()
@@ -536,7 +537,7 @@ def fingerprint_clusters(
     # effect, and the final labeling plan reuses it. An eager
     # localCheckpoint would pay one extra dedicated job for the same
     # reuse. (id, simhash) is 16 bytes/row — tiny vs the corpus.
-    fps = fps.persist()
+    fps = persist_reuse(fps)
     # groups feeds the pair explode AND the fid→label map in step 4 —
     # persist so the fingerprint-collapse shuffle over fps runs once
     # per execution, not once per consumer (at probe scale that

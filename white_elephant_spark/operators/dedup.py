@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from white_elephant_spark.functions.text import tokens
+from white_elephant_spark.session import persist_reuse
 
 HEX = "0123456789abcdef"
 
@@ -135,7 +136,7 @@ def ngram_jaccard_pairs(
     )
     # base feeds both verify-side re-attach joins below; cache it so
     # the shingle construction runs once, not once per join side.
-    base = base.persist()
+    base = persist_reuse(base)
     sigs = minhash_signatures(df, text_col, id_col, k=k, n=n)
     cand = lsh_candidate_pairs(sigs, bands=bands, rows=rows, k=k)
     return (
@@ -211,7 +212,7 @@ def lsh_candidate_pairs(
     # recompute the full shingle→md5→min pipeline (the expensive
     # part). At warehouse scale this is a signatures *table*; here the
     # block cache plays that role.
-    exploded = exploded.persist()
+    exploded = persist_reuse(exploded)
     a, b = exploded.alias("a"), exploded.alias("b")
     eq = F.size(
         F.filter(
@@ -461,7 +462,7 @@ def simhash_neardup_pairs(
         # already satisfying the join distribution — zero further
         # exchanges. MEMORY_AND_DISK (the default) keeps the wide
         # path safe when the exploded table outgrows executor memory.
-        e = e.repartition(parts, "band", "bv").persist()
+        e = persist_reuse(e.repartition(parts, "band", "bv"))
     a, b = e.alias("a"), e.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     out = (
@@ -607,7 +608,7 @@ def interdoc_repeated_ngrams(
         # grams feeds BOTH the document-frequency aggregate and the
         # flag-join back; without the cache the tokenize→shingle→hash
         # corpus scan — the dominant cost at scale — runs twice.
-        grams = grams.persist()
+        grams = persist_reuse(grams)
     gdf = (
         gstats.select("g1", "g2", "gdf")
         if gstats is not None

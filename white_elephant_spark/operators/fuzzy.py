@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from white_elephant_spark.session import persist_reuse
 
 
 def _grams(col, q: int):
@@ -161,13 +162,12 @@ def _match_pairs(
     bound corpus string is already covered by the main leg's
     completeness guarantee (it needs only max(|a|,|b|) ≥ q·(d+1)) —
     so both legs prune out of the plan statically."""
-    ls = (
+    # feeds the main-leg prefix regroup AND the short/ultra legs —
+    # without the cache the probe scan+distinct exchange runs 3x
+    ls = persist_reuse(
         left.select(F.col(left_col).alias("_ls"))
         .distinct()
         .withColumn("_ll", F.length("_ls"))
-        # feeds the main-leg prefix regroup AND the short/ultra legs —
-        # without the cache the probe scan+distinct exchange runs 3x
-        .persist()
     )
     min_complete = q * (max_dist + 1)
     min_rl = None

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from white_elephant_spark.session import persist_reuse
  
 
 def _dsum_products(a: Column, b: Column) -> Column:
@@ -971,7 +972,7 @@ def neardup_pairs_lsh(
     )
     wide = n_rows is not None and n_rows >= _LSH_WIDE_MIN_ROWS
     if wide:
-        cand = cand.persist()
+        cand = persist_reuse(cand)
         n_cand = cand.count()
         sess = int(
             vectors.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from white_elephant_spark.functions.text import tokens
+from white_elephant_spark.session import persist_reuse
 
 __all__ = [
     "gram_stats",
@@ -113,7 +114,7 @@ def _covered_positions(
         # grams feeds both the owner aggregate and the join back; cache
         # so the tokenize->window->hash scan (the dominant cost) runs
         # once.
-        grams = positional_grams(base, n).persist()
+        grams = persist_reuse(positional_grams(base, n))
     owners = (gram_stats(grams) if gstats is None else gstats).filter(
         F.col("gdf") >= 2
     ).select("g1", "g2", "owner")

@@ -24,6 +24,7 @@ from white_elephant_spark.functions.compat import (
 )
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.sources.catalog import load_table
+from white_elephant_spark.session import persist_reuse
 
 
 # --------------------------------------------------------------------------
@@ -311,7 +312,7 @@ def topk_users_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation of the non-top rows bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
     totals = ev.groupBy("user_id").agg(F.sum(dec("value")).alias("total"))
-    totals = totals.persist()  # consumed by the top-10 pick AND the 'other' agg
+    totals = persist_reuse(totals)  # consumed by the top-10 pick AND the 'other' agg
     top = totals.orderBy(F.col("total").desc(), F.col("user_id").asc()).limit(10)
     top_rows = top.select(
         F.col("user_id").cast("string").alias("series"),

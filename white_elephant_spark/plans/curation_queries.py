@@ -22,6 +22,7 @@ from white_elephant_spark.operators import (
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.plans.text_queries import _DOCS_COPIES_SQL, _docs_with_copies
 from white_elephant_spark.sources.catalog import load_table
+from white_elephant_spark.session import persist_reuse
 
 _SAMPLE_RATES = {"en": 60, "zh": 20}
 
@@ -179,11 +180,11 @@ def relevance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and surprisal, and the corpus token total rolls up from the
     # vocab-sized term stats instead of a third pass over the index
     # (integer-sum reassociation: bit-identical).
-    idx = relevance.term_index(docs).persist()
+    idx = persist_reuse(relevance.term_index(docs))
     tstats = idx.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("tf").cast("long").alias("ctf")
     ).persist()
-    lens = idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")).persist()
+    lens = persist_reuse(idx.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl")))
     tot = tstats.agg(F.sum("ctf").cast("long").alias("n_tok"))
     tf3 = relevance.tfidf_top_terms(
         docs, k=3, idx=idx, dfreq=tstats.select("term", "df")
@@ -348,9 +349,9 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interdoc recovers its per-doc DISTINCT grams from the positional
     # rows (hash-equal identity), and gram_stats carries both the
     # owner (spans) and the document frequency (interdoc).
-    base = spans.token_base(docs).persist()
-    pos_grams = spans.positional_grams(base, n=8).persist()
-    gstats = spans.gram_stats(pos_grams).persist()
+    base = persist_reuse(spans.token_base(docs))
+    pos_grams = persist_reuse(spans.positional_grams(base, n=8))
+    gstats = persist_reuse(spans.gram_stats(pos_grams))
     interdoc = dedup.interdoc_repeated_ngrams(
         docs, n=8, pos_grams=pos_grams, gstats=gstats
     ).select("doc_id", F.col("repeated_frac").alias("interdoc_repeated_frac"))

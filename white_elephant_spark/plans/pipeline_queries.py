@@ -33,6 +33,7 @@ from white_elephant_spark.operators import parse, reconstruct, usage
 from white_elephant_spark.plans.metrics import METRICS, metric_predicate, metric_predicate_sql
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.sources.catalog import load_table
+from white_elephant_spark.session import persist_reuse
 
 # --------------------------------------------------------------------------
 # events → synthetic attempt records (shared by Spark and oracle SQL)
@@ -517,7 +518,7 @@ def usage_timeseries_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Registry-served hour rows (see _served_hour_rows); persisted
     # because two consumers read them (the weekly series and the A10
     # clamp aggregate).
-    rows = _served_hour_rows(spark, sf_dir, "alpha").persist()
+    rows = persist_reuse(_served_hour_rows(spark, sf_dir, "alpha"))
     series = (
         rows.groupBy(
             F.col("user").alias("userName"),
@@ -851,7 +852,7 @@ def jsonl_quality_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text+JSON parse runs once and every later action reads the
     # cached rows (guide §5: reuse beats recompute; same pattern as
     # usage_timeseries_weekly's persisted hour rows).
-    good = good.persist()
+    good = persist_reuse(good)
     total_lines = o.count()
     quarrows = (
         quar.groupBy(F.col("reason").alias("rule"))

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from white_elephant_spark.operators import sketches
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.sources.catalog import load_table
+from white_elephant_spark.session import persist_reuse
 
 
 # sql_hll_estimate emits "<ctes> SELECT ... FROM regs"; rewrap its
@@ -138,7 +139,7 @@ def sketch_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # One (grp, register) HLL state feeds BOTH estimate rows: per-type
     # directly, global by re-rolling registers across groups.
-    regs_by = sketches.hll_registers_by(ev, "event_type", "user_id", p=8).persist()
+    regs_by = persist_reuse(sketches.hll_registers_by(ev, "event_type", "user_id", p=8))
     by = sketches.hll_estimate_by_from(regs_by, p=8)
     est = sketches.hll_estimate_from(
         regs_by.groupBy("register").agg(F.max("max_rank").alias("max_rank")), p=8

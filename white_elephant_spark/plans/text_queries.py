@@ -18,6 +18,7 @@ from white_elephant_spark.functions import text as tx
 from white_elephant_spark.operators import clustering, dedup, fuzzy, multimodal, similarity
 from white_elephant_spark.plans.registry import register
 from white_elephant_spark.sources.catalog import load_table
+from white_elephant_spark.session import persist_reuse
 
 # --------------------------------------------------------------- dedup
 
@@ -131,7 +132,7 @@ def dedup_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from white_elephant_spark import models
 
     def _build_sigs():
-        s = dedup.minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+        s = persist_reuse(dedup.minhash_signatures(docs), StorageLevel.MEMORY_AND_DISK)
         s.count()
         return s
 
@@ -174,7 +175,7 @@ def _fp_count_memo(spark: SparkSession, sf_dir: str):
     def memo(thunk):
         return models.get_or_train(
             spark, sf_dir, "documents", "simhash_fp_count", ("fpcnt-v1",),
-            thunk, disk=True,
+            thunk, disk=True, kind="stats",
         )
 
     return memo
@@ -318,7 +319,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       re-derives, so even the approximation is hash-checked."""
     sim_leg = _dc_simhash_leg(spark, sf_dir)
     sem_leg = _dc_semantic_leg(spark, sf_dir)
+    if _dc_corpus_bytes(sf_dir) >= _dc_deoverlap_min_bytes():
+        # De-overlap the legs' shuffle footprints (guide §5, r13
+        # verdict what's-wrong #4): executed lazily, the union runs
+        # both legs inside ONE action, so the simhash band-join's and
+        # the semantic verify's multi-GB shuffle working sets are live
+        # simultaneously — at the sixth decade (sf200 probe) the two
+        # together evict the page cache and the FULL query degrades
+        # 3.9× on 2× data while each leg alone grows ≤ 2.13×.
+        # Materializing the cheaper leg's OUTPUT first (a disk-only
+        # persist of |docs| narrow rows — ~40 B/row, ~500 MB at sf200
+        # — made eager by a count) serializes the legs: the band
+        # join's shuffle is drained and released before the semantic
+        # leg starts, and the union then reads the simhash rows from
+        # the block store. Below the threshold (every gate-scale
+        # corpus) the plan is byte-identical to the plain union.
+        from pyspark import StorageLevel
+
+        sim_leg = persist_reuse(sim_leg, StorageLevel.DISK_ONLY)
+        sim_leg.count()
     return sim_leg.unionByName(sem_leg)
+
+
+#: Combined documents+embeddings on-disk bytes above which
+#: ``dedup_clusters`` materializes the simhash leg before the union
+#: (sf100 synthesized corpus ≈ 800 MB qualifies; sf10 ≈ 80 MB and
+#: every driver SF do not). Env-overridable for tests and cluster
+#: sizing (``SPARK_GRAFT_DC_DEOVERLAP_MIN_BYTES``).
+_DC_DEOVERLAP_MIN_BYTES = 256 << 20
+
+
+def _dc_deoverlap_min_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_DC_DEOVERLAP_MIN_BYTES", _DC_DEOVERLAP_MIN_BYTES
+        )
+    )
+
+
+def _dc_corpus_bytes(sf_dir: str) -> int:
+    from white_elephant_spark import models
+
+    return models.corpus_bytes(sf_dir, "documents") + models.corpus_bytes(
+        sf_dir, "embeddings"
+    )
 
 
 def _dc_simhash_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,6 +420,7 @@ def _sem_serving(spark: SparkSession, sf_dir: str):
         ("semcnt-v1",),
         lambda: vecs.count(),
         disk=True,
+        kind="stats",
     )
     k_cells = max(SEM_K_FLOOR, -(-n_vecs // SEM_CELL_TARGET))
     cell_model = models.get_or_train(
@@ -406,7 +453,7 @@ def _sem_serving(spark: SparkSession, sf_dir: str):
         target = models.serving_partitions(spark, sf_dir, "embeddings")
         if target is not None:
             b = b.repartition(target)
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        b = persist_reuse(b, StorageLevel.MEMORY_AND_DISK)
         b.count()
         return b
 
@@ -820,6 +867,35 @@ def _annlsh_enc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Embeddings on-disk bytes above which the kNN leg's query set
+#: (every 100th vector, so ~1% of the corpus — plus sketch buckets and
+#: norms, roughly 10× parquet expansion in a broadcast relation) stops
+#: fitting a sane broadcast and the leg switches to the shuffle plan.
+#: 32 GiB of corpus ≈ a multi-GB built relation approaching Spark's
+#: hard 8 GB broadcast cap — the same driver-transfer failure class as
+#: the r13 maxResultSize finds, bounded the same way (size-gated
+#: physical plan, identical results — tests pin the equivalence).
+#: Env-overridable (tests force it low; a cluster can tune it).
+_ANN_SHUFFLE_MIN_CORPUS_BYTES = 32 << 30
+
+
+def _annlsh_knn_strategy(sf_dir: str) -> str:
+    import os
+
+    from white_elephant_spark import models
+
+    floor = int(
+        os.environ.get(
+            "SPARK_GRAFT_ANN_SHUFFLE_MIN_BYTES", _ANN_SHUFFLE_MIN_CORPUS_BYTES
+        )
+    )
+    return (
+        "shuffle"
+        if models.corpus_bytes(sf_dir, "embeddings") >= floor
+        else "broadcast"
+    )
+
+
 def _annlsh_knn_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The quadratic-by-design kNN leg: every 100th vector queried
     against the full corpus via bucket-overlap candidates + exact
@@ -834,6 +910,7 @@ def _annlsh_knn_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=_ANN_PLANES,
         tables=_ANN_TABLES,
         pre_encoded=True,
+        strategy=_annlsh_knn_strategy(sf_dir),
     ).select(F.lit("lsh").alias("method"), "query_id", "nbr_id", "cos_sim", "rank")
 
 
@@ -975,7 +1052,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = models.serving_partitions(spark, sf_dir, "embeddings")
         if target is not None:
             idx = idx.repartition(target)
-        idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+        idx = persist_reuse(idx, StorageLevel.MEMORY_AND_DISK)
         idx.count()  # materialize once at build time
         return idx
 

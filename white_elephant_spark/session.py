@@ -94,3 +94,31 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def persist_reuse(df, level=None):
+    """``persist()`` unless an IDENTICAL plan is already cached in
+    this session.
+
+    Query builders persist shared sub-plans (token bases, candidate
+    sets, HLL registers); a session that rebuilds the same query —
+    best-of-N bench reps, repeated serving calls — then re-persists a
+    plan the CacheManager already holds, which is a no-op plus an
+    "Asked to cache already cached data" WARN per call (the r13 bench
+    tail is a storm of them). Catalyst substitutes the cached relation
+    into any matching plan regardless of which DataFrame object
+    carried the persist, so when a cached copy exists the right move
+    is to reuse it silently. Persisted lifetime stays session-scoped:
+    these caches are released by the bench between queries
+    (``_release_persists``) / by ``spark.catalog.clearCache()``, and a
+    fresh build after a release re-persists normally.
+
+    Falls back to a plain ``persist`` if the (JVM-internal, stable
+    since 2.x) CacheManager probe is unavailable."""
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        if cm.lookupCachedData(df._jdf).isDefined():
+            return df
+    except Exception:
+        pass
+    return df.persist(level) if level is not None else df.persist()
